@@ -1,0 +1,43 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding logic is
+exercised without TPU hardware (set SOLEX_TEST_TPU=1 to run on a real chip).
+Must run before the first jax import anywhere in the test session.
+"""
+
+import os
+
+if os.environ.get("SOLEX_TEST_TPU", "0") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def basic_scan(tmp_path_factory):
+    """A small default synthetic scan written to disk, with ground truth."""
+    path = str(tmp_path_factory.mktemp("scans") / "basic.ser")
+    scan = SyntheticScan(
+        ih=256,
+        iw=96,
+        frames=200,
+        depth=16,
+        line_poly=(48.0, 0.02, -1e-4, 2e-7),
+        noise=0.002,
+        seed=1,
+    )
+    frames = scan.write(path, transpose_to_wide=True)
+    return {"path": path, "scan": scan, "frames": frames}
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

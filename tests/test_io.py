@@ -1,0 +1,108 @@
+"""I/O layer tests: SER demux/mux, FITS round trip, PNG round trip."""
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.io import (
+    SerReader,
+    write_ser,
+    open_video,
+    write_fits,
+    read_fits,
+    make_header,
+    write_png,
+    read_image,
+)
+
+
+def test_ser_roundtrip_16bit(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 65536, size=(7, 40, 24), dtype=np.uint16)
+    p = str(tmp_path / "a.ser")
+    write_ser(p, frames)
+    r = SerReader(p)
+    assert r.frame_count == 7
+    assert (r.Height, r.Width) == (40, 24)
+    assert not r.flag_rotate and (r.ih, r.iw) == (40, 24)
+    np.testing.assert_array_equal(r.read(), frames)
+    # chunked access agrees
+    chunks = [c for _, c in r.chunks(3)]
+    np.testing.assert_array_equal(np.concatenate(chunks), frames)
+
+
+def test_ser_rotate_and_8bit_upscale(tmp_path):
+    """Width > Height frames are rot90'd; 8-bit is upscaled x256.
+
+    reference: video_reader.py:84-91,119-122
+    """
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(5, 16, 48), dtype=np.uint8)  # wide
+    p = str(tmp_path / "b.ser")
+    write_ser(p, frames)
+    r = SerReader(p)
+    assert r.flag_rotate and (r.ih, r.iw) == (48, 16)
+    expected = np.rot90(frames, axes=(1, 2)).astype(np.uint16) * 256
+    np.testing.assert_array_equal(r.read(), expected)
+
+
+def test_ser_truncated_file_clamps_framecount(tmp_path):
+    frames = np.zeros((10, 8, 8), dtype=np.uint16)
+    p = str(tmp_path / "c.ser")
+    write_ser(p, frames)
+    # chop off the last 1.5 frames
+    size = 178 + 10 * 8 * 8 * 2
+    with open(p, "r+b") as f:
+        f.truncate(size - 8 * 8 * 3)
+    r = SerReader(p)
+    assert r.frame_count == 8
+    assert r.read().shape[0] == 8
+
+
+def test_open_video_dispatch(tmp_path):
+    frames = np.zeros((3, 8, 6), dtype=np.uint16)
+    p = str(tmp_path / "d.ser")
+    write_ser(p, frames)
+    v = open_video(p)
+    assert v.read_all().shape == (3, 8, 6)
+    with pytest.raises(ValueError):
+        open_video(str(tmp_path / "e.mp4"))
+
+
+@pytest.mark.parametrize(
+    "dtype,hi",
+    [(np.uint16, 65535), (np.int32, 2**31 - 1), (np.float32, 1.0)],
+)
+def test_fits_roundtrip(tmp_path, dtype, hi):
+    rng = np.random.default_rng(2)
+    if np.issubdtype(dtype, np.integer):
+        data = rng.integers(0, hi, size=(13, 17)).astype(dtype)
+    else:
+        data = rng.random((13, 17)).astype(dtype)
+    p = str(tmp_path / "x.fits")
+    write_fits(p, data, make_header(17, 13))
+    back, hdr = read_fits(p)
+    np.testing.assert_array_equal(back, data)
+    assert hdr["NAXIS1"] == 17 and hdr["NAXIS2"] == 13
+    assert hdr["EXPTIME"] == 0
+
+
+def test_fits_matches_reference_conventions(tmp_path):
+    """uint16 is written as BITPIX=16 + BZERO=32768 (astropy convention)."""
+    data = np.array([[0, 1], [65535, 32768]], dtype=np.uint16)
+    p = str(tmp_path / "y.fits")
+    write_fits(p, data)
+    back, hdr = read_fits(p)
+    assert hdr["BITPIX"] == 16 and hdr["BZERO"] == 32768
+    np.testing.assert_array_equal(back, data)
+    # file size is a multiple of 2880
+    import os
+
+    assert os.path.getsize(p) % 2880 == 0
+
+
+def test_png_roundtrip_16bit(tmp_path):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, size=(21, 34), dtype=np.uint16)
+    p = str(tmp_path / "z.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_image(p), img)
