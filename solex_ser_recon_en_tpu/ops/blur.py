@@ -1,0 +1,62 @@
+"""Separable box blur with OpenCV-compatible semantics.
+
+The reference leans on ``cv2.blur`` in several detection stages
+(detect_bord solex_util.py:168, line blur :230, flood threshold
+ellipse_to_circle.py:163, canny pre-threshold :241).  cv2.blur is a
+normalised box filter with BORDER_REFLECT_101 edges and, for integer
+images, round-half-to-even output.  We reproduce that on device as two
+1-D cumulative-sum window filters.
+
+Precision: for integer images both window sums run in int32, which is exact
+for every kernel the pipeline uses (uint16 * kx * ky <= 65535*25*40 << 2^31);
+the single normalising division happens once at the end, so results match
+cv2 to the last rounding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _window_sum_1d(x: jax.Array, k: int, axis: int, acc_dtype) -> jax.Array:
+    """Sliding-window sum of width k along axis with reflect-101 borders.
+
+    Anchor matches cv2 (k//2 pixels to the left of the window end).
+    """
+    if k <= 1:
+        return x.astype(acc_dtype)
+    lo, hi = k // 2, k - 1 - k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo, hi)
+    xp = jnp.pad(x, pad, mode="reflect")  # reflect == BORDER_REFLECT_101
+    c = jnp.cumsum(xp.astype(acc_dtype), axis=axis)
+    zshape = list(c.shape)
+    zshape[axis] = 1
+    c = jnp.concatenate([jnp.zeros(zshape, c.dtype), c], axis=axis)
+    n = x.shape[axis]
+    return jax.lax.slice_in_dim(c, k, k + n, axis=axis) - jax.lax.slice_in_dim(
+        c, 0, n, axis=axis
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def box_blur(img: jax.Array, kx: int, ky: int) -> jax.Array:
+    """Box mean filter, kx columns wide x ky rows tall (cv2 ksize=(kx, ky)).
+
+    Returns float32. Integer inputs use exact int32 window sums.
+    """
+    integer = jnp.issubdtype(img.dtype, jnp.integer)
+    acc = jnp.int32 if integer else jnp.float32
+    s = _window_sum_1d(img, ky, img.ndim - 2, acc)
+    s = _window_sum_1d(s, kx, img.ndim - 1, acc)
+    return s.astype(jnp.float32) / jnp.float32(kx * ky)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def box_blur_u16(img: jax.Array, kx: int, ky: int) -> jax.Array:
+    """uint16 box blur with cv2's round-half-to-even output."""
+    out = box_blur(img, kx, ky)
+    return jnp.clip(jnp.round(out), 0, 65535).astype(jnp.uint16)

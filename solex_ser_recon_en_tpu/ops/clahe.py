@@ -1,0 +1,121 @@
+"""CLAHE (contrast-limited adaptive histogram equalisation) on device.
+
+reference: the reference calls ``cv2.createCLAHE(clipLimit=0.8,
+tileGridSize=(2,2)).apply(frame)`` on the final uint16 disk
+(solex_util.py:532-533) and with tile sizes 1-4 in the standalone tool
+(clahe_apply.py:247).  This module reimplements OpenCV's exact algorithm
+(modules/imgproc clahe semantics) as XLA ops so the product stage stays on
+device:
+
+1. pad right/bottom with BORDER_REFLECT_101 to a multiple of the tile grid,
+2. per-tile histogram (65536 bins for uint16),
+3. clip at max(1, int(clipLimit*tileArea/histSize)) and redistribute the
+   excess (uniform batch + residual at stride max(histSize/residual, 1)),
+4. LUT = round_half_even(cdf * (histSize-1)/tileArea),
+5. bilinear interpolation of the 4 neighbouring tile LUTs over the
+   *original* (unpadded) pixel grid.
+
+Matches cv2 bit-for-bit on uint8/uint16 inputs (see tests/test_clahe.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _tile_histograms(tiles: jax.Array, hist_size: int) -> jax.Array:
+    """tiles (T, n) int32 values -> (T, hist_size) int32 counts."""
+
+    def one(vals):
+        return jnp.zeros(hist_size, jnp.int32).at[vals].add(1)
+
+    return jax.vmap(one)(tiles)
+
+
+def _clip_redistribute(hist: jax.Array, clip: jax.Array, hist_size: int) -> jax.Array:
+    """OpenCV's histogram clipping + excess redistribution (per tile)."""
+    clipped = jnp.sum(jnp.maximum(hist - clip, 0), axis=-1, keepdims=True)
+    h = jnp.minimum(hist, clip)
+    redist = clipped // hist_size
+    residual = clipped - redist * hist_size  # (T, 1)
+    h = h + redist
+    idx = jnp.arange(hist_size, dtype=jnp.int32)[None, :]
+    step = jnp.maximum(hist_size // jnp.maximum(residual, 1), 1)
+    bonus = ((idx % step) == 0) & ((idx // step) < residual)
+    return h + bonus.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "hist_size", "clip_limit"))
+def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int, hist_size: int):
+    h, w = img.shape
+    pad_r = (-w) % tiles_x
+    pad_b = (-h) % tiles_y
+    src = jnp.pad(img, ((0, pad_b), (0, pad_r)), mode="reflect")
+    ph, pw = h + pad_b, w + pad_r
+    th, tw = ph // tiles_y, pw // tiles_x
+    tile_area = th * tw
+    lut_scale = jnp.float32(hist_size - 1) / jnp.float32(tile_area)
+    clip = max(int(clip_limit * tile_area / hist_size), 1) if clip_limit > 0 else 0
+
+    vals = src.astype(jnp.int32)
+    tiles = (
+        vals.reshape(tiles_y, th, tiles_x, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tiles_x, tile_area)
+    )
+    hist = _tile_histograms(tiles, hist_size)
+    if clip > 0:
+        hist = _clip_redistribute(hist, jnp.int32(clip), hist_size)
+    cdf = jnp.cumsum(hist, axis=-1)
+    luts = jnp.clip(
+        jnp.round(cdf.astype(jnp.float32) * lut_scale), 0, hist_size - 1
+    ).astype(jnp.int32)  # (T, hist_size)
+    luts_flat = luts.reshape(-1)
+
+    # bilinear interpolation of tile LUTs over the ORIGINAL grid
+    x = jnp.arange(w, dtype=jnp.float32)
+    y = jnp.arange(h, dtype=jnp.float32)
+    txf = x / tw - 0.5
+    tyf = y / th - 0.5
+    tx1 = jnp.floor(txf).astype(jnp.int32)
+    ty1 = jnp.floor(tyf).astype(jnp.int32)
+    xa = txf - tx1
+    ya = tyf - ty1
+    tx2 = jnp.minimum(tx1 + 1, tiles_x - 1)
+    tx1 = jnp.maximum(tx1, 0)
+    ty2 = jnp.minimum(ty1 + 1, tiles_y - 1)
+    ty1 = jnp.maximum(ty1, 0)
+
+    v = img.astype(jnp.int32)
+
+    def tile_lookup(ty, tx):
+        base = (ty[:, None] * tiles_x + tx[None, :]) * hist_size
+        return luts_flat[base + v].astype(jnp.float32)
+
+    wx1 = (1.0 - xa)[None, :]
+    wy1 = (1.0 - ya)[:, None]
+    res = (
+        tile_lookup(ty1, tx1) * wx1 * wy1
+        + tile_lookup(ty1, tx2) * (1 - wx1) * wy1
+        + tile_lookup(ty2, tx1) * wx1 * (1 - wy1)
+        + tile_lookup(ty2, tx2) * (1 - wx1) * (1 - wy1)
+    )
+    return jnp.clip(jnp.round(res), 0, hist_size - 1)
+
+
+def clahe(img, clip_limit: float = 0.8, tiles=(2, 2)) -> jax.Array:
+    """cv2-compatible CLAHE. img: (H, W) uint8 or uint16."""
+    img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        hist_size = 256
+        out_dtype = jnp.uint8
+    elif img.dtype == jnp.uint16:
+        hist_size = 65536
+        out_dtype = jnp.uint16
+    else:
+        raise TypeError(f"clahe expects uint8/uint16, got {img.dtype}")
+    out = _clahe(img, float(clip_limit), int(tiles[0]), int(tiles[1]), hist_size)
+    return out.astype(out_dtype)

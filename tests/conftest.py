@@ -8,12 +8,18 @@ Must run before the first jax import anywhere in the test session.
 import os
 
 if os.environ.get("SOLEX_TEST_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # jax may already be imported (sitecustomize preloads it on this image);
+    # the config update below wins as long as no device backend has been
+    # initialised yet.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,45 @@
+"""CLAHE golden tests against OpenCV."""
+
+import cv2
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.ops import clahe
+
+
+@pytest.mark.parametrize("tiles", [(2, 2), (1, 1), (4, 4)])
+@pytest.mark.parametrize("clip", [0.8, 2.0, 40.0])
+def test_clahe_matches_cv2_uint8(rng, tiles, clip):
+    img = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+    ref = cv2.createCLAHE(clipLimit=clip, tileGridSize=tiles).apply(img)
+    ours = np.asarray(clahe(img, clip_limit=clip, tiles=tiles))
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
+def test_clahe_matches_cv2_uint16_reference_config(rng):
+    """The exact product config: clipLimit=0.8, tiles (2,2), uint16.
+
+    reference: solex_util.py:532-533
+    """
+    img = (rng.random((100, 90)) * 65535).astype(np.uint16)
+    ref = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(img)
+    ours = np.asarray(clahe(img, clip_limit=0.8, tiles=(2, 2)))
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
+def test_clahe_nondivisible_size(rng):
+    """Image size not divisible by the tile grid exercises the reflect pad."""
+    img = rng.integers(0, 65536, size=(101, 67), dtype=np.uint16)
+    ref = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(img)
+    ours = np.asarray(clahe(img, clip_limit=0.8, tiles=(2, 2)))
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+
+
+def test_clahe_rejects_bad_dtype():
+    with pytest.raises(TypeError):
+        clahe(np.zeros((8, 8), dtype=np.float32))
