@@ -1,0 +1,143 @@
+"""Geometric correction: ellipse fit -> circularisation warp.
+
+reference: ellipse_to_circle.py:94-145 (correct_image) and :294-342
+(ellipse_to_circle).  Matrix math on host (3x3, float64); the warp itself is
+a device op (ops/warp.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.warp import warp_projective, warp_to_u16
+from .edges import downscale_local_mean, get_edge_list
+from .ellipse import get_correction_matrix, two_step
+
+Circle = Tuple[float, float, float]
+NO_CIRCLE: Circle = (-1, -1, -1)
+
+
+@dataclass
+class GeometryResult:
+    image: np.ndarray          # corrected uint16 image
+    circle: Circle             # (cx, cy, radius) or NO_CIRCLE
+    ratio: float
+    phi: float                 # radians
+    borders: list              # [minx, miny, maxx, maxy] in corrected frame
+    mat3: np.ndarray = None
+    # diagnostics for the _ellipse_fit.png plot
+    raw_edges: np.ndarray = None
+    kept_edges: np.ndarray = None
+    ellipse_pts: np.ndarray = None
+
+
+def correct_image(
+    image01: np.ndarray,
+    phi: float,
+    ratio: float,
+    center: np.ndarray,
+    height: float,
+    log: Optional[Callable[[str], None]] = None,
+) -> Tuple[np.ndarray, Circle, np.ndarray]:
+    """Circularise ``image01`` (float, 0..1) given ellipse tilt/ratio.
+
+    reference: ellipse_to_circle.py:94-145 — builds the 3x3 inverse map from
+    the 2x2 correction matrix, translates so nothing clips, warps with
+    cval = image[0,0], and rescales the circle parameters.
+
+    Returns (uint16 image, circle, mat3).
+    """
+    mat, theta = get_correction_matrix(phi, ratio)
+    mat3 = np.zeros((3, 3))
+    mat3[:2, :2] = mat
+    mat3[2, 2] = 1.0
+    h, w = image01.shape
+    corners = np.array([[0, 0], [0, h], [w, 0], [w, h]], dtype=np.float64)
+    new_corners = (np.linalg.inv(mat) @ corners.T).T
+    new_h = float(np.max(new_corners[:, 1]) - np.min(new_corners[:, 1]))
+    new_w = float(np.max(new_corners[:, 0]) - np.min(new_corners[:, 0]))
+    tx, ty = float(np.min(new_corners[:, 0])), float(np.min(new_corners[:, 1]))
+    mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
+
+    out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
+    warped = warp_projective(
+        jnp.asarray(image01, dtype=jnp.float32),
+        jnp.asarray(mat3),
+        out_h,
+        out_w,
+        cval=float(image01[0, 0]),
+    )
+    corrected = np.asarray(warp_to_u16(warped))
+
+    new_center = (np.linalg.inv(mat) @ np.asarray(center, dtype=np.float64).T).T - np.array(
+        [tx, ty]
+    )
+    new_radius = height * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
+    if log is not None:
+        np.set_printoptions(suppress=True)
+        log("Y/X ratio : " + "{:.3f}".format(ratio))
+        log("Tilt angle : " + "{:.3f}".format(math.degrees(phi)) + " degrees")
+        log("Linear transform correction matrix : \n" + str(mat))
+        log(
+            "Disk position, radius : "
+            + (
+                (str(new_center) + ", " + "{:.3f}".format(new_radius))
+                if height != -1.0
+                else "UNKNOWN"
+            )
+        )
+        log("Unrotation : " + "{:.3f}".format(math.degrees(theta)) + " degrees")
+        np.set_printoptions(suppress=False)
+    circle = (float(new_center[0]), float(new_center[1]), float(new_radius))
+    return corrected, circle, mat3
+
+
+def ellipse_to_circle(
+    image_u16: np.ndarray,
+    log: Optional[Callable[[str], None]] = None,
+) -> GeometryResult:
+    """Fit the limb ellipse on a disk image and circularise it.
+
+    reference: ellipse_to_circle.py:294-342 — edges are found on a 4x
+    block-mean downscale and scaled back; the ellipse fit gives (phi, ratio);
+    the warp circularises; borders come from transforming the kept edge
+    points into the corrected frame.
+    """
+    image01 = np.asarray(image_u16, dtype=np.float64) / 65536.0
+    factor = 4
+    small = downscale_local_mean(image01, factor)
+    X, raw_X = get_edge_list(small)
+    X = X * factor
+    raw_X = raw_X * factor
+    center_yx, height, phi, ratio, X_f, ell_pts = two_step(X)
+    center = np.array([center_yx[1], center_yx[0]])  # (x, y)
+
+    fixed, circle, mat3 = correct_image(image01, phi, ratio, center, height, log=log)
+
+    # transform kept edge points into the corrected frame for the borders
+    pts = np.ones((X_f.shape[0], 3))
+    pts[:, 0] = X_f[:, 1]  # x
+    pts[:, 1] = X_f[:, 0]  # y
+    pts_t = (np.linalg.inv(mat3) @ pts.T).T
+    borders = [
+        float(np.min(pts_t[:, 0])),
+        float(np.min(pts_t[:, 1])),
+        float(np.max(pts_t[:, 0])),
+        float(np.max(pts_t[:, 1])),
+    ]
+    return GeometryResult(
+        image=fixed,
+        circle=circle,
+        ratio=float(ratio),
+        phi=float(phi),
+        borders=borders,
+        mat3=mat3,
+        raw_edges=raw_X,
+        kept_edges=X_f,
+        ellipse_pts=ell_pts * 1.0,
+    )

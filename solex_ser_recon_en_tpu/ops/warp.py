@@ -1,0 +1,79 @@
+"""Projective image warp (inverse-map, bilinear) on device.
+
+reference: ellipse_to_circle.py:112-114 — ``skimage.transform.warp`` with a
+ProjectiveTransform built from the 3x3 correction matrix (which maps OUTPUT
+pixel coordinates, in (x, y) = (col, row) order, to INPUT coordinates),
+bilinear interpolation, constant fill ``cval = image[0, 0]``.
+
+TPU design: generate the output coordinate grid, apply the matrix, and
+sample with ``jax.scipy.ndimage.map_coordinates(order=1)`` — a fused
+gather + lerp that XLA lowers well; no host round trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def warp_projective(
+    image: jax.Array,
+    mat3: jax.Array,
+    out_h: int,
+    out_w: int,
+    cval: jax.Array | float = 0.0,
+) -> jax.Array:
+    """Warp ``image`` (H, W) float by the inverse map ``mat3`` (3, 3).
+
+    output[y, x] = bilinear(image, at = mat3 @ [x, y, 1]), constant cval
+    outside. Matches skimage.transform.warp(image, ProjectiveTransform(mat3),
+    output_shape=(out_h, out_w), cval=cval) for affine/projective maps.
+    """
+    image = image.astype(jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
+    m = mat3.astype(jnp.float32)
+    sx = m[0, 0] * gx + m[0, 1] * gy + m[0, 2]
+    sy = m[1, 0] * gx + m[1, 1] * gy + m[1, 2]
+    w = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
+    sx = sx / w
+    sy = sy / w
+
+    # Bilinear sample with scipy/skimage 'constant' semantics: each of the
+    # four neighbours contributes cval when it falls outside the image
+    # (jax.scipy.ndimage.map_coordinates hard-fills instead, which would
+    # differ in the 1-px boundary ring).
+    h, w_in = image.shape
+    cval = jnp.float32(cval)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    dx = sx - x0
+    dy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def sample(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w_in)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w_in - 1)
+        return jnp.where(valid, image[yc, xc], cval)
+
+    out = (
+        sample(y0i, x0i) * (1 - dy) * (1 - dx)
+        + sample(y0i, x0i + 1) * (1 - dy) * dx
+        + sample(y0i + 1, x0i) * dy * (1 - dx)
+        + sample(y0i + 1, x0i + 1) * dy * dx
+    )
+    return out
+
+
+def warp_to_u16(warped01: jax.Array) -> jax.Array:
+    """float [0,1) image -> uint16 like the reference's ``(2**16 * img)``
+    cast (ellipse_to_circle.py:115-118), but clipped instead of wrapped —
+    the wrap can only trigger on exact 1.0, which /65536-scaled uint16 data
+    never produces."""
+    return jnp.clip(warped01 * 65536.0, 0, 65535).astype(jnp.uint16)

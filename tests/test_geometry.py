@@ -1,0 +1,135 @@
+"""Geometry tests: ellipse fit, correction matrix, warp, full circularise."""
+
+import math
+
+import numpy as np
+import pytest
+import scipy.ndimage
+
+from solex_ser_recon_en_tpu.geometry import (
+    fit_ellipse,
+    two_step,
+    get_correction_matrix,
+    correct_image,
+    ellipse_to_circle,
+)
+from solex_ser_recon_en_tpu.geometry.ellipse import ellipse_points, rot
+from solex_ser_recon_en_tpu.ops.warp import warp_projective
+from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+
+def _sample_ellipse(center, a, b, phi, n=200, noise=0.0, rng=None):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    u = a * np.cos(t)
+    v = b * np.sin(t)
+    R = np.array([[np.cos(phi), -np.sin(phi)], [np.sin(phi), np.cos(phi)]])
+    pts = (R @ np.stack([u, v])).T + np.asarray(center)
+    if noise and rng is not None:
+        pts = pts + rng.normal(0, noise, pts.shape)
+    return pts
+
+
+@pytest.mark.parametrize(
+    "a,b,phi", [(100, 80, 0.3), (50, 50, 0.0), (120, 40, -0.7), (80, 100, 1.2)]
+)
+def test_fit_ellipse_recovers_parameters(a, b, phi):
+    center = (55.0, 42.0)
+    pts = _sample_ellipse(center, a, b, phi)
+    c, w, h, p = fit_ellipse(pts)
+    np.testing.assert_allclose(c, center, atol=1e-6)
+    # parameters are defined up to axis swap (w,h,phi) -> (h,w,phi+pi/2)
+    got = sorted([w, h])
+    np.testing.assert_allclose(got, sorted([a, b]), rtol=1e-6)
+    if abs(a - b) > 1e-9:
+        if abs(w - a) < abs(w - b):
+            dphi = (p - phi) % math.pi
+        else:
+            dphi = (p - phi + math.pi / 2) % math.pi
+        assert min(dphi, math.pi - dphi) < 1e-6
+
+
+def test_fit_ellipse_noisy(rng):
+    pts = _sample_ellipse((0, 0), 200, 150, 0.2, n=400, noise=0.5, rng=rng)
+    c, w, h, p = fit_ellipse(pts)
+    np.testing.assert_allclose(c, (0, 0), atol=0.5)
+    np.testing.assert_allclose(sorted([w, h]), [150, 200], rtol=0.01)
+
+
+def test_two_step_folds_phi_and_ratio():
+    # a strongly rotated ellipse: phi must come back within +/- pi/4
+    pts = _sample_ellipse((30, 70), 90, 60, 1.1)
+    center, height, phi, ratio, kept, ell = two_step(pts)
+    assert -math.pi / 4 <= phi <= math.pi / 4
+    np.testing.assert_allclose(center, (30, 70), atol=1e-4)
+    # the fold preserves the ellipse: (ratio, phi) describe the same conic
+    # as the raw fit, so the axis lengths are recoverable from (height, ratio)
+    assert sorted([height, height * ratio]) == pytest.approx([60.0, 90.0], rel=1e-6)
+
+
+def test_correction_matrix_properties():
+    inv_mat, theta = get_correction_matrix(0.25, 0.8)
+    mat = np.linalg.inv(inv_mat)
+    # normalised: bottom row of the forward map is [0, 1]
+    assert mat[1, 0] == pytest.approx(0.0, abs=1e-12)
+    assert mat[1, 1] == pytest.approx(1.0)
+    # identity when ratio=1, phi=0
+    inv_id, theta0 = get_correction_matrix(0.0, 1.0)
+    np.testing.assert_allclose(inv_id, np.eye(2), atol=1e-12)
+    assert theta0 == 0.0
+
+
+def test_warp_matches_scipy_map_coordinates(rng):
+    img = rng.random((40, 50)).astype(np.float32)
+    mat3 = np.array([[0.9, 0.1, 2.0], [-0.05, 1.1, -1.0], [0, 0, 1.0]])
+    out_h, out_w = 44, 55
+    ours = np.asarray(warp_projective(img, mat3, out_h, out_w, cval=0.25))
+    gx, gy = np.meshgrid(np.arange(out_w), np.arange(out_h))
+    sx = mat3[0, 0] * gx + mat3[0, 1] * gy + mat3[0, 2]
+    sy = mat3[1, 0] * gx + mat3[1, 1] * gy + mat3[1, 2]
+    # grid-constant = per-neighbour cval blending, the semantics of
+    # skimage.transform.warp's constant mode (what the reference uses)
+    ref = scipy.ndimage.map_coordinates(
+        img, [sy, sx], order=1, mode="grid-constant", cval=0.25
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_correct_image_identity_when_circular(rng):
+    img01 = rng.random((30, 30)) * 0.5
+    out, circle, mat3 = correct_image(
+        img01, phi=0.0, ratio=1.0, center=np.array([15.0, 15.0]), height=10.0
+    )
+    assert out.shape == (30, 30)
+    np.testing.assert_allclose(mat3, np.eye(3), atol=1e-12)
+    expect = np.clip(img01 * 65536, 0, 65535).astype(np.uint16)
+    assert np.abs(out.astype(int) - expect.astype(int)).max() <= 1
+    assert circle[0] == pytest.approx(15.0) and circle[2] == pytest.approx(10.0)
+
+
+def test_ellipse_to_circle_on_synthetic_disk():
+    """A squashed synthetic disk must circularise to the known radius."""
+    scan = SyntheticScan(
+        ih=512, iw=64, frames=480, squash_y=1.25, disk_radius=160.0, seed=7,
+        noise=0.001,
+    )
+    frames = scan.generate()
+    # build the raw disk directly from truth (recon tested elsewhere)
+    disk = (scan.disk_brightness() * 52000).astype(np.uint16)
+    res = ellipse_to_circle(disk)
+    # the recovered Y/X ratio is the injected squash
+    assert res.ratio == pytest.approx(1.25, rel=0.02)
+    assert abs(math.degrees(res.phi)) < 1.0
+    # the warp normalises to the long semi-axis: radius ~ squash*r = 200
+    assert res.circle[2] == pytest.approx(200.0, rel=0.03)
+    # Y/X ratio of the *ellipse* (y-extent / x-extent) = 1.25 up to fit noise;
+    # ratio is defined in the warp's own axis convention, so check the
+    # area-preserving invariant instead: corrected disk is round
+    img = res.image.astype(np.float64)
+    mask = img > 0.4 * img.max()
+    ys, xs = np.nonzero(mask)
+    y_extent = ys.max() - ys.min()
+    x_extent = xs.max() - xs.min()
+    assert abs(y_extent / x_extent - 1.0) < 0.03
+    # borders bound the disk
+    assert res.borders[0] < res.circle[0] < res.borders[2]
+    assert res.borders[1] < res.circle[1] < res.borders[3]
