@@ -31,4 +31,29 @@ the reference behaviour they reproduce as ``reference: file.py:lines``.
 
 __version__ = "0.1.0"
 
-from .config import Options  # noqa: F401
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (first TPU compile of the
+    product kernels is tens of seconds; cached reruns are milliseconds).
+    Disable with SOLEX_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("SOLEX_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "SOLEX_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "solex_xla_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
+from .config import Options  # noqa: F401,E402

@@ -1,0 +1,167 @@
+"""App driver: file batches, config persistence, folder/continuous modes.
+
+reference: SHG_MAIN.py:75-248 — JSON config round-trip (SHG_config.txt),
+per-file option copies, openability prechecks, folder glob and
+continuous-detect watcher (1-file batches, skip-processed).
+
+Parallel model: the reference overlaps post-processing with the next file's
+decode via multiprocessing.Pool(4) (Solex_recon.py:26-44).  Here device
+dispatch is already asynchronous (XLA queues work) and the post-processing
+is device-side, so a 2-thread pipeline (decode N+1 while N post-processes)
+achieves the same overlap without pickling disk images across processes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, List, Optional
+
+from ..config import Options
+from ..io.video import open_video
+from ..pipeline.run import process_scan, read_scan
+from ..utils.timer import StageTimer
+from .flags import parse_cli, usage  # noqa: F401
+
+CONFIG_NAME = "SHG_config.txt"
+
+
+def read_ini(path: str = CONFIG_NAME) -> Options:
+    try:
+        return Options.load(path)
+    except Exception:
+        print("note: error reading config file - using default parameters")
+        return Options()
+
+
+def write_ini(options: Options, path: str = CONFIG_NAME) -> None:
+    try:
+        options.save(path)
+    except Exception:
+        traceback.print_exc()
+        print("ERROR: failed to write config file: " + path)
+
+
+def precheck_files(files: Iterable[str], options: Options) -> List[tuple]:
+    """Validate openability; build per-file (file, options-copy) tasks.
+
+    reference: SHG_MAIN.py:98-132.
+    """
+    files = list(files)
+    options.tempo = 30000 if len(files) == 1 else 5000
+    good = []
+    for f in files:
+        if not f or os.path.basename(f) == "":
+            print("ERROR filename empty")
+            continue
+        try:
+            with open(f, "rb"):
+                pass
+        except Exception:
+            traceback.print_exc()
+            print("ERROR opening file : ", f)
+            continue
+        good.append((f, options.copy()))
+    return good
+
+
+def is_openable(file: str) -> bool:
+    """reference: SHG_MAIN.py:145-152."""
+    try:
+        return open_video(file).frame_count > 0
+    except Exception:
+        return False
+
+
+def handle_files(
+    files: Iterable[str], options: Options, flag_command_line: bool = False
+) -> int:
+    """Process a batch, overlapping decode with post-processing.
+
+    reference: SHG_MAIN.py:134-143 + Solex_recon.py:26-44. Returns the
+    number of files fully processed.
+    """
+    tasks = precheck_files(files, options)
+    done = 0
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = []
+        for file, opts in tasks:
+            print(f"file {file} is processing")
+            timer = StageTimer()
+            try:
+                scan = read_scan(file, opts, timer)
+            except Exception:
+                print("ERROR ENCOUNTERED")
+                traceback.print_exc()
+                continue
+            pending.append((file, pool.submit(process_scan, scan, opts, timer), timer))
+        for file, fut, timer in pending:
+            try:
+                fut.result()
+                done += 1
+                print(f"{file} done:\n{timer.summary()}")
+            except Exception:
+                print("ERROR ENCOUNTERED")
+                traceback.print_exc()
+    return done
+
+
+def handle_folder(options: Options, poll_seconds: float = 1.0,
+                  stop_after: Optional[float] = None) -> int:
+    """Folder batch / continuous-detect mode.
+
+    reference: SHG_MAIN.py:154-208 — non-continuous processes the current
+    glob; continuous polls for new files, batch size 1, skipping processed/
+    unreadable files, until stopped (here: stop_after seconds, None = run
+    until KeyboardInterrupt).  Returns files processed.
+    """
+    def todo() -> List[str]:
+        return glob.glob(os.path.join(options.input_dir, "*.ser")) + glob.glob(
+            os.path.join(options.input_dir, "*.avi")
+        )
+
+    if not options.continuous_detect_mode:
+        files = todo()
+        print(f"number of files todo: {len(files)}")
+        return handle_files(files, options)
+
+    processed = set()
+    count = 0
+    start = time.monotonic()
+    try:
+        while stop_after is None or time.monotonic() - start < stop_after:
+            batch = [
+                f
+                for f in todo()
+                if f not in processed and os.access(f, os.R_OK) and is_openable(f)
+            ][:1]
+            if batch:
+                count += handle_files(batch, options, True)
+                processed.update(batch)
+            else:
+                time.sleep(poll_seconds)
+    except KeyboardInterrupt:
+        print("continuous mode stopped")
+    return count
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    options = Options()
+    files = parse_cli(options, argv)
+    if not files:
+        if options.input_dir:
+            return 0 if handle_folder(options) > 0 else 1
+        print(usage())
+        return 1
+    options.validate()
+    n = handle_files(files, options, flag_command_line=True)
+    return 0 if n == len(files) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

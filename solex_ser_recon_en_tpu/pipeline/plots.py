@@ -1,0 +1,74 @@
+"""Diagnostic plot products.
+
+reference: solex_util.py:263-273 (_spectral_line_data.png),
+ellipse_to_circle.py:316-341 (_ellipse_fit.png, 4 panels),
+solex_util.py:482-488 (_transversalium_correction.png).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.figure  # noqa: E402
+
+
+def save_spectral_line_plot(path, mean_img, linefit) -> None:
+    fig = matplotlib.figure.Figure()
+    ax = fig.add_subplot(1, 1, 1)
+    ax.imshow(mean_img, cmap="gray")
+    y1, y2 = linefit.y1, linefit.y2
+    s = (y2 - y1) // 20 + 1
+    ys = np.arange(y1, y2)[linefit.mask_good][::s]
+    ax.plot(
+        linefit.sharp_min[y1:y2][linefit.mask_good][::s],
+        ys,
+        "rx",
+        label="line detection",
+    )
+    ax.plot(linefit.curve, np.arange(len(linefit.curve)), label="polynomial fit")
+    ax.legend(loc="center left", bbox_to_anchor=(1, 0.5))
+    ax.set_aspect(0.1)
+    fig.tight_layout()
+    fig.savefig(path, dpi=400)
+
+
+def save_ellipse_fit_plot(path, image_u16, geo) -> None:
+    image = np.asarray(image_u16, dtype=np.float64) / 65536
+    fig = matplotlib.figure.Figure()
+    ax = [
+        [fig.add_subplot(2, 2, 1), fig.add_subplot(2, 2, 2)],
+        [fig.add_subplot(2, 2, 3), fig.add_subplot(2, 2, 4)],
+    ]
+    fig.tight_layout()
+    ax[0][0].imshow(image, cmap="gray")
+    ax[0][0].set_title("uncorrected image", fontsize=11)
+    ax[0][0].set_aspect("equal")
+    ax[0][1].set_aspect("equal")
+    ax[0][1].imshow(image, cmap="gray")
+    ax[0][1].plot(geo.raw_edges[:, 1], geo.raw_edges[:, 0], "ro", label="edge detection")
+    ax[0][1].legend(prop={"size": 6})
+    ax[1][1].set_aspect("equal")
+    ax[1][1].plot(geo.kept_edges[:, 1], geo.kept_edges[:, 0], "ro", label="filtered edges")
+    ax[1][1].plot(geo.ellipse_pts[:, 1], geo.ellipse_pts[:, 0], color="b", label="ellipse fit")
+    ax[1][1].set_ylim([image.shape[0], 0])
+    ax[1][1].legend(prop={"size": 6})
+    ax[1][0].set_aspect("equal")
+    ax[1][0].imshow(geo.image, cmap="gray")
+    for y in (geo.borders[1], geo.borders[3]):
+        ax[1][0].axhline(y=y)
+    for x in (geo.borders[0], geo.borders[2]):
+        ax[1][0].axvline(x=x)
+    ax[1][0].set_title("geometrically corrected image", fontsize=11)
+    fig.savefig(path, dpi=300)
+
+
+def save_transversalium_plot(path, c) -> None:
+    fig = matplotlib.figure.Figure()
+    ax = fig.add_subplot(1, 1, 1)
+    ax.plot(c)
+    ax.set_xlabel("y")
+    ax.set_ylabel("transversalium correction factor")
+    fig.savefig(path, dpi=300)

@@ -1,0 +1,121 @@
+"""Final image products: CLAHE / stretches / protus / crop / rotate / saves.
+
+reference: solex_util.py:519-588 (image_process, rescale_brightness) and
+Solex_recon.py:155-171 (fixed-width / square crop).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Options, output_path
+from ..io.fits import write_fits
+from ..io.png import write_png
+from ..ops.clahe import clahe
+from ..ops.stretch import percentile, rescale_brightness
+
+try:
+    import cv2  # exact protus disc rasterisation parity
+
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover
+    _HAVE_CV2 = False
+
+Circle = Tuple[float, float, float]
+NO_CIRCLE: Circle = (-1, -1, -1)
+
+
+def crop_width(img: np.ndarray, circle: Circle, options: Options):
+    """Crop/pad to fixed width or square, centred on the disk.
+
+    reference: Solex_recon.py:155-171 — pads with the corner pixel value,
+    recentres the circle x to the new centre.
+    """
+    if options.fixed_width is None and not options.crop_width_square:
+        return img, circle
+    h, w = img.shape
+    nw = h if options.fixed_width is None else options.fixed_width
+    nw2 = nw // 2
+    cx = w // 2 if circle == NO_CIRCLE else int(circle[0])
+    tx = nw2 - cx
+    fill = img[0, 0]
+    new_img = np.full((h, nw), fill, dtype=img.dtype)
+    src_lo, src_hi = max(0, cx - nw2), min(cx + nw2, w)
+    new_img[:, : src_hi - src_lo] = img[:, src_lo:src_hi]
+    if tx > 0:
+        new_img = np.roll(new_img, tx, axis=1)
+        new_img[:, :tx] = fill
+    if circle != NO_CIRCLE:
+        circle = (nw2, circle[1], circle[2])
+    return new_img, circle
+
+
+def _protus_disc(img: np.ndarray, x0: int, y0: int, r: int, value: int = 80) -> np.ndarray:
+    if _HAVE_CV2:
+        # cv2 needs a writable C-contiguous buffer (device arrays can
+        # convert F-contiguous)
+        out = np.ascontiguousarray(img).copy()
+        return cv2.circle(out, (x0, y0), r, value, -1)
+    ys, xs = np.ogrid[: img.shape[0], : img.shape[1]]
+    mask = (xs - x0) ** 2 + (ys - y0) ** 2 <= r * r
+    out = img.copy()
+    out[mask] = value
+    return out
+
+
+def image_process(
+    frame: np.ndarray,
+    circle: Circle,
+    options: Options,
+    header: Optional[Dict] = None,
+    basefich: str = "",
+    save: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CLAHE + stretches + protus + rotation + product files.
+
+    reference: solex_util.py:527-588.  Returns (clahe_image, protus_image)
+    after rotation, both uint16.
+    """
+    frame = np.asarray(frame, dtype=np.uint16)
+    fj = jnp.asarray(frame)
+    cl1 = clahe(fj, clip_limit=0.8, tiles=(2, 2))
+
+    bright = percentile(frame, 99.9999)
+    dark_clahe = percentile(np.asarray(cl1), 10)
+    bright_clahe = float(jnp.max(cl1))
+
+    frame_raw = frame
+    if bright <= 0:
+        bright = 1.0
+    frame_hc = np.asarray(rescale_brightness(fj, bright * 0.25, bright))
+    frame_protus = np.asarray(rescale_brightness(fj, 0, max(bright * 0.18, 1.0)))
+    if bright_clahe <= dark_clahe:
+        bright_clahe = dark_clahe + 1
+    cc = np.asarray(rescale_brightness(cl1, dark_clahe, bright_clahe))
+
+    if circle != NO_CIRCLE and options.disk_display:
+        x0, y0 = int(circle[0]), int(circle[1])
+        r = int(circle[2]) + options.delta_radius
+        if r > 0:
+            frame_protus = _protus_disc(frame_protus, x0, y0, r)
+
+    k = options.img_rotate // 90
+    frame_raw = np.rot90(frame_raw, k, axes=(0, 1))
+    frame_hc = np.rot90(frame_hc, k, axes=(0, 1))
+    frame_protus = np.rot90(frame_protus, k, axes=(0, 1))
+    cc = np.rot90(cc, k, axes=(0, 1))
+
+    if save and not options._nolog:
+        if options.clahe_only or not options.protus_only:
+            write_png(output_path(basefich + "_clahe.png", options), cc)
+        if options.protus_only or not options.clahe_only:
+            write_png(output_path(basefich + "_protus.png", options), frame_protus)
+        if not options.clahe_only and not options.protus_only:
+            write_png(output_path(basefich + "_uncontrasted.png", options), frame_raw)
+            write_png(output_path(basefich + "_high_contrast.png", options), frame_hc)
+    if save and options.save_fit:
+        write_fits(output_path(basefich + "_clahe.fits", options), np.asarray(cl1), header)
+    return cc, frame_protus

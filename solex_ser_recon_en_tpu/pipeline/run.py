@@ -1,0 +1,289 @@
+"""End-to-end single-file pipeline: read -> reconstruct -> correct -> products.
+
+reference: Solex_recon.py:49-174 (solex_read / solex_process /
+single_image_process).  The device does all image-sized work; the host does
+file I/O and the tiny fits/matrices.
+
+TPU data flow for one scan:
+
+  host mmap SER -> chunked uint16 slabs -> HBM
+      device: int32 sum + max over frames        (ops/reduce.py)
+      host:   cubic line fit (float64)           (geometry/linefit.py)
+      device: multi-shift recon matmul           (ops/recon.py)
+      host:   ellipse fit on edge points         (geometry/…)
+      device: circularisation warp, row-gain transversalium, CLAHE, stretches
+      host:   FITS/PNG writes
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Options, output_path
+from ..geometry import ellipse_to_circle, fit_spectral_line
+from ..geometry.correct import correct_image, NO_CIRCLE, Circle
+from ..io.fits import make_header, write_fits
+from ..io.video import open_video
+from ..ops.recon import StreamingRecon
+from ..ops.reduce import MeanMaxAccumulator
+from ..utils.log import RunLog
+from ..utils.timer import StageTimer
+from .products import crop_width, image_process
+from .plots import (
+    save_ellipse_fit_plot,
+    save_spectral_line_plot,
+    save_transversalium_plot,
+)
+from .transversalium import correct_transversalium
+from .vignette import remove_vignette
+
+
+@dataclass
+class ScanResult:
+    """Everything solex_read produces (reference: Solex_recon.py:49-83)."""
+
+    disk_list: np.ndarray            # (S, ih, F) uint16
+    shifts: List[int]                # augmented shift list
+    shift_requested: List[int]
+    backup_bounds: Tuple[int, int]
+    header: dict
+    basefich0: str
+    mean_img: np.ndarray = None
+    linefit: object = None
+
+
+def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -> ScanResult:
+    """Read a scan and reconstruct the per-shift disks.
+
+    reference: Solex_recon.py:49-83 — prepends the hidden
+    [ellipse_fit_shift, 0] shifts (deduplicated), computes the mean/fit, and
+    runs the hot recon; saves ``_mean.fits`` / ``_raw.fits`` products.
+    """
+    timer = timer or StageTimer()
+    basefich0 = os.path.splitext(file)[0]
+    options.basefich0 = basefich0
+    log = RunLog(basefich0, options)
+    log.clear()
+    log("Pixel shift : " + str(options.shift))
+    requested = list(options.shift)
+    options.shift_requested = requested
+    shifts = list(dict.fromkeys([options.ellipse_fit_shift, 0] + requested))
+
+    with timer.stage("open"):
+        vid = open_video(file)
+    hdr = make_header(vid.iw, vid.ih)
+    log(f"Width, Height : {vid.Width} {vid.Height}")
+    log(f"Number of frames : {vid.frame_count}")
+
+    with timer.stage("mean/max"):
+        acc = MeanMaxAccumulator()
+        chunks = []
+        keep_resident = (
+            vid.frame_count * vid.ih * vid.iw * 2 <= 4 * 1024**3
+        )
+        for start, chunk in vid.chunks(options.frame_chunk):
+            acc.update(chunk)
+            if keep_resident:
+                chunks.append((start, chunk))
+        mean_img, max_img = acc.result()
+
+    if options.save_fit:
+        write_fits(output_path(basefich0 + "_mean.fits", options), mean_img, hdr)
+
+    with timer.stage("line fit"):
+        lf = fit_spectral_line(mean_img, max_img)
+    log(f"Vertical limits y1, y2 : {lf.y1} {lf.y2}")
+    log("Spectral line polynomial fit: " + str(lf.poly))
+
+    if not options.clahe_only and not options.protus_only and not options._nolog:
+        save_spectral_line_plot(
+            output_path(basefich0 + "_spectral_line_data.png", options), mean_img, lf
+        )
+
+    with timer.stage("recon"):
+        recon = StreamingRecon(
+            vid.ih, vid.iw, vid.frame_count, shifts, lf.floor, lf.frac,
+            kernel=options.recon_kernel,
+        )
+        if keep_resident:
+            for start, chunk in chunks:
+                recon.update(start, chunk)
+        else:
+            for start, chunk in vid.chunks(options.frame_chunk):
+                recon.update(start, chunk)
+        disk_list = recon.result()
+
+    if options.flip_x:
+        disk_list = disk_list[:, :, ::-1]
+
+    hdr["NAXIS1"] = disk_list.shape[2]  # recon width (reference :65)
+    if options.save_fit:
+        for i, s in enumerate(shifts):
+            if s in requested:
+                base = basefich0 + f"_shift={s}"
+                write_fits(output_path(base + "_raw.fits", options), disk_list[i], hdr)
+
+    return ScanResult(
+        disk_list=disk_list,
+        shifts=shifts,
+        shift_requested=requested,
+        backup_bounds=(lf.y1, lf.y2),
+        header=hdr,
+        basefich0=basefich0,
+        mean_img=mean_img,
+        linefit=lf,
+    )
+
+
+def single_image_process(
+    frame: np.ndarray,
+    hdr: dict,
+    options: Options,
+    circle: Circle,
+    borders,
+    basefich: str,
+    backup_bounds: Tuple[int, int],
+    save: bool = True,
+):
+    """Per-shift post-processing after circularisation.
+
+    reference: Solex_recon.py:136-174.
+    """
+    if save and options.save_fit:
+        write_fits(output_path(basefich + "_circular.fits", options), frame, hdr)
+
+    if options.transversalium:
+        if circle != NO_CIRCLE:
+            detrans, c = correct_transversalium(
+                frame, circle, borders,
+                trans_strength=options.trans_strength,
+                stubborn=options.stubborn_transversalium,
+            )
+        else:
+            detrans, c = correct_transversalium(
+                frame,
+                (0, 0, 99999),
+                [0, backup_bounds[0] + 20, frame.shape[1] - 1, backup_bounds[1] - 20],
+                trans_strength=options.trans_strength,
+                stubborn=options.stubborn_transversalium,
+            )
+        if (
+            save
+            and not options.clahe_only
+            and not options.protus_only
+            and not options._nolog
+        ):
+            save_transversalium_plot(
+                output_path(basefich + "_transversalium_correction.png", options), c
+            )
+    else:
+        detrans = frame
+
+    if save and options.save_fit and options.transversalium:
+        write_fits(output_path(basefich + "_detransversaliumed.fits", options), detrans, hdr)
+
+    detrans, circle = crop_width(np.asarray(detrans), circle, options)
+    return image_process(detrans, circle, options, hdr, basefich, save=save)
+
+
+def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer] = None):
+    """Geometric + photometric corrections and products for every shift.
+
+    reference: Solex_recon.py:93-133 (solex_process).
+    """
+    timer = timer or StageTimer()
+    basefich0 = scan.basefich0
+    log = RunLog(basefich0, options)
+    if options.transversalium:
+        log("Transversalium correction : " + str(options.trans_strength))
+    else:
+        log("Transversalium disabled")
+    log("Mirror X : " + str(options.flip_x))
+    log("Post-rotation : " + str(options.img_rotate) + " degrees")
+    log(f"Protus adjustment : {options.delta_radius}")
+    log(f"de-vignette : {options.de_vignette}")
+
+    borders = [0, 0, 0, 0]
+    circle: Circle = NO_CIRCLE
+    results = []
+    for i, s in enumerate(scan.shifts):
+        flag_requested = s in scan.shift_requested
+        basefich = basefich0 + f"_shift={s}"
+        frame_circularized = None
+        if options.ratio_fixe is None and options.slant_fix is None:
+            # first pass: full ellipse fit on the high-contrast disk
+            with timer.stage("ellipse fit"):
+                geo = ellipse_to_circle(scan.disk_list[i], log=log)
+            frame_circularized = geo.image
+            circle = geo.circle
+            borders = geo.borders
+            options.ratio_fixe = geo.ratio
+            options.slant_fix = math.degrees(geo.phi)
+            if (
+                not options.clahe_only
+                and not options.protus_only
+                and not options._nolog
+            ):
+                save_ellipse_fit_plot(
+                    output_path(basefich + "_ellipse_fit.png", options),
+                    scan.disk_list[i],
+                    geo,
+                )
+        else:
+            ratio = options.ratio_fixe if options.ratio_fixe is not None else 1.0
+            phi = (
+                math.radians(options.slant_fix)
+                if options.slant_fix is not None
+                else 0.0
+            )
+            if flag_requested:
+                with timer.stage("warp"):
+                    frame_circularized, _, _ = correct_image(
+                        scan.disk_list[i] / 65536,
+                        phi,
+                        ratio,
+                        np.array([-1.0, -1.0]),
+                        -1.0,
+                        log=log if i == 0 else None,
+                    )
+                if options.de_vignette:
+                    if circle == NO_CIRCLE:
+                        print("WARNING: cannot de-vignette without ellipse fit")
+                    else:
+                        with timer.stage("de-vignette"):
+                            frame_circularized = remove_vignette(
+                                frame_circularized, circle
+                            )
+        if not flag_requested:
+            continue
+
+        with timer.stage("products"):
+            out = single_image_process(
+                np.asarray(frame_circularized, dtype=np.uint16),
+                scan.header,
+                options,
+                circle,
+                borders,
+                basefich,
+                scan.backup_bounds,
+            )
+        results.append((s, out))
+        log.complete()
+    return results
+
+
+def process_file(file: str, options: Options, timer: Optional[StageTimer] = None):
+    """Full single-file pipeline (read + process).
+
+    Note: like the reference (Solex_recon.py:49-133), this mutates
+    ``options`` (shift bookkeeping, fitted ratio/slant) — callers processing
+    multiple files must pass per-file copies (SHG_MAIN.py:129 semantics).
+    """
+    timer = timer or StageTimer()
+    scan = read_scan(file, options, timer)
+    return process_scan(scan, options, timer)

@@ -1,0 +1,203 @@
+"""Transversalium (row-gain striping) correction.
+
+reference: solex_util.py:383-516 (correct_transversalium2), :277-354
+(apply_lin_filter, the "stubborn" variant) and :357-375 (fix_edge_effect).
+
+Algorithm: inside the fitted circle, the log-ratio of adjacent row strips
+measures the per-row gain steps; a Savitzky-Golay smooth separates the true
+brightness trend from the striping; the cumulative detrended log-ratio,
+exponentiated and Tukey-tapered at the band edges, is the per-row gain fix.
+
+TPU split: the image-sized work (masked per-row robust log-ratio means, the
+final row multiply, the stubborn variant's big mean filters) runs on device
+(ops/rowstats.py, ops/filters.py); the (H,)-length vector work (savgol,
+cumsum, taper) stays on host in float64 where scipy gives exact reference
+semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import savgol_filter
+
+from ..ops.filters import mean_filter_hole, mean_filter_line
+from ..ops.rowstats import apply_row_gain, row_log_ratio_stats, strip_mask
+
+
+def tukey_taper(n: int, a: float = 0.05) -> np.ndarray:
+    """The reference's Tukey taper (solex_util.py:456-470), vectorised."""
+    x = np.arange(n, dtype=np.float64)
+    x = np.minimum(x, n - x)  # fold: t(x) = t(N - x) for x > N/2
+    ramp = 0.5 * (1 - np.cos(2 * np.pi * x / (a * n)))
+    return np.where(x < a * n / 2, ramp, 1.0)
+
+
+def _row_band(circle, borders) -> Tuple[int, int]:
+    y1 = math.ceil(max(circle[1] - circle[2], borders[1]))
+    y2 = math.floor(min(circle[1] + circle[2], borders[3]))
+    return y1, y2
+
+
+def transversalium_gain(
+    img: np.ndarray,
+    circle,
+    borders,
+    trans_strength: int,
+) -> Tuple[np.ndarray, int, int, np.ndarray]:
+    """Per-row gain vector c (H,) and the correction band [y1, y2).
+
+    Returns (c, y1, y2, correction_raw) where correction_raw is the
+    un-tapered correction over the band (used by the stubborn variant).
+    """
+    h, w = img.shape
+    valid, _, _ = strip_mask(
+        h,
+        w,
+        jnp.asarray(np.asarray(circle, dtype=np.float32)),
+        jnp.asarray(np.asarray(borders, dtype=np.float32)),
+    )
+    _, mean_r = row_log_ratio_stats(jnp.asarray(img), valid)
+    mean_r = np.asarray(mean_r, dtype=np.float64)
+
+    y1, y2 = _row_band(circle, borders)
+    y1 = max(y1, 0)
+    y2 = min(y2, h)
+    # reference builds y_ratios_r = [0] + [rows y1+1 .. y2-1]
+    y_ratios_r = np.zeros(y2 - y1, dtype=np.float64)
+    y_ratios_r[1:] = mean_r[y1 + 1 : y2]
+
+    n = len(y_ratios_r)
+    if n < 7:
+        c = np.ones(h)
+        return c, y1, y2, np.ones(n)
+
+    window = min(trans_strength, n // 2 * 2 - 1)
+    trend = savgol_filter(y_ratios_r, window, 3)
+    detrended = y_ratios_r - trend
+    detrended -= np.mean(detrended)
+    correction = np.exp(-np.cumsum(detrended))
+
+    correction_t = 1.0 + (correction - 1.0) * tukey_taper(n)
+    c = np.ones(h, dtype=np.float64)
+    c[y1:y2] = correction_t
+    return c, y1, y2, correction
+
+
+def fix_edge_effect(mult: np.ndarray, circle, linlen: int) -> np.ndarray:
+    """Zero/extend the stubborn multiplier outside the disk circle.
+
+    reference: solex_util.py:357-375 — vectorised over rows instead of the
+    Python loop; identical per-row semantics (zero outside the chord, hold
+    the value half a window in from each limb, skip rows narrower than
+    linlen).
+    """
+    h, w = mult.shape
+    cx, cy, r = circle[0], circle[1], circle[2]
+    y1 = math.ceil(max(cy - r, 0))
+    y2 = math.floor(min(cy + r, h - 1))
+    halflen = linlen // 2
+    out = np.array(mult, dtype=np.float64)
+    out[:y1, :] = 0
+    out[y2 + 1 :, :] = 0
+    ys = np.arange(h)
+    band = (ys >= y1) & (ys < y2)
+    d2 = r * r - (ys - cy) ** 2
+    dx = np.floor(np.sqrt(np.maximum(d2, 0.0)))
+    x2v = np.floor(np.minimum(cx + dx, w - 1)).astype(int)
+    x1v = np.ceil(np.maximum(cx - dx, 0)).astype(int)
+    xs = np.arange(w)[None, :]
+    bandm = band[:, None]
+    out[bandm & ((xs < x1v[:, None]) | (xs >= x2v[:, None]))] = 0
+    wide = band & (x2v - x1v >= linlen)
+    left_src = np.clip(x1v + halflen, 0, w - 1)
+    right_src = np.clip(x2v - halflen - 1, 0, w - 1)
+    left_vals = out[ys, left_src][:, None]
+    right_vals = out[ys, right_src][:, None]
+    fill_left = wide[:, None] & (x1v[:, None] > 0) & (xs >= x1v[:, None]) & (
+        xs < x1v[:, None] + halflen
+    )
+    fill_right = (
+        wide[:, None]
+        & (x2v[:, None] < w - 1)
+        & (xs >= x2v[:, None] - halflen)
+        & (xs < x2v[:, None])
+    )
+    out = np.where(fill_left, left_vals, out)
+    out = np.where(fill_right, right_vals, out)
+    return out
+
+
+def stubborn_filter(
+    img: np.ndarray,
+    spurious: np.ndarray,
+    y1: int,
+    y2: int,
+    circle,
+    linlen: int = 101,
+    half_width: int = 5,
+) -> np.ndarray:
+    """The stubborn-transversalium image filter.
+
+    reference: solex_util.py:277-354 (apply_lin_filter, live path only —
+    the reference's result/result2 intermediates are dead code).
+    """
+    logimg = np.log(np.maximum(img.astype(np.float64), 1e-12))
+
+    # fill spurious rows with the mean of the nearest good rows above/below
+    filt2 = logimg.copy()
+    prev = np.zeros(img.shape[1])
+    for i in range(img.shape[0]):
+        if spurious[i]:
+            filt2[i, :] = prev / 2
+        else:
+            prev = filt2[i, :]
+    prev = np.zeros(img.shape[1])
+    for i in range(img.shape[0] - 1, -1, -1):
+        if spurious[i]:
+            filt2[i, :] += prev / 2
+        else:
+            prev = filt2[i, :]
+
+    result3 = np.asarray(mean_filter_hole(jnp.asarray(filt2), linlen, half_width))
+    result4 = np.asarray(mean_filter_line(jnp.asarray(logimg), linlen))
+    delta = result4 - result3
+
+    n = y2 - y1
+    c = np.zeros(img.shape[0])
+    c[y1:y2] = tukey_taper(n)
+
+    delta = fix_edge_effect(delta, circle, linlen + 20)
+    out = img.astype(np.float64) * np.exp(-delta * c.reshape(-1, 1))
+    return np.minimum(out, 65535).astype(np.uint16)
+
+
+def correct_transversalium(
+    img: np.ndarray,
+    circle,
+    borders,
+    trans_strength: int = 301,
+    stubborn: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Apply the transversalium correction; returns (uint16 image, gain c).
+
+    reference: solex_util.py:383-516.  When no circle is available the
+    caller passes the backup band as in Solex_recon.py:145-146.
+    """
+    c, y1, y2, correction = transversalium_gain(img, circle, borders, trans_strength)
+
+    if stubborn:
+        logc = np.log(np.maximum(correction, 1e-300))
+        thresh = np.std(logc) * 2.5
+        flag = np.zeros(img.shape[0], dtype=bool)
+        band_flag = np.abs(logc) > thresh
+        flag[y1:y2] = band_flag
+        flag = flag | np.roll(flag, -1) | np.roll(flag, 1)
+        out = stubborn_filter(img, flag, y1, y2, circle)
+        return out, c
+
+    out = np.asarray(apply_row_gain(jnp.asarray(img), jnp.asarray(c, dtype=np.float32)))
+    return out, c

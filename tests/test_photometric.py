@@ -1,0 +1,167 @@
+"""Transversalium / vignette / product-stage tests."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.config import Options
+from solex_ser_recon_en_tpu.pipeline import (
+    correct_transversalium,
+    tukey_taper,
+    remove_vignette,
+    image_process,
+    crop_width,
+)
+from solex_ser_recon_en_tpu.pipeline.transversalium import fix_edge_effect
+
+
+def _reference_taper(N, a=0.05):
+    # reference solex_util.py:456-470
+    def t(x):
+        if 0 <= x < a * N / 2:
+            return 1 / 2 * (1 - math.cos(2 * math.pi * x / (a * N)))
+        elif a * N / 2 <= x <= N / 2:
+            return 1
+        elif N / 2 <= x <= N:
+            return t(N - x)
+        return 1
+
+    return np.array([t(x) for x in range(N)])
+
+
+@pytest.mark.parametrize("n", [40, 101, 400])
+def test_tukey_taper_matches_reference(n):
+    np.testing.assert_allclose(tukey_taper(n), _reference_taper(n), atol=1e-12)
+
+
+def _striped_disk(h=300, w=280, stripe_amp=0.12, seed=0):
+    """Synthetic circular disk with multiplicative row stripes."""
+    rng = np.random.default_rng(seed)
+    cy, cx, r = h / 2, w / 2, 110.0
+    ys, xs = np.mgrid[:h, :w]
+    rho2 = ((xs - cx) ** 2 + (ys - cy) ** 2) / r**2
+    mu = np.sqrt(np.clip(1 - rho2, 0, 1))
+    disk = np.where(rho2 < 1, 1 - 0.4 * (1 - mu), 0.01) * 45000
+    gain = 1 + stripe_amp * np.sin(np.arange(h) / 2.1) * np.sin(0.3 + np.arange(h) / 5.7)
+    img = np.clip(disk * gain[:, None] + rng.normal(0, 30, disk.shape), 1, 65535)
+    return img.astype(np.uint16), (cx, cy, r), gain
+
+
+def test_transversalium_removes_stripes():
+    img, circle, gain = _striped_disk()
+    # borders as the ellipse fit produces them: slightly inside the limb
+    # (get_edge_list's 1.7% crop / the +20 backup margin, Solex_recon.py:146)
+    borders = [0, circle[1] - circle[2] + 10, img.shape[1] - 1,
+               circle[1] + circle[2] - 10]
+    out, c = correct_transversalium(img, circle, borders, trans_strength=151)
+    assert out.dtype == np.uint16
+    # stripe energy inside the disk must drop substantially
+    h, w = img.shape
+    band = slice(int(circle[1] - 60), int(circle[1] + 60))
+    cols = slice(int(circle[0] - 60), int(circle[0] + 60))
+
+    def stripe_energy(a):
+        rows = a[band, cols].astype(float).mean(axis=1)
+        detr = rows - np.convolve(rows, np.ones(31) / 31, mode="same")
+        return np.std(detr[15:-15])
+
+    assert stripe_energy(out) < 0.35 * stripe_energy(img)
+    # the recovered gain is anti-correlated with the injected striping
+    yy = np.arange(int(circle[1] - 80), int(circle[1] + 80))
+    corr = np.corrcoef(c[yy], 1 / gain[yy])[0, 1]
+    assert corr > 0.7
+
+
+def test_transversalium_stubborn_path_runs():
+    img, circle, gain = _striped_disk(stripe_amp=0.3)
+    borders = [0, 0, img.shape[1] - 1, img.shape[0] - 1]
+    out, _ = correct_transversalium(
+        img, circle, borders, trans_strength=151, stubborn=True
+    )
+    assert out.dtype == np.uint16
+    assert out.shape == img.shape
+
+
+def test_fix_edge_effect_matches_reference_loop():
+    # direct replica of the reference loop (solex_util.py:357-375)
+    def ref_fix(multiplier, circle, linlen):
+        multiplier = multiplier.copy()
+        y1 = math.ceil(max(circle[1] - circle[2], 0))
+        y2 = math.floor(min(circle[1] + circle[2], multiplier.shape[0] - 1))
+        halflen = linlen // 2
+        multiplier[:y1, :] = 0
+        multiplier[y2 + 1 :, :] = 0
+        for y in range(y1, y2):
+            dx = math.floor((circle[2] ** 2 - (y - circle[1]) ** 2) ** 0.5)
+            x2 = math.floor(min(circle[0] + dx, multiplier.shape[1] - 1))
+            x1 = math.ceil(max(circle[0] - dx, 0))
+            multiplier[y, :x1] = 0
+            multiplier[y, x2:] = 0
+            if x2 - x1 < linlen:
+                continue
+            if x1 > 0:
+                multiplier[y, x1 : x1 + halflen] = multiplier[y, x1 + halflen]
+            if x2 < multiplier.shape[1] - 1:
+                multiplier[y, x2 - halflen : x2] = multiplier[y, x2 - halflen - 1]
+        return multiplier
+
+    rng = np.random.default_rng(1)
+    mult = rng.normal(size=(120, 140))
+    circle = (70.0, 60.0, 60.0)  # clipped circle: exercises edge branches
+    ours = fix_edge_effect(mult, circle, 41)
+    ref = ref_fix(mult, circle, 41)
+    np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_remove_vignette_flattens_droop():
+    img, circle, _ = _striped_disk(stripe_amp=0.0, h=400, w=380)
+    droop = 1 - 0.3 * ((np.arange(400) - 200) / 200) ** 2
+    vig = np.clip(img.astype(float) * droop[:, None], 1, 65535)
+    out = remove_vignette(vig, circle)
+    rows_in = vig[140:260, 150:230].mean(axis=1)
+    rows_out = out[140:260, 150:230].mean(axis=1)
+    assert np.std(rows_out) < np.std(rows_in)
+
+
+def test_crop_width_fixed_and_square():
+    img = np.arange(30 * 40, dtype=np.uint16).reshape(30, 40)
+    circle = (22.0, 15.0, 10.0)
+    opts = Options(fixed_width=20)
+    out, c2 = crop_width(img, circle, opts)
+    assert out.shape == (30, 20)
+    assert c2[0] == 10  # recentred
+    # disk column content preserved around the centre
+    np.testing.assert_array_equal(out[:, 10], img[:, 22])
+    opts = Options(crop_width_square=True)
+    out, _ = crop_width(img, circle, opts)
+    assert out.shape == (30, 30)
+    # no-op without flags
+    out, _ = crop_width(img, circle, Options())
+    assert out.shape == img.shape
+
+
+def test_image_process_writes_products(tmp_path):
+    img, circle, _ = _striped_disk()
+    opts = Options(save_fit=True)
+    base = str(tmp_path / "scan_shift=0")
+    cc, protus = image_process(img, circle, opts, header={"NAXIS1": 1}, basefich=base)
+    for suffix in ("_clahe.png", "_protus.png", "_uncontrasted.png",
+                   "_high_contrast.png", "_clahe.fits"):
+        assert os.path.exists(base + suffix), suffix
+    # protus disc is painted (value 80 at centre)
+    assert protus[int(circle[1]), int(circle[0])] == 80
+    # clahe_only suppresses the protus png
+    base2 = str(tmp_path / "b_shift=0")
+    opts2 = Options(clahe_only=True)
+    image_process(img, circle, opts2, basefich=base2)
+    assert os.path.exists(base2 + "_clahe.png")
+    assert not os.path.exists(base2 + "_protus.png")
+
+
+def test_image_process_rotation():
+    img, circle, _ = _striped_disk()
+    opts = Options(img_rotate=90, _nolog=True)
+    cc, protus = image_process(img, circle, opts, save=False)
+    assert cc.shape == (img.shape[1], img.shape[0])

@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests on synthetic scans (CPU, small shapes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.config import Options
+from solex_ser_recon_en_tpu.io import read_fits, read_image
+from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+from solex_ser_recon_en_tpu.pipeline.run import process_file, read_scan, process_scan
+from solex_ser_recon_en_tpu.cli.flags import parse_cli, parse_shift_spec
+from solex_ser_recon_en_tpu.cli.main import handle_files, handle_folder
+
+
+@pytest.fixture(scope="module")
+def scan_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    path = str(d / "scan.ser")
+    scan = SyntheticScan(
+        ih=256, iw=80, frames=220, depth=16,
+        line_poly=(40.0, 0.01, -4e-5, 0.0),
+        squash_y=1.1, disk_radius=80.0, trans_stripes=0.1,
+        noise=0.002, seed=33,
+    )
+    scan.write(path, transpose_to_wide=True)
+    return path, scan
+
+
+def test_full_pipeline_products(scan_file, tmp_path):
+    path, scan = scan_file
+    opts = Options(shift=[0], save_fit=True, output_dir=str(tmp_path))
+    results = process_file(path, opts)
+    assert len(results) == 1
+    base = os.path.join(str(tmp_path), "scan")
+    for suffix in (
+        "_mean.fits",
+        "_shift=0_raw.fits",
+        "_shift=0_circular.fits",
+        "_shift=0_detransversaliumed.fits",
+        "_shift=0_clahe.fits",
+        "_shift=0_clahe.png",
+        "_shift=0_protus.png",
+        "_shift=0_uncontrasted.png",
+        "_shift=0_high_contrast.png",
+        "_shift=10_ellipse_fit.png",
+        "_spectral_line_data.png",
+        "_shift=0_transversalium_correction.png",
+        "_log.txt",
+    ):
+        assert os.path.exists(base + suffix), suffix
+    # the corrected disk is round
+    circ, hdr = read_fits(base + "_shift=0_circular.fits")
+    m = circ > 0.4 * circ.max()
+    ys, xs = np.nonzero(m)
+    ratio = (ys.max() - ys.min()) / (xs.max() - xs.min())
+    assert abs(ratio - 1.0) < 0.05
+    # log has the key diagnostics
+    log = open(base + "_log.txt").read()
+    for needle in ("Pixel shift", "polynomial fit", "Y/X ratio", "Disk position"):
+        assert needle in log
+    # fitted ratio close to the injected squash
+    assert opts.ratio_fixe == pytest.approx(1.1, abs=0.05)
+
+
+def test_multi_shift_sweep(scan_file, tmp_path):
+    path, scan = scan_file
+    opts = Options(shift=parse_shift_spec("-3:3:3"), clahe_only=True,
+                   output_dir=str(tmp_path))
+    results = process_file(path, opts)
+    # iteration order is the augmented dedup list [10, 0, -3, 3]
+    # (Solex_recon.py:55); 0 is requested and already in the prefix
+    assert [s for s, _ in results] == [0, -3, 3]
+    for s in (-3, 0, 3):
+        assert os.path.exists(os.path.join(str(tmp_path), f"scan_shift={s}_clahe.png"))
+        # clahe_only: no protus
+        assert not os.path.exists(os.path.join(str(tmp_path), f"scan_shift={s}_protus.png"))
+
+
+def test_no_ellipse_fit_path(scan_file, tmp_path):
+    """-x: ratio_fixe=1 disables the ellipse fit (CLI_handler.py:81)."""
+    path, scan = scan_file
+    opts = Options(shift=[0], ratio_fixe=1, clahe_only=True, output_dir=str(tmp_path))
+    results = process_file(path, opts)
+    assert len(results) == 1
+    # transversalium ran through the backup-bounds path
+    assert os.path.exists(os.path.join(str(tmp_path), "scan_shift=0_clahe.png"))
+
+
+def test_flip_and_rotate_and_crop(scan_file, tmp_path):
+    path, scan = scan_file
+    opts = Options(
+        shift=[0], flip_x=True, img_rotate=90, fixed_width=200,
+        transversalium=False, disk_display=False, output_dir=str(tmp_path),
+    )
+    process_file(path, opts)
+    cc = read_image(os.path.join(str(tmp_path), "scan_shift=0_clahe.png"))
+    # rotated: (width, height) swap; width was cropped to 200
+    assert cc.shape == (200, 256)
+
+
+def test_cli_flag_parsing_matches_reference():
+    # a '-w' with the spec in a separate token exits with a clear error
+    # (the reference requires the packed form, CLI_handler.py:50-61)
+    with pytest.raises(SystemExit):
+        parse_cli(Options(), ["-tw", "0,5"])
+    opts = Options()
+    files = parse_cli(opts, ["-tw0,5", "-fm", "-r120", "a.ser", "b.AVI", "c.txt"])
+    assert opts.shift == [0, 5]
+    assert opts.transversalium is False
+    assert opts.save_fit is True and opts.flip_x is True
+    assert opts.fixed_width == 120
+    assert files == ["a.ser", "b.AVI"]
+    opts = Options()
+    parse_cli(opts, ["-w-5:5:5"])
+    assert opts.shift == [-5, 0, 5]
+    opts = Options()
+    parse_cli(opts, ["-x"])
+    assert opts.ratio_fixe == 1
+
+
+def test_handle_files_isolates_bad_file(scan_file, tmp_path):
+    path, scan = scan_file
+    bad = str(tmp_path / "bad.ser")
+    with open(bad, "wb") as f:
+        f.write(b"garbage")
+    opts = Options(shift=[0], clahe_only=True, output_dir=str(tmp_path))
+    done = handle_files([bad, path], opts)
+    assert done == 1  # bad file skipped, good file processed
+
+
+def test_handle_folder_batch(scan_file, tmp_path):
+    path, scan = scan_file
+    import shutil
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(path, indir / "one.ser")
+    shutil.copy(path, indir / "two.ser")
+    opts = Options(shift=[0], clahe_only=True, input_dir=str(indir),
+                   output_dir=str(tmp_path))
+    n = handle_folder(opts)
+    assert n == 2
+    assert os.path.exists(os.path.join(str(tmp_path), "one_shift=0_clahe.png"))
+    assert os.path.exists(os.path.join(str(tmp_path), "two_shift=0_clahe.png"))
