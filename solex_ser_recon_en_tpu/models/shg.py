@@ -1,0 +1,44 @@
+"""The flagship model: one fused device step of SHG reconstruction.
+
+``shg_forward`` is the jittable heart of the pipeline — streaming
+mean/max + multi-shift MXU reconstruction in a single XLA program over an
+in-HBM frame slab (reference hot path: solex_util.py:93-144,174-188).  The
+host-side fits (spectral line, ellipse) happen *between* invocations of
+device programs; this function is what the accelerator actually spends its
+time in.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
+    """frames (F, ih, iw) u16, ind_l (S, ih) i32, left_w (ih,) f32
+    -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F))."""
+    from ..ops.recon import _recon_onehot
+
+    s = jnp.sum(frames.astype(jnp.int32), axis=0)
+    mean = (s // frames.shape[0]).astype(jnp.uint16)
+    mx = jnp.max(frames, axis=0)
+    disks = _recon_onehot(frames, ind_l, left_w, iw=frames.shape[2])
+    return mean, mx, disks
+
+
+def example_inputs(
+    F: int = 64, ih: int = 256, iw: int = 128, S: int = 2, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 65536, size=(F, ih, iw), dtype=np.uint16)
+    curve = iw / 2 + 0.01 * np.arange(ih)
+    floor = np.floor(curve).astype(np.int64)
+    frac = curve - floor
+    from ..ops.recon import build_shift_indices
+
+    ind_l, left_w = build_shift_indices(floor, frac, list(range(S)), iw)
+    return frames, ind_l, left_w

@@ -1,0 +1,125 @@
+"""Multi-chip sharding for the reconstruction pipeline.
+
+The reference's only parallelism is a 4-process pool over *files*
+(Solex_recon.py:30-42, SURVEY.md §2.24).  The TPU-native equivalents:
+
+- **frame axis** ("sequence parallel" analogue, SURVEY.md §5.7): each frame
+  writes a disjoint column of the output disk, so sharding frames across
+  chips needs *zero* communication in the recon itself; only the mean/max
+  reduction inserts one psum over the frame axis.
+- **batch axis** ("data parallel" analogue, §5.8): different files on
+  different mesh rows, fully independent.
+
+Everything is expressed with ``NamedSharding`` annotations on a 2-D
+``Mesh(('batch', 'frame'))`` and left to XLA to partition — no hand-written
+collectives needed for this workload (the collectives that do appear,
+psum over 'frame' for the mean, ride ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """Build a ('batch', 'frame') mesh.
+
+    axes: {"batch": B, "frame": F} with B*F == len(devices); default puts
+    all devices on the frame axis (the zero-communication direction).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if axes is None:
+        axes = {"batch": 1, "frame": n}
+    b = int(axes.get("batch", 1))
+    f = int(axes.get("frame", max(1, n // b)))
+    if b * f != n:
+        raise ValueError(f"mesh {axes} does not match {n} devices")
+    return Mesh(devices.reshape(b, f), ("batch", "frame"))
+
+
+def shard_scan_recon(frames, ind_l, left_w, mesh: Mesh, kernel: str = "onehot"):
+    """Single-file multi-shift recon with the frame axis sharded.
+
+    frames (F, ih, iw) sharded over 'frame'; weights replicated. The output
+    (S, ih, F) stays frame-sharded; gather it only when post-processing
+    needs the whole disk (it is ~1000x smaller than the scan).
+    """
+    from ..ops.recon import _recon_gather, _recon_onehot
+
+    fsh = NamedSharding(mesh, P("frame", None, None))
+    rep = NamedSharding(mesh, P())
+    frames = jax.device_put(frames, fsh)
+    ind_l = jax.device_put(jnp.asarray(ind_l), rep)
+    left_w = jax.device_put(jnp.asarray(left_w), rep)
+    if kernel == "onehot":
+        out = _recon_onehot(frames, ind_l, left_w, iw=frames.shape[2])
+    else:
+        out = _recon_gather(frames, ind_l, left_w)
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_u16",))
+def _batched_step(frames, ind_l, left_w, warp_mats, row_gains, out_u16=True):
+    """The full device compute path for a batch of scans.
+
+    frames    (B, F, ih, iw) uint16   — sharded (batch, frame)
+    ind_l     (B, S, ih) int32        — per-scan shift indices
+    left_w    (B, ih) float32         — per-scan interp weights
+    warp_mats (B, 3, 3) float32       — circularisation inverse maps
+    row_gains (B, ih) float32         — transversalium gains
+
+    Returns dict of mean/max images, raw disks, corrected disks.
+    All stages are batched with vmap; XLA partitions them over the mesh from
+    the input shardings (frame-axis reductions become psums over ICI).
+    """
+    from ..ops.recon import _recon_onehot
+    from ..ops.warp import warp_projective
+
+    def one(frames1, ind1, w1, mat1, gain1):
+        s = jnp.sum(frames1.astype(jnp.int32), axis=0)
+        mean = (s // frames1.shape[0]).astype(jnp.uint16)
+        mx = jnp.max(frames1, axis=0)
+        disks = _recon_onehot(frames1, ind1, w1, iw=frames1.shape[2], out_u16=False)
+        ih, F = disks.shape[1], disks.shape[2]
+
+        def fix(disk):
+            w = warp_projective(disk / 65536.0, mat1, ih, F, cval=0.0)
+            w = jnp.clip(w * 65536.0, 0, 65535)
+            return jnp.clip(w * gain1[:, None], 0, 65535)
+
+        circ = jax.vmap(fix)(disks)
+        if out_u16:
+            disks = jnp.clip(disks, 0, 65535).astype(jnp.uint16)
+            circ = circ.astype(jnp.uint16)
+        return mean, mx, disks, circ
+
+    mean, mx, disks, circ = jax.vmap(one)(frames, ind_l, left_w, warp_mats, row_gains)
+    return {"mean": mean, "max": mx, "raw": disks, "circular": circ}
+
+
+def device_pipeline_step(
+    frames, ind_l, left_w, warp_mats, row_gains, mesh: Optional[Mesh] = None
+):
+    """Run the batched device step, sharded over ``mesh`` when given."""
+    if mesh is not None:
+        fsh = NamedSharding(mesh, P("batch", "frame", None, None))
+        rep = NamedSharding(mesh, P("batch"))
+        frames = jax.device_put(jnp.asarray(frames), fsh)
+        ind_l = jax.device_put(jnp.asarray(ind_l), NamedSharding(mesh, P("batch", None, None)))
+        left_w = jax.device_put(jnp.asarray(left_w), NamedSharding(mesh, P("batch", None)))
+        warp_mats = jax.device_put(jnp.asarray(warp_mats), NamedSharding(mesh, P("batch", None, None)))
+        row_gains = jax.device_put(jnp.asarray(row_gains), NamedSharding(mesh, P("batch", None)))
+    return _batched_step(
+        jnp.asarray(frames),
+        jnp.asarray(ind_l),
+        jnp.asarray(left_w),
+        jnp.asarray(warp_mats),
+        jnp.asarray(row_gains),
+    )
