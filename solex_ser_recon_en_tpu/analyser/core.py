@@ -1,0 +1,310 @@
+"""Headless spectral-analyser core.
+
+reference: spectralAnalyserUI.py:60-391 — load a scan fully, locate the
+anchor line, find the dispersion by correlating the log spectrum against a
+solar atlas over a grid of Å/px guesses, convert GOTO wavelengths into
+pixel shifts, and live-preview the reconstruction at any shift.
+
+TPU design: the correlation scan is a single vmapped device program
+(``auto_dispersion``) — thousands of scale guesses × the spectrum length in
+one shot instead of the reference's Python loop (:280-294).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Options
+from ..geometry import fit_spectral_line
+from ..geometry.correct import NO_CIRCLE, correct_image, ellipse_to_circle
+from ..io.fits import make_header
+from ..io.video import open_video
+from ..ops.recon import reconstruct
+from ..ops.reduce import mean_max
+from ..pipeline.run import single_image_process
+from .atlas import SolarAtlas, anchor_table, load_atlas, target_table
+
+
+@partial(jax.jit, static_argnames=("exc_width",))
+def _corr_scan(
+    spectrum_log: jax.Array,      # (W,)
+    atlas_wl_first: jax.Array,
+    atlas_step: jax.Array,
+    atlas_intensity: jax.Array,   # (N,)
+    scales: jax.Array,            # (K,)
+    anchor_x: jax.Array,
+    anchor_wl: jax.Array,
+    exc_width: int = 5,
+):
+    W = spectrum_log.shape[0]
+    xs = jnp.arange(W, dtype=jnp.float32)
+    mask = jnp.abs(xs - anchor_x) >= exc_width
+
+    lspec = jnp.where(mask, spectrum_log, 0.0)
+    lmean_excl = jnp.mean(spectrum_log)  # reference uses global mean as fill
+    lspec = jnp.where(mask, spectrum_log, lmean_excl)
+
+    def corr_for(scale):
+        lam = anchor_wl + (xs - anchor_x) * scale
+        idx = (lam - atlas_wl_first) / atlas_step
+        idx = jnp.clip(idx, 0.0, atlas_intensity.shape[0] - 1.001)
+        i0 = jnp.floor(idx).astype(jnp.int32)
+        frac = idx - i0
+        a = atlas_intensity[i0] * (1 - frac) + atlas_intensity[i0 + 1] * frac
+        amean = jnp.mean(a)
+        a = jnp.where(mask, a, amean)
+        ac = a - jnp.mean(a)
+        sc = lspec - jnp.mean(lspec)
+        denom = jnp.sqrt(jnp.sum(ac * ac) * jnp.sum(sc * sc))
+        return jnp.sum(ac * sc) / jnp.maximum(denom, 1e-30)
+
+    return jax.vmap(corr_for)(scales)
+
+
+def auto_dispersion(
+    spectrum: np.ndarray,
+    anchor_x: float,
+    anchor_wavelength: float,
+    atlas: SolarAtlas,
+    scale_range: Tuple[float, float] = (0.02, 0.12),
+    n_guesses: Optional[int] = None,
+) -> Tuple[float, float]:
+    """Best-correlating dispersion (Å/px) and its correlation value.
+
+    reference: spectralAnalyserUI.py:272-300 — same scale grid
+    (3x the spectrum length across 0.02-0.12 Å/px), log spectrum, ±5 px
+    anchor exclusion; the atlas resampling is equivalent (monotonic
+    wavelength-to-pixel map) but runs as one vmapped device program.
+    """
+    W = int(spectrum.shape[0])
+    if n_guesses is None:
+        n_guesses = W * 3
+    scales = np.linspace(scale_range[0], scale_range[1], n_guesses)
+    corr = _corr_scan(
+        jnp.asarray(np.log(np.maximum(spectrum, 1e-12)), dtype=jnp.float32),
+        jnp.float32(atlas.first),
+        jnp.float32(atlas.step),
+        jnp.asarray(atlas.intensity, dtype=jnp.float32),
+        jnp.asarray(scales, dtype=jnp.float32),
+        jnp.float32(anchor_x),
+        jnp.float32(anchor_wavelength),
+    )
+    corr = np.asarray(corr)
+    k = int(np.argmax(corr))
+    return float(scales[k]), float(corr[k])
+
+
+def goto_shift(
+    target_wavelength: float,
+    anchor_wavelength: float,
+    dispersion: float,
+    fit_curve: np.ndarray,
+    width: int,
+) -> Tuple[int, str]:
+    """Pixel shift to land on a wavelength + placement status.
+
+    reference: spectralAnalyserUI.py:188-204 — status is "ok" (fully in
+    frame), "partial", or "out".
+    """
+    shift = int((target_wavelength - anchor_wavelength) / dispersion)
+    positions = shift + fit_curve
+    within = (positions >= 0) & (positions <= width)
+    if not within.any():
+        return shift, "out"
+    if not within.all():
+        return shift, "partial"
+    return shift, "ok"
+
+
+def _downscale(img: np.ndarray, f: float) -> np.ndarray:
+    """cv2.resize(fx=fy=f) equivalent (reference downscale, solex_util.py:89-90)."""
+    try:
+        import cv2
+
+        return cv2.resize(img, (0, 0), fx=f, fy=f)
+    except Exception:  # pragma: no cover
+        h, w = img.shape
+        out_h, out_w = int(h * f), int(w * f)
+        yi = (np.arange(out_h) / f).astype(int).clip(0, h - 1)
+        xi = (np.arange(out_w) / f).astype(int).clip(0, w - 1)
+        return img[np.ix_(yi, xi)]
+
+
+def _tuple_downscale(t, f: float):
+    return tuple(int(v * f) for v in t)
+
+
+@dataclass
+class AnalysisState:
+    spectrum: np.ndarray       # brightest-frames slit spectrum (W,)
+    spectrum2: np.ndarray      # mean-image middle row (W,)
+    anchor_x: float            # line position at the middle row
+    fit_curve: np.ndarray      # (ih,) line curve
+    backup_bounds: Tuple[int, int]
+    circle: tuple
+    borders: list
+    downscale_f: float
+
+
+class SpectralAnalyser:
+    """The numeric engine behind the interactive analyser.
+
+    reference: spectralAnalyserUI.py:142-390 (the Start-analysis /
+    Auto-dispersion / GOTO / refresh logic without the GUI).
+    """
+
+    def __init__(self, file: str, options: Optional[Options] = None,
+                 atlas: Optional[SolarAtlas] = None):
+        self.file = file
+        self.options = (options or Options()).copy()
+        self.options.clahe_only = True
+        self.options.save_fit = False
+        self.options.flag_display = False
+        self.options._nolog = True
+        self.options.shift = [0]
+        self.options.basefich0 = ""
+        self.atlas = atlas if atlas is not None else load_atlas()
+        self.anchors = anchor_table()
+        self.targets = target_table()
+        self.dispersion: Optional[float] = None
+        self._load()
+
+    # -- loading (reference :149-176) ----------------------------------
+    def _load(self) -> None:
+        vid = open_video(self.file)
+        self.frames = vid.read_all()
+        self.ih, self.iw = vid.ih, vid.iw
+        self.header = make_header(self.iw, self.ih)
+        mean_img, max_img = mean_max(self.frames)
+        self.mean_img = mean_img
+        lf = fit_spectral_line(mean_img, max_img)
+        self.linefit = lf
+        means = self.frames.reshape(self.frames.shape[0], -1).mean(axis=1)
+        brightest = int(np.argmax(means))
+        lo = max(0, brightest - 5)
+        hi = min(self.frames.shape[0] - 1, brightest + 5)
+        sample_mean = self.frames[lo:hi].mean(axis=0)
+        spectrum = sample_mean[sample_mean.shape[0] // 2, :]
+        spectrum2 = mean_img[mean_img.shape[0] // 2, :]
+
+        target_height = max(1000, self.ih / 3)
+        downscale_f = target_height / self.ih
+
+        circle, borders = NO_CIRCLE, [0, 0, 0, 0]
+        if self.options.ratio_fixe is None and self.options.slant_fix is None:
+            disks = np.asarray(
+                reconstruct(
+                    self.frames, lf.floor, lf.frac,
+                    [self.options.ellipse_fit_shift],
+                )
+            )
+            disk = disks[0][:, ::-1] if self.options.flip_x else disks[0]
+            geo = ellipse_to_circle(disk)
+            circle, borders = geo.circle, geo.borders
+            self.options.ratio_fixe = geo.ratio
+            self.options.slant_fix = math.degrees(geo.phi)
+
+        self.state = AnalysisState(
+            spectrum=spectrum,
+            spectrum2=spectrum2,
+            anchor_x=float(lf.curve[len(lf.curve) // 2]),
+            fit_curve=lf.curve,
+            backup_bounds=(lf.y1, lf.y2),
+            circle=circle,
+            borders=borders,
+            downscale_f=downscale_f,
+        )
+
+    # -- dispersion / GOTO ---------------------------------------------
+    def find_dispersion(self, anchor_wavelength: float) -> float:
+        d, _ = auto_dispersion(
+            self.state.spectrum2, self.state.anchor_x, anchor_wavelength, self.atlas
+        )
+        self.dispersion = round(d, 6)
+        self.options.dispersion = self.dispersion
+        return self.dispersion
+
+    def shift_for(self, target_wavelength: float, anchor_wavelength: float):
+        if self.dispersion is None:
+            raise ValueError("find_dispersion first")
+        return goto_shift(
+            target_wavelength,
+            anchor_wavelength,
+            self.dispersion,
+            self.state.fit_curve,
+            self.state.spectrum2.shape[0],
+        )
+
+    def wavelength_of_shift(self, shift: int, anchor_wavelength: float) -> float:
+        if self.dispersion is None:
+            raise ValueError("find_dispersion first")
+        return anchor_wavelength + shift * self.dispersion
+
+    # -- preview / save (reference :340-362, :374-388) ------------------
+    def _recon_at(self, shift: int) -> np.ndarray:
+        disks = np.asarray(
+            reconstruct(self.frames, self.linefit.floor, self.linefit.frac, [shift])
+        )
+        return disks[0][:, ::-1] if self.options.flip_x else disks[0]
+
+    def preview(self, shift: int):
+        """Quick-look products at ``shift`` on a downscaled disk."""
+        disk = self._recon_at(shift)
+        f = self.state.downscale_f
+        opts = self.options
+        ratio = opts.ratio_fixe if opts.ratio_fixe is not None else 1.0
+        phi = math.radians(opts.slant_fix) if opts.slant_fix is not None else 0.0
+        small = _downscale(disk, f)
+        circ, _, _ = correct_image(
+            small / 65536.0, phi, ratio, np.array([-1.0, -1.0]), -1.0
+        )
+        circle = (
+            _tuple_downscale(self.state.circle, f)
+            if self.state.circle != NO_CIRCLE
+            else NO_CIRCLE
+        )
+        return single_image_process(
+            circ,
+            self.header,
+            opts,
+            circle,
+            _tuple_downscale(self.state.borders, f),
+            "",
+            _tuple_downscale(self.state.backup_bounds, f),
+            save=False,
+        )
+
+    def save(self, shift: int, out_base: Optional[str] = None):
+        """Full-resolution products at ``shift``; writes PNGs when
+        ``out_base`` is given (reference Save-image, :374-388)."""
+        disk = self._recon_at(shift)
+        opts = self.options
+        ratio = opts.ratio_fixe if opts.ratio_fixe is not None else 1.0
+        phi = math.radians(opts.slant_fix) if opts.slant_fix is not None else 0.0
+        circ, _, _ = correct_image(
+            disk / 65536.0, phi, ratio, np.array([-1.0, -1.0]), -1.0
+        )
+        clahe_img, protus = single_image_process(
+            circ,
+            self.header,
+            opts,
+            self.state.circle,
+            self.state.borders,
+            "",
+            self.state.backup_bounds,
+            save=False,
+        )
+        if out_base is not None:
+            from ..io.png import write_png
+
+            write_png(out_base + "_clahe.png", clahe_img)
+            write_png(out_base + "_protus.png", protus)
+        return clahe_img, protus

@@ -1,0 +1,178 @@
+"""Main application window (FreeSimpleGUI, gated).
+
+reference: UI_handler.py:169-311 (inputUI) + SHG_MAIN.py:229-246 (event
+loop).  This module reproduces the reference window — File/Folder tabs, all
+option widgets, language hot-swap, the spectral-analyser launch button —
+on top of the tested form layer (gui/form.py) and pipeline.  It imports
+FreeSimpleGUI lazily so headless installs never touch it; install
+FreeSimpleGUI to use the GUI (``pip install FreeSimpleGUI``).
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from typing import List, Optional
+
+from ..config import Options
+from ..i18n import read_langs, tr
+from .form import default_form_values, interpret_form_values
+
+
+def _require_sg():
+    try:
+        import FreeSimpleGUI as sg  # type: ignore
+
+        return sg
+    except Exception as e:  # pragma: no cover - headless env
+        raise RuntimeError(
+            "The GUI needs FreeSimpleGUI (pip install FreeSimpleGUI); "
+            "use the CLI front end (python -m solex_ser_recon_en_tpu.cli) "
+            "in headless environments."
+        ) from e
+
+
+def input_ui(options: Options) -> Optional[List[str]]:  # pragma: no cover - GUI
+    """Show the main window; returns selected files (None = quit).
+
+    reference: UI_handler.py:169-311.
+    """
+    sg = _require_sg()
+    langs, lang_dicts = read_langs()
+    lang = lang_dicts[langs.index(options.language)] if options.language in langs else {}
+    v = default_form_values(options)
+
+    def T(key: str) -> str:
+        return tr(lang, key)
+
+    file_tab = [
+        [sg.Text(T("File(s)"), key="File(s)"),
+         sg.InputText(default_text=options.workDir, size=(65, 1), key="-FILE-"),
+         sg.FilesBrowse(T("Choose file(s)"), key="Choose file(s)",
+                        file_types=(("Video Files (SER, AVI)", "*.ser *.avi"),))],
+    ]
+    folder_tab = [
+        [sg.Text(T("Folder"), key="Folder"),
+         sg.InputText(default_text=options.input_dir, size=(65, 1), key="input_dir"),
+         sg.FolderBrowse(T("Choose input folder"), key="Choose input folder")],
+        [sg.Checkbox(T("Continuous detect mode"), default=v["Continuous detect mode"],
+                     key="Continuous detect mode")],
+    ]
+    layout = [
+        [sg.Text(T("Solar disk reconstruction from SHG video files"), font="Any 14",
+                 key="Solar disk reconstruction from SHG video files"),
+         sg.Push(),
+         sg.Combo(langs, key="lang_input", enable_events=True,
+                  default_value=options.language, readonly=True)],
+        [sg.TabGroup([[sg.Tab(T("File input mode"), file_tab, key="File input mode"),
+                       sg.Tab(T("Folder input mode"), folder_tab, key="Folder input mode")]],
+                     key="-tab_group-", enable_events=True)],
+        [sg.Text(T("Output Folder (blank for same as input):"),
+                 key="Output Folder (blank for same as input):"),
+         sg.InputText(default_text=options.output_dir, size=(40, 1), key="output_dir"),
+         sg.FolderBrowse(T("Choose output folder"), key="Choose output folder")],
+        [sg.Checkbox(T("Show graphics"), default=v["Show graphics"], key="Show graphics"),
+         sg.Checkbox(T("Save fits files"), default=v["Save fits files"], key="Save fits files"),
+         sg.Checkbox(T("de-vignette"), default=v["de-vignette"], key="de-vignette")],
+        [sg.Checkbox(T("Save clahe.png only"), default=v["Save clahe.png only"],
+                     key="Save clahe.png only"),
+         sg.Checkbox(T("Save protus.png only"), default=v["Save protus.png only"],
+                     key="Save protus.png only")],
+        [sg.Checkbox(T("Crop square"), default=v["Crop square"], key="Crop square"),
+         sg.Text(T("Fixed image width (blank for none)"),
+                 key="Fixed image width (blank for none)"),
+         sg.InputText(default_text=v["_fixed_width"], size=(8, 1), key="_fixed_width")],
+        [sg.Checkbox(T("Mirror X"), default=v["Mirror X"], key="Mirror X"),
+         sg.Text(T("Rotate png images:"), key="Rotate png images:"),
+         sg.Combo([0, 90, 180, 270], default_value=v["img_rotate"], key="img_rotate",
+                  readonly=True)],
+        [sg.Checkbox(T("Correct transversalium lines"),
+                     default=v["Correct transversalium lines"],
+                     key="Correct transversalium lines", enable_events=True),
+         sg.Checkbox(T("Stubborn transversalium"), default=v["Stubborn transversalium"],
+                     key="Stubborn transversalium")],
+        [sg.Text(T("Transversalium correction strength (pixels x 100) :"),
+                 key="Transversalium correction strength (pixels x 100) :"),
+         sg.Slider(range=(1, 6), default_value=v["-trans_strength-"], resolution=0.25,
+                   orientation="horizontal", key="-trans_strength-")],
+        [sg.Text(T("Y/X ratio (blank for auto)"), key="Y/X ratio (blank for auto)"),
+         sg.InputText(default_text=v["_y/x_ratio"], size=(8, 1), key="_y/x_ratio"),
+         sg.Text(T("Tilt angle (blank for auto)"), key="Tilt angle (blank for auto)"),
+         sg.InputText(default_text=v["_tilt"], size=(8, 1), key="_tilt")],
+        [sg.Text(T("Pixel offset"), key="Pixel offset"),
+         sg.InputText(default_text=v["_pixel_offset"], size=(14, 1), key="_pixel_offset"),
+         sg.Button(T("Pixel offset live"), key="Pixel offset live")],
+        [sg.Text(T("Protus adjustment"), key="Protus adjustment"),
+         sg.InputText(default_text=v["_protus_adjustment"], size=(6, 1),
+                      key="_protus_adjustment"),
+         sg.Text(T("Ellipse fit shift [advanced]"), key="Ellipse fit shift [advanced]"),
+         sg.InputText(default_text=v["ellipse_fit_shift"], size=(6, 1),
+                      key="ellipse_fit_shift")],
+        [sg.Button(T("OK"), key="OK"), sg.Cancel(T("Cancel"), key="Cancel")],
+    ]
+    window = sg.Window("SHG (TPU) ", layout, finalize=True)
+    try:
+        while True:
+            event, values = window.read()
+            if event in (sg.WIN_CLOSED, "Cancel"):
+                return None
+            if event == "lang_input":
+                options.language = values["lang_input"]
+                lang = lang_dicts[langs.index(options.language)]
+                for k, val in lang.items():
+                    if k in window.AllKeysDict and not k.startswith("_"):
+                        try:
+                            window[k].update(text=val)
+                        except Exception:
+                            try:
+                                window[k].update(val)
+                            except Exception:
+                                pass
+            if event == "-tab_group-":
+                options.selected_mode = values["-tab_group-"]
+            if event == "Pixel offset live":
+                try:
+                    interpret_form_values(options, values, no_file=True)
+                    from ..analyser import SpectralAnalyser  # lazy
+
+                    file = str(values["-FILE-"]).split(";")[0]
+                    an = SpectralAnalyser(file, options)
+                    d = an.find_dispersion(6562.808)
+                    sg.popup_ok(f"dispersion: {d:.6f} Å/px")
+                except Exception:
+                    traceback.print_exc()
+                    sg.popup_ok("ERROR: " + traceback.format_exc())
+            if event == "OK":
+                try:
+                    return interpret_form_values(options, values)
+                except ValueError as e:
+                    sg.popup_ok(str(e))
+    finally:
+        window.close()
+
+
+def run_app() -> int:  # pragma: no cover - GUI
+    """GUI event loop: config round-trip + file/folder dispatch.
+
+    reference: SHG_MAIN.py:229-246.
+    """
+    from ..cli.main import CONFIG_NAME, handle_files, handle_folder, read_ini, write_ini
+
+    options = read_ini(CONFIG_NAME)
+    while True:
+        files = input_ui(options)
+        if files is None:
+            break
+        if options.selected_mode == "File input mode":
+            if files:
+                options.workDir = os.path.dirname(files[0]) + "/"
+                write_ini(options)
+            handle_files(files, options)
+        else:
+            handle_folder(options)
+    write_ini(options)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(run_app())

@@ -1,0 +1,78 @@
+"""Host->HBM frame feeder.
+
+The reference normalises every frame on the host (rot90 + 8->16-bit upscale,
+video_reader.py:117-122).  On this host (one CPU core) that copy would cost
+more than the entire device pipeline, so the feeder ships the *raw* on-disk
+frame layout (a zero-copy memmap slice) to HBM and performs the rotation and
+upscale as device ops fused into the consumer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ser import SerReader
+from .video import VideoReader, _SerVideo
+
+
+@partial(jax.jit, static_argnames=("rotate", "upscale"))
+def normalize_frames(raw: jax.Array, rotate: bool, upscale: bool) -> jax.Array:
+    """(F, H, W) raw frames -> (F, ih, iw) uint16, on device.
+
+    rotate: np.rot90 over the spatial axes (wavelength axis -> X).
+    upscale: 8-bit -> 16-bit x256.
+    """
+    out = raw
+    if upscale:
+        out = out.astype(jnp.uint16) << 8
+    if rotate:
+        # np.rot90(img): out[i, j] = img[j, W-1-i]
+        out = jnp.flip(jnp.swapaxes(out, 1, 2), axis=1)
+    return out
+
+
+# the axon relay's throughput collapses on large single transfers
+# (measured: 64MB ~0.4 GB/s, 500MB ~0.06 GB/s) — cap per-put size
+_TARGET_CHUNK_BYTES = 96 * 1024 * 1024
+
+
+def auto_chunk_frames(frame_bytes: int, requested: int) -> int:
+    """Frames per host->device transfer, capped to ~96MB per put."""
+    cap = max(1, _TARGET_CHUNK_BYTES // max(frame_bytes, 1))
+    return max(1, min(requested, cap))
+
+
+def device_chunks(
+    vid: VideoReader, chunk: int
+) -> Iterator[Tuple[int, jax.Array]]:
+    """Yield (start, normalised device chunk) overlapping upload with use.
+
+    For SER files the raw memmap slice is shipped as-is (no host copy) and
+    normalised on device; other containers fall back to host-normalised
+    reads.  Device puts are async, so the next chunk uploads while the
+    previous one computes.
+    """
+    if isinstance(vid, _SerVideo):
+        r: SerReader = vid._r
+        upscale = r.header.pixel_depth == 8
+        rotate = r.flag_rotate
+        chunk = auto_chunk_frames(r.header.frame_bytes, chunk)
+        pending = []
+        for start in range(0, r.frame_count, chunk):
+            n = min(chunk, r.frame_count - start)
+            raw = r.raw_frames(start, n)
+            dev = jax.device_put(np.asarray(raw))
+            pending.append((start, dev))
+            if len(pending) > 1:
+                s0, d0 = pending.pop(0)
+                yield s0, normalize_frames(d0, rotate, upscale)
+        for s0, d0 in pending:
+            yield s0, normalize_frames(d0, rotate, upscale)
+    else:
+        for start, c in vid.chunks(chunk):
+            yield start, jax.device_put(c)

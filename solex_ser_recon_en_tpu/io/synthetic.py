@@ -80,16 +80,22 @@ class SyntheticScan:
         return np.where(inside, limb, 0.0)
 
     # ------------------------------------------------------------------
-    def generate(self) -> np.ndarray:
+    def generate(self, block: int = 256) -> np.ndarray:
         """Render frames (F, ih, iw) in the *normalised* orientation
-        (spatial = rows, spectral = cols, ih >= iw)."""
+        (spatial = rows, spectral = cols, ih >= iw).
+
+        Rendered in float32 frame blocks so multi-GB scans stay fast and
+        memory-bounded on a small host.
+        """
         rng = np.random.default_rng(self.seed)
         y = np.arange(self.ih, dtype=np.float64)
         x = np.arange(self.iw, dtype=np.float64)
         center = self.line_center(y)[:, None]                  # (ih, 1)
-        prof = 1.0 - self.line_depth * np.exp(
-            -0.5 * ((x[None, :] - center) / self.line_width) ** 2
-        )                                                      # (ih, iw)
+        prof = (
+            1.0
+            - self.line_depth
+            * np.exp(-0.5 * ((x[None, :] - center) / self.line_width) ** 2)
+        ).astype(np.float32)                                   # (ih, iw)
 
         disk = self.disk_brightness()                          # (ih, F)
         gain = np.ones(self.ih)
@@ -101,14 +107,23 @@ class SyntheticScan:
             gain *= 1.0 - self.vignette * ((y - self.ih / 2) / (self.ih / 2)) ** 2
         self.row_gain = gain
 
-        env = (self.sky + (self.continuum - self.sky) * disk) * gain[:, None]
-        # frames[f, y, x] = env[y, f] * prof[y, x]
-        img = env.T[:, :, None] * prof[None, :, :]
-        if self.noise:
-            img = img + rng.normal(0.0, self.noise, size=img.shape)
-        full = 255.0 if self.depth == 8 else 65535.0
-        img = np.clip(img * full, 0, full)
-        return img.astype(np.uint8 if self.depth == 8 else np.uint16)
+        env = ((self.sky + (self.continuum - self.sky) * disk) * gain[:, None]).astype(
+            np.float32
+        )
+        full = np.float32(255.0 if self.depth == 8 else 65535.0)
+        dtype = np.uint8 if self.depth == 8 else np.uint16
+        out = np.empty((self.frames, self.ih, self.iw), dtype=dtype)
+        for f0 in range(0, self.frames, block):
+            f1 = min(f0 + block, self.frames)
+            img = env.T[f0:f1, :, None] * prof[None, :, :]
+            if self.noise:
+                img += np.float32(self.noise) * rng.standard_normal(
+                    img.shape, dtype=np.float32
+                )
+            np.multiply(img, full, out=img)
+            np.clip(img, 0, full, out=img)
+            out[f0:f1] = img.astype(dtype)
+        return out
 
     def write(self, path: str, transpose_to_wide: bool = False) -> np.ndarray:
         """Generate and write a SER file; returns the normalised frames

@@ -86,7 +86,9 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         keep_resident = (
             vid.frame_count * vid.ih * vid.iw * 2 <= 4 * 1024**3
         )
-        for start, chunk in vid.chunks(options.frame_chunk):
+        from ..io.feeder import device_chunks
+
+        for start, chunk in device_chunks(vid, options.frame_chunk):
             acc.update(chunk)
             if keep_resident:
                 chunks.append((start, chunk))
@@ -114,7 +116,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             for start, chunk in chunks:
                 recon.update(start, chunk)
         else:
-            for start, chunk in vid.chunks(options.frame_chunk):
+            for start, chunk in device_chunks(vid, options.frame_chunk):
                 recon.update(start, chunk)
         disk_list = recon.result()
 

@@ -1,0 +1,114 @@
+"""Front-end layer tests: form validation, i18n, clahe tool, config."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.config import Options
+from solex_ser_recon_en_tpu.gui.form import default_form_values, interpret_form_values
+from solex_ser_recon_en_tpu.i18n import get_lang, read_langs, tr
+from solex_ser_recon_en_tpu.cli.clahe_tool import apply_clahe, read_ini as clahe_ini
+from solex_ser_recon_en_tpu.io.png import write_png, read_image
+
+
+def test_form_roundtrip(tmp_path):
+    opts = Options()
+    v = default_form_values(opts)
+    f = tmp_path / "a.ser"
+    f.write_bytes(b"x")
+    v["-FILE-"] = str(f)
+    files = interpret_form_values(opts, v)
+    assert files == [str(f)]
+    assert opts.shift == [0]
+    assert opts.trans_strength == 301
+
+
+def test_form_validation_errors(tmp_path):
+    opts = Options()
+    v = default_form_values(opts)
+    v["-FILE-"] = "nonexistent.ser"
+    with pytest.raises(ValueError, match="ERROR opening file"):
+        interpret_form_values(opts, v)
+    v2 = default_form_values(opts)
+    v2["_y/x_ratio"] = "abc"
+    with pytest.raises(ValueError, match="invalid Y/X ratio"):
+        interpret_form_values(opts, v2, no_file=True)
+    v3 = default_form_values(opts)
+    v3["_pixel_offset"] = "5:1"
+    with pytest.raises(ValueError, match="lower bound greater"):
+        interpret_form_values(opts, v3, no_file=True)
+    v4 = default_form_values(opts)
+    v4["_pixel_offset"] = "x,y"
+    with pytest.raises(ValueError, match="invalid pixel offset"):
+        interpret_form_values(opts, v4, no_file=True)
+
+
+def test_form_folder_mode(tmp_path):
+    opts = Options(selected_mode="Folder input mode")
+    v = default_form_values(opts)
+    v["input_dir"] = str(tmp_path)
+    files = interpret_form_values(opts, v)
+    assert files == []
+    assert opts.input_dir == str(tmp_path)
+
+
+def test_i18n_languages():
+    langs, dicts = read_langs()
+    assert "English" in langs and "Français" in langs
+    fr = get_lang("Français")
+    assert tr(fr, "Mirror X") == "Miroir X"
+    assert tr(fr, "unknown key!") == "unknown key!"
+    en = get_lang("NoSuchLanguage")  # falls back to English
+    assert en["_lang_name"] == "English"
+
+
+def test_i18n_reads_reference_format_dicts(tmp_path, monkeypatch):
+    d = tmp_path / "language_data"
+    d.mkdir()
+    (d / "dict_lang_XX.txt").write_text(
+        json.dumps({"_lang_name": "Xx", "Mirror X": "Xpiegel M"}), encoding="utf-8"
+    )
+    monkeypatch.setenv("SOLEX_LANGUAGE_DATA", str(d))
+    langs, dicts = read_langs()
+    assert "Xx" in langs
+
+
+def test_clahe_tool(tmp_path, rng):
+    img = rng.integers(0, 65536, size=(64, 64), dtype=np.uint16)
+    p = str(tmp_path / "img.png")
+    write_png(p, img)
+    options = dict(clahe_ini("/nonexistent"))  # defaults
+    out = apply_clahe(p, options, write_file=True)
+    assert os.path.exists(str(tmp_path / "img_clahe.png"))
+    import cv2
+
+    ref = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(img)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # stretch path
+    options.update({"do_stretch": True, "lo": 5, "hi": 95, "sat": 80})
+    out2 = apply_clahe(p, options, write_file=False)
+    assert out2.max() <= 65535
+
+
+def test_options_json_roundtrip_reference_keys(tmp_path):
+    """SHG_config.txt written by the reference loads unchanged."""
+    ref_cfg = {
+        "language": "Français",
+        "shift": [5],
+        "de-vignette": True,
+        "trans_strength": 201,
+        "unknown_future_key": 1,
+    }
+    p = tmp_path / "SHG_config.txt"
+    p.write_text(json.dumps(ref_cfg))
+    opts = Options.load(str(p))
+    assert opts.language == "Français"
+    assert opts.shift == [5]
+    assert opts.de_vignette is True
+    assert opts.trans_strength == 201
+    opts.save(str(p))
+    saved = json.loads(p.read_text())
+    assert saved["de-vignette"] is True  # reference key name preserved
+    assert "shift_requested" not in saved
