@@ -26,7 +26,7 @@ BASELINE_CACHE = os.path.join(BENCH_DIR, "cpu_baseline.json")
 
 # full-scale Sol'Ex scan: 2000 frames, 2048-px slit, 300-px spectral window
 FRAMES, IH, IW = 2000, 2048, 300
-CPU_BASELINE_FRAMES = 100  # replica subset; scaled linearly (loop is O(F))
+CPU_BASELINE_FRAMES = 500  # replica subset; scaled linearly (loop is O(F))
 
 
 def ensure_scan() -> None:

@@ -62,17 +62,37 @@ def device_chunks(
         upscale = r.header.pixel_depth == 8
         rotate = r.flag_rotate
         chunk = auto_chunk_frames(r.header.frame_bytes, chunk)
+
+        native = None
+        try:
+            from .native import NativeSerReader
+
+            native = NativeSerReader(r.path)
+        except Exception:
+            native = None
+
+        def slab(start: int, n: int) -> np.ndarray:
+            if native is not None:
+                # native read + readahead hint for the next slab
+                out = native.read(start, n)
+                native.prefetch(start + n, chunk)
+                return out
+            return np.asarray(r.raw_frames(start, n))
+
         pending = []
-        for start in range(0, r.frame_count, chunk):
-            n = min(chunk, r.frame_count - start)
-            raw = r.raw_frames(start, n)
-            dev = jax.device_put(np.asarray(raw))
-            pending.append((start, dev))
-            if len(pending) > 1:
-                s0, d0 = pending.pop(0)
+        try:
+            for start in range(0, r.frame_count, chunk):
+                n = min(chunk, r.frame_count - start)
+                dev = jax.device_put(slab(start, n))
+                pending.append((start, dev))
+                if len(pending) > 1:
+                    s0, d0 = pending.pop(0)
+                    yield s0, normalize_frames(d0, rotate, upscale)
+            for s0, d0 in pending:
                 yield s0, normalize_frames(d0, rotate, upscale)
-        for s0, d0 in pending:
-            yield s0, normalize_frames(d0, rotate, upscale)
+        finally:
+            if native is not None:
+                native.close()
     else:
         for start, c in vid.chunks(chunk):
             yield start, jax.device_put(c)

@@ -1,0 +1,130 @@
+"""ctypes bindings for the native SER I/O library (native/ser_io.cpp).
+
+Builds the shared library on first use with the system compiler (cached
+under ~/.cache/solex_native); every entry point degrades to the pure-Python
+mmap reader (io/ser.py) when the toolchain or library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "ser_io.cpp")
+_CACHE = os.path.join(os.path.expanduser("~"), ".cache", "solex_native")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    so = os.path.join(_CACHE, "libser_io.so")
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    os.makedirs(_CACHE, exist_ok=True)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", so, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("SOLEX_NO_NATIVE") == "1":
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.ser_open.restype = ctypes.c_int
+        lib.ser_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.ser_prefetch.restype = ctypes.c_int
+        lib.ser_prefetch.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
+        lib.ser_read.restype = ctypes.c_int
+        lib.ser_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_void_p,
+        ]
+        lib.ser_close.restype = None
+        lib.ser_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeSerReader:
+    """Raw-slab SER reader over the native library.
+
+    Raises RuntimeError when the native library can't be used; callers
+    (io/feeder.py) fall back to the Python SerReader.
+    """
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native ser_io unavailable")
+        self._lib = lib
+        h = ctypes.c_void_p()
+        w = ctypes.c_uint32()
+        ht = ctypes.c_uint32()
+        d = ctypes.c_uint32()
+        n = ctypes.c_uint32()
+        rc = lib.ser_open(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                          ctypes.byref(ht), ctypes.byref(d), ctypes.byref(n))
+        if rc != 0:
+            raise RuntimeError(f"ser_open failed ({rc}) for {path}")
+        self._h = h
+        self.Width, self.Height = int(w.value), int(ht.value)
+        self.pixel_depth = int(d.value)
+        self.frame_count = int(n.value)
+        self.frame_bytes = self.Width * self.Height * (self.pixel_depth // 8)
+        self.dtype = np.uint8 if self.pixel_depth == 8 else np.dtype("<u2")
+
+    def prefetch(self, start: int, count: int) -> None:
+        self._lib.ser_prefetch(self._h, start, count)
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        """(count, Height, Width) raw frames (single native memcpy)."""
+        out = np.empty(
+            (count, self.Height, self.Width), dtype=self.dtype
+        )
+        rc = self._lib.ser_read(self._h, start, count, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise RuntimeError(f"ser_read failed ({rc})")
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_h", None) is not None:
+            self._lib.ser_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

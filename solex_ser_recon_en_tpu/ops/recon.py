@@ -136,17 +136,19 @@ class StreamingRecon:
     """
 
     def __init__(self, ih: int, iw: int, frame_count: int, shifts, fit_floor, fit_frac, kernel="auto"):
-        self.out = np.empty((len(list(shifts)), ih, frame_count), dtype=np.uint16)
         self.shifts = list(shifts)
         self.fit_floor = fit_floor
         self.fit_frac = fit_frac
         self.kernel = kernel
+        self._parts = []  # (start, device array) — downloaded once at result()
 
     def update(self, start: int, chunk) -> None:
         part = reconstruct(
             chunk, self.fit_floor, self.fit_frac, self.shifts, kernel=self.kernel
         )
-        self.out[:, :, start : start + chunk.shape[0]] = np.asarray(part)
+        self._parts.append((start, part))
 
     def result(self) -> np.ndarray:
-        return self.out
+        self._parts.sort(key=lambda p: p[0])
+        whole = jnp.concatenate([p for _, p in self._parts], axis=2)
+        return np.asarray(whole)

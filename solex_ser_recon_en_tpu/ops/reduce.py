@@ -39,27 +39,55 @@ def mean_max(frames, frame_count: int | None = None) -> Tuple[np.ndarray, np.nda
     return mean, np.asarray(m)
 
 
+@jax.jit
+def _fold(sum_acc, max_acc, chunk):
+    s = sum_acc + jnp.sum(chunk.astype(jnp.int32), axis=0)
+    m = jnp.maximum(max_acc, jnp.max(chunk, axis=0))
+    return s, m
+
+
 class MeanMaxAccumulator:
-    """Chunked accumulator for scans that stream through HBM."""
+    """Chunked accumulator for scans that stream through HBM.
+
+    Accumulation stays on device (one jitted fold per chunk, no host
+    round-trips — a per-chunk download would serialise the feed pipeline);
+    the single download happens in ``result``.  int32 is exact up to 2^15
+    frames of uint16; longer scans spill to an int64 host fold per 2^15
+    frames.
+    """
+
+    _SPILL = 1 << 15
 
     def __init__(self):
-        self._sum: np.ndarray | None = None
-        self._max: np.ndarray | None = None
+        self._sum = None
+        self._max = None
+        self._spill: np.ndarray | None = None  # int64 host overflow guard
+        self._since_spill = 0
         self.count = 0
 
+    def _do_spill(self) -> None:
+        s = np.asarray(self._sum, dtype=np.int64)
+        self._spill = s if self._spill is None else self._spill + s
+        self._sum = jnp.zeros_like(self._sum)
+        self._since_spill = 0
+
     def update(self, chunk) -> None:
-        s, m = _sum_max(jnp.asarray(chunk))
-        s = np.asarray(s, dtype=np.int64)
-        m = np.asarray(m)
+        chunk = jnp.asarray(chunk)
         if self._sum is None:
-            self._sum, self._max = s, np.array(m)
-        else:
-            self._sum += s
-            np.maximum(self._max, m, out=self._max)
+            shape = chunk.shape[1:]
+            self._sum = jnp.zeros(shape, jnp.int32)
+            self._max = jnp.zeros(shape, jnp.uint16)
+        if self._since_spill + chunk.shape[0] > self._SPILL:
+            self._do_spill()
+        self._sum, self._max = _fold(self._sum, self._max, chunk)
+        self._since_spill += chunk.shape[0]
         self.count += chunk.shape[0]
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._sum is None:
             raise ValueError("no frames accumulated")
-        mean = (self._sum.astype(np.float64) / self.count).astype(np.uint16)
-        return mean, self._max
+        total = np.asarray(self._sum, dtype=np.int64)
+        if self._spill is not None:
+            total = total + self._spill
+        mean = (total.astype(np.float64) / self.count).astype(np.uint16)
+        return mean, np.asarray(self._max)

@@ -219,8 +219,19 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
         frame_circularized = None
         if options.ratio_fixe is None and options.slant_fix is None:
             # first pass: full ellipse fit on the high-contrast disk
-            with timer.stage("ellipse fit"):
-                geo = ellipse_to_circle(scan.disk_list[i], log=log)
+            try:
+                with timer.stage("ellipse fit"):
+                    geo = ellipse_to_circle(scan.disk_list[i], log=log)
+            except Exception as e:
+                # reference surfaces this as a GUI error and asks for manual
+                # Y/X + tilt (README.md:110); headless we degrade to an
+                # uncorrected geometry + backup bounds and keep going
+                print(f"WARNING: ellipse fit failed ({e}); "
+                      "proceeding without geometric correction")
+                log(f"Ellipse fit FAILED: {e}; no geometric correction")
+                options.ratio_fixe = 1.0
+                options.slant_fix = 0.0
+                continue
             frame_circularized = geo.image
             circle = geo.circle
             borders = geo.borders

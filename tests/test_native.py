@@ -1,0 +1,54 @@
+"""Native SER I/O library tests (built from native/ser_io.cpp via ctypes)."""
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.io.ser import write_ser
+from solex_ser_recon_en_tpu.io.native import NativeSerReader, get_lib
+
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="no native toolchain")
+
+
+def test_native_reader_matches_python(tmp_path, rng):
+    frames = rng.integers(0, 65536, size=(12, 20, 16), dtype=np.uint16)
+    p = str(tmp_path / "n.ser")
+    write_ser(p, frames)
+    r = NativeSerReader(p)
+    assert (r.Width, r.Height, r.pixel_depth, r.frame_count) == (16, 20, 16, 12)
+    np.testing.assert_array_equal(r.read(0, 12), frames)
+    np.testing.assert_array_equal(r.read(5, 3), frames[5:8])
+    r.prefetch(0, 12)  # hint only; must not crash
+    r.close()
+
+
+def test_native_reader_clamps_truncated(tmp_path):
+    frames = np.zeros((10, 8, 8), dtype=np.uint16)
+    p = str(tmp_path / "t.ser")
+    write_ser(p, frames)
+    with open(p, "r+b") as f:
+        f.truncate(178 + 10 * 8 * 8 * 2 - 100)
+    r = NativeSerReader(p)
+    assert r.frame_count == 9
+    with pytest.raises(RuntimeError):
+        r.read(0, 10)
+    r.close()
+
+
+def test_native_reader_bad_files(tmp_path):
+    bad = tmp_path / "bad.ser"
+    bad.write_bytes(b"short")
+    with pytest.raises(RuntimeError):
+        NativeSerReader(str(bad))
+    with pytest.raises(RuntimeError):
+        NativeSerReader(str(tmp_path / "missing.ser"))
+
+
+def test_native_8bit(tmp_path, rng):
+    frames = rng.integers(0, 256, size=(5, 6, 10), dtype=np.uint8)
+    p = str(tmp_path / "e.ser")
+    write_ser(p, frames)
+    r = NativeSerReader(p)
+    assert r.pixel_depth == 8
+    np.testing.assert_array_equal(r.read(0, 5), frames)
+    r.close()
