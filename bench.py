@@ -52,7 +52,7 @@ def ensure_scan() -> None:
     write_ser(SCAN, np.rot90(out, k=-1, axes=(1, 2)))
 
 
-def run_tpu(n_iters: int = 1) -> dict:
+def run_tpu(n_iters: int = 2) -> dict:
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.pipeline.run import process_file
     from solex_ser_recon_en_tpu.utils.timer import StageTimer

@@ -47,6 +47,44 @@ def auto_chunk_frames(frame_bytes: int, requested: int) -> int:
     return max(1, min(requested, cap))
 
 
+def raw_device_chunks(
+    vid: VideoReader, chunk: int
+) -> Tuple[Iterator[Tuple[int, jax.Array]], bool, bool]:
+    """(iterator of raw device chunks, rotate, upscale) for SER scans.
+
+    The chunks are in on-disk layout — consumers (ops/fused.py) contract
+    them without a normalisation pass.  Raises TypeError for non-SER
+    sources (no raw layout to exploit).
+    """
+    if not isinstance(vid, _SerVideo):
+        raise TypeError("raw chunks only for SER sources")
+    r: SerReader = vid._r
+    chunk = auto_chunk_frames(r.header.frame_bytes, chunk)
+
+    def gen():
+        native = None
+        try:
+            from .native import NativeSerReader
+
+            native = NativeSerReader(r.path)
+        except Exception:
+            native = None
+        try:
+            for start in range(0, r.frame_count, chunk):
+                n = min(chunk, r.frame_count - start)
+                if native is not None:
+                    raw = native.read(start, n)
+                    native.prefetch(start + n, chunk)
+                else:
+                    raw = np.asarray(r.raw_frames(start, n))
+                yield start, jax.device_put(raw)
+        finally:
+            if native is not None:
+                native.close()
+
+    return gen(), r.flag_rotate, r.header.pixel_depth == 8
+
+
 def device_chunks(
     vid: VideoReader, chunk: int
 ) -> Iterator[Tuple[int, jax.Array]]:

@@ -27,10 +27,18 @@ import jax.numpy as jnp
 
 
 def _tile_histograms(tiles: jax.Array, hist_size: int) -> jax.Array:
-    """tiles (T, n) int32 values -> (T, hist_size) int32 counts."""
+    """tiles (T, n) int32 values -> (T, hist_size) int32 counts.
+
+    Sort + searchsorted instead of scatter-add: TPU has no fast scatter,
+    but sorts and vectorised binary searches map well onto the VPU.
+    cumcount[v] = #vals <= v, hist = diff(cumcount).
+    """
 
     def one(vals):
-        return jnp.zeros(hist_size, jnp.int32).at[vals].add(1)
+        s = jnp.sort(vals)
+        edges = jnp.arange(hist_size, dtype=jnp.int32)
+        cum = jnp.searchsorted(s, edges, side="right")
+        return jnp.diff(cum, prepend=0).astype(jnp.int32)
 
     return jax.vmap(one)(tiles)
 

@@ -1,0 +1,146 @@
+"""Raw-layout fused scan processing — the minimum-HBM-traffic device path.
+
+The scan is inherently two passes (the recon needs the line fit, which needs
+the mean image — reference: Solex_recon.py:61-63), so the roofline is two
+HBM reads of the frame slab.  The naive path adds a full materialised
+normalisation (rot90 transpose + 8->16 upscale) on top; this module removes
+it by operating directly on the *raw on-disk layout*:
+
+- pass A: int32 sum + max reductions over raw frames; the tiny (H, W)
+  results are rotated/upscaled once at the end.
+- pass B: the one-hot recon matmul contracts over the raw spectral axis
+  with the weight tensor pre-flipped to absorb the rot90, so the 2.4 GB
+  slab is never transposed — only the (S, ih, F) output is.
+
+For wide-stored scans (Width > Height, the common Sol'Ex case):
+    norm[y, x] = raw[x, W-1-y]   (np.rot90; video_reader.py:119-120)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .recon import build_shift_indices
+
+
+@jax.jit
+def _fold_raw(sum_acc, max_acc, raw_chunk):
+    s = sum_acc + jnp.sum(raw_chunk.astype(jnp.int32), axis=0)
+    m = jnp.maximum(max_acc, jnp.max(raw_chunk, axis=0))
+    return s, m
+
+
+@partial(jax.jit, static_argnames=("rotate", "upscale"))
+def _recon_raw(raw, Wt, rotate: bool, upscale: bool):
+    """raw (F, H, W) u16/u8, Wt (spatial, S, iw) f32 already in raw spatial
+    order -> disks (S, ih, F) u16 in normalised orientation."""
+    f = raw.astype(jnp.float32)
+    if upscale:
+        f = f * 256.0
+    if rotate:
+        # norm[y, x] = raw[x, W-1-y]: batch over raw axis 2 (reversed
+        # spatial), contract over raw axis 1 (spectral)
+        out = jax.lax.dot_general(
+            Wt,
+            f,
+            dimension_numbers=(((2,), (1,)), ((0,), (2,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (spatial_rev, S, F)
+        out = jnp.flip(out, axis=0)          # -> spatial (ih) ascending
+        out = jnp.transpose(out, (1, 0, 2))  # (S, ih, F)
+    else:
+        out = jax.lax.dot_general(
+            Wt,
+            f,
+            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (ih, S, F)
+        out = jnp.transpose(out, (1, 0, 2))
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+
+
+def build_raw_weights(
+    fit_floor: np.ndarray, fit_frac: np.ndarray, shifts: List[int], iw: int,
+    rotate: bool, upscale: bool,
+) -> jnp.ndarray:
+    """One-hot interp weights (spatial_raw, S, iw) f32 for _recon_raw.
+
+    The spatial axis is emitted in raw storage order (reversed when the scan
+    is stored wide) so the recon contracts the raw slab without transposing
+    it; the 8-bit x256 upscale stays on the data side (_recon_raw).
+    """
+    ind_l, left_w = build_shift_indices(fit_floor, fit_frac, shifts, iw)
+    S, ih = ind_l.shape
+    cols = np.arange(iw, dtype=np.int32)[None, None, :]
+    l = ind_l.T[:, :, None]                     # (ih, S, 1)
+    w = left_w[:, None, None]
+    W = np.where(cols == l, w, 0.0) + np.where(cols == l + 1, 1.0 - w, 0.0)
+    W = W.astype(np.float32)                    # (ih, S, iw)
+    if rotate:
+        W = W[::-1]                             # raw spatial order (W-1-y)
+    return jnp.asarray(np.ascontiguousarray(W))
+
+
+class RawScanProcessor:
+    """Two-pass scan processing over raw device chunks.
+
+    Usage: feed every chunk to ``accumulate`` (pass A, chunks stay resident
+    if ``keep``), call ``mean_max`` for the normalised mean/max, then
+    ``reconstruct(fit, shifts)`` (pass B over the resident chunks).
+    """
+
+    def __init__(self, height: int, width: int, rotate: bool, upscale: bool):
+        self.rotate = rotate
+        self.upscale = upscale
+        self.ih = max(width, height) if rotate else height
+        self.iw = min(width, height) if rotate else width
+        self._sum = jnp.zeros((height, width), jnp.int32)
+        self._max = jnp.zeros((height, width), jnp.uint16)
+        self._chunks: List[Tuple[int, jax.Array]] = []
+        self.count = 0
+
+    def accumulate(self, start: int, raw_chunk: jax.Array, keep: bool = True) -> None:
+        self._sum, self._max = _fold_raw(self._sum, self._max, raw_chunk)
+        self.count += raw_chunk.shape[0]
+        if keep:
+            self._chunks.append((start, raw_chunk))
+
+    def mean_max(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Normalised-orientation mean (uint16, reference truncation) and max."""
+        total = np.asarray(self._sum, dtype=np.int64)
+        mx = np.asarray(self._max)
+        if self.rotate:
+            total = np.rot90(total)
+            mx = np.rot90(mx)
+        scale = 256 if self.upscale else 1
+        mean = ((total.astype(np.float64) * scale) / self.count).astype(np.uint16)
+        if self.upscale:
+            mx = (mx.astype(np.uint16)) << 8
+        return mean, np.ascontiguousarray(mx)
+
+    def reconstruct(self, fit_floor, fit_frac, shifts: List[int]) -> np.ndarray:
+        if not self._chunks:
+            raise ValueError("no resident chunks to reconstruct from")
+        self._chunks.sort(key=lambda p: p[0])
+        return self.reconstruct_streaming(self._chunks, fit_floor, fit_frac, shifts)
+
+    def reconstruct_streaming(
+        self, chunks, fit_floor, fit_frac, shifts: List[int]
+    ) -> np.ndarray:
+        """Pass B over an iterator of (start, raw device chunk)."""
+        Wt = build_raw_weights(
+            fit_floor, fit_frac, shifts, self.iw, self.rotate, self.upscale
+        )
+        parts = [
+            (start, _recon_raw(c, Wt, self.rotate, self.upscale))
+            for start, c in chunks
+        ]
+        parts.sort(key=lambda p: p[0])
+        return np.asarray(jnp.concatenate([p for _, p in parts], axis=2))

@@ -66,6 +66,33 @@ def _protus_disc(img: np.ndarray, x0: int, y0: int, r: int, value: int = 80) -> 
     return out
 
 
+import jax
+
+
+@jax.jit
+def _products_core(fj: jnp.ndarray):
+    """One fused device program: CLAHE + percentiles + the three stretches.
+
+    reference math: solex_util.py:532-541.
+    """
+    from ..ops.clahe import _clahe
+
+    cl1 = _clahe(fj, 0.8, 2, 2, 65536).astype(jnp.uint16)
+    f32 = fj.astype(jnp.float32).ravel()
+    bright = jnp.maximum(jnp.percentile(f32, 99.9999), 1.0)
+    dark_clahe = jnp.percentile(cl1.astype(jnp.float32).ravel(), 10.0)
+    bright_clahe = jnp.maximum(jnp.max(cl1).astype(jnp.float32), dark_clahe + 1.0)
+
+    def stretch(img, lo, hi):
+        x = 65535.0 * (img.astype(jnp.float32) - lo) / (hi - lo)
+        return jnp.clip(x, 0, 65535).astype(jnp.uint16)
+
+    frame_hc = stretch(fj, bright * 0.25, bright)
+    frame_protus = stretch(fj, 0.0, jnp.maximum(bright * 0.18, 1.0))
+    cc = stretch(cl1, dark_clahe, bright_clahe)
+    return cl1, cc, frame_hc, frame_protus
+
+
 def image_process(
     frame: np.ndarray,
     circle: Circle,
@@ -81,20 +108,11 @@ def image_process(
     """
     frame = np.asarray(frame, dtype=np.uint16)
     fj = jnp.asarray(frame)
-    cl1 = clahe(fj, clip_limit=0.8, tiles=(2, 2))
-
-    bright = percentile(frame, 99.9999)
-    dark_clahe = percentile(np.asarray(cl1), 10)
-    bright_clahe = float(jnp.max(cl1))
-
+    cl1, cc, frame_hc, frame_protus = _products_core(fj)
     frame_raw = frame
-    if bright <= 0:
-        bright = 1.0
-    frame_hc = np.asarray(rescale_brightness(fj, bright * 0.25, bright))
-    frame_protus = np.asarray(rescale_brightness(fj, 0, max(bright * 0.18, 1.0)))
-    if bright_clahe <= dark_clahe:
-        bright_clahe = dark_clahe + 1
-    cc = np.asarray(rescale_brightness(cl1, dark_clahe, bright_clahe))
+    cc = np.asarray(cc)
+    frame_hc = np.asarray(frame_hc)
+    frame_protus = np.asarray(frame_protus)
 
     if circle != NO_CIRCLE and options.disk_display:
         x0, y0 = int(circle[0]), int(circle[1])

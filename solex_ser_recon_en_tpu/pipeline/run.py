@@ -80,19 +80,30 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     log(f"Width, Height : {vid.Width} {vid.Height}")
     log(f"Number of frames : {vid.frame_count}")
 
-    with timer.stage("mean/max"):
-        acc = MeanMaxAccumulator()
-        chunks = []
-        keep_resident = (
-            vid.frame_count * vid.ih * vid.iw * 2 <= 4 * 1024**3
-        )
-        from ..io.feeder import device_chunks
+    from ..io.feeder import device_chunks, raw_device_chunks
+    from ..ops.fused import RawScanProcessor
 
-        for start, chunk in device_chunks(vid, options.frame_chunk):
-            acc.update(chunk)
-            if keep_resident:
-                chunks.append((start, chunk))
-        mean_img, max_img = acc.result()
+    keep_resident = vid.frame_count * vid.ih * vid.iw * 2 <= 4 * 1024**3
+    raw_proc = None
+    chunks = []
+    with timer.stage("mean/max"):
+        try:
+            raw_iter, rotate, upscale = raw_device_chunks(vid, options.frame_chunk)
+        except TypeError:
+            raw_iter = None
+        if raw_iter is not None:
+            # fused raw-layout path: no normalisation pass over the slab
+            raw_proc = RawScanProcessor(vid.Height, vid.Width, rotate, upscale)
+            for start, chunk in raw_iter:
+                raw_proc.accumulate(start, chunk, keep=keep_resident)
+            mean_img, max_img = raw_proc.mean_max()
+        else:
+            acc = MeanMaxAccumulator()
+            for start, chunk in device_chunks(vid, options.frame_chunk):
+                acc.update(chunk)
+                if keep_resident:
+                    chunks.append((start, chunk))
+            mean_img, max_img = acc.result()
 
     if options.save_fit:
         write_fits(output_path(basefich0 + "_mean.fits", options), mean_img, hdr)
@@ -108,17 +119,26 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         )
 
     with timer.stage("recon"):
-        recon = StreamingRecon(
-            vid.ih, vid.iw, vid.frame_count, shifts, lf.floor, lf.frac,
-            kernel=options.recon_kernel,
-        )
-        if keep_resident:
-            for start, chunk in chunks:
-                recon.update(start, chunk)
+        if raw_proc is not None:
+            if keep_resident:
+                disk_list = raw_proc.reconstruct(lf.floor, lf.frac, shifts)
+            else:
+                raw_iter, _, _ = raw_device_chunks(vid, options.frame_chunk)
+                disk_list = raw_proc.reconstruct_streaming(
+                    raw_iter, lf.floor, lf.frac, shifts
+                )
         else:
-            for start, chunk in device_chunks(vid, options.frame_chunk):
-                recon.update(start, chunk)
-        disk_list = recon.result()
+            recon = StreamingRecon(
+                vid.ih, vid.iw, vid.frame_count, shifts, lf.floor, lf.frac,
+                kernel=options.recon_kernel,
+            )
+            if keep_resident:
+                for start, chunk in chunks:
+                    recon.update(start, chunk)
+            else:
+                for start, chunk in device_chunks(vid, options.frame_chunk):
+                    recon.update(start, chunk)
+            disk_list = recon.result()
 
     if options.flip_x:
         disk_list = disk_list[:, :, ::-1]

@@ -106,3 +106,17 @@ def test_percentile_matches_numpy(rng):
     img = rng.integers(0, 65536, size=(50, 60), dtype=np.uint16)
     for q in (10.0, 99.9999):
         assert abs(percentile(img, q) - np.percentile(img, q)) < 2.0
+
+
+def test_reconstruct_pallas_kernel(rng):
+    """Pallas kernel agrees with the gather kernel (interpret mode on CPU)."""
+    F, ih, iw = 19, 40, 32
+    frames = rng.integers(0, 65536, size=(F, ih, iw), dtype=np.uint16)
+    y = np.arange(ih, dtype=np.float64)
+    curve = 10.0 + 0.05 * y
+    floor = np.floor(curve).astype(np.int64)
+    frac = curve - floor
+    shifts = [-30, 0, 3]
+    p = np.asarray(reconstruct(frames, floor, frac, shifts, kernel="pallas"))
+    g = np.asarray(reconstruct(frames, floor, frac, shifts, kernel="gather"))
+    assert np.abs(p.astype(int) - g.astype(int)).max() <= 1
