@@ -151,16 +151,39 @@ def handle_folder(options: Options, poll_seconds: float = 1.0,
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # framework extension: --profile[=dir] wraps the run in a jax.profiler
+    # trace (the reference's only hook is a dead cProfile branch,
+    # SHG_MAIN.py:225-228)
+    profile_dir = None
+    rest = []
+    for a in argv:
+        if a == "--profile":
+            profile_dir = "/tmp/solex_profile"
+        elif a.startswith("--profile="):
+            profile_dir = a.split("=", 1)[1]
+        else:
+            rest.append(a)
     options = Options()
-    files = parse_cli(options, argv)
-    if not files:
-        if options.input_dir:
-            return 0 if handle_folder(options) > 0 else 1
-        print(usage())
-        return 1
-    options.validate()
-    n = handle_files(files, options, flag_command_line=True)
-    return 0 if n == len(files) else 1
+    files = parse_cli(options, rest)
+
+    def run() -> int:
+        if not files:
+            if options.input_dir:
+                return 0 if handle_folder(options) > 0 else 1
+            print(usage())
+            return 1
+        options.validate()
+        n = handle_files(files, options, flag_command_line=True)
+        return 0 if n == len(files) else 1
+
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            rc = run()
+        print(f"profiler trace written to {profile_dir}")
+        return rc
+    return run()
 
 
 if __name__ == "__main__":
