@@ -264,7 +264,7 @@ class SpectralAnalyser:
         phi = math.radians(opts.slant_fix) if opts.slant_fix is not None else 0.0
         small = _downscale(disk, f)
         circ, _, _ = correct_image(
-            small / 65536.0, phi, ratio, np.array([-1.0, -1.0]), -1.0
+            small, phi, ratio, np.array([-1.0, -1.0]), -1.0
         )
         circle = (
             _tuple_downscale(self.state.circle, f)
@@ -290,7 +290,7 @@ class SpectralAnalyser:
         ratio = opts.ratio_fixe if opts.ratio_fixe is not None else 1.0
         phi = math.radians(opts.slant_fix) if opts.slant_fix is not None else 0.0
         circ, _, _ = correct_image(
-            disk / 65536.0, phi, ratio, np.array([-1.0, -1.0]), -1.0
+            disk, phi, ratio, np.array([-1.0, -1.0]), -1.0
         )
         clahe_img, protus = single_image_process(
             circ,

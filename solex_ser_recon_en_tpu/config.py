@@ -69,6 +69,9 @@ class Options:
     recon_kernel: str = "auto"
     # frames per host->device transfer chunk (streaming decode)
     frame_chunk: int = 512
+    # feed policy: "auto" | "device" (whole slab to HBM) | "band"
+    # (host pass A + only the recon's spectral band transferred)
+    feed_mode: str = "auto"
 
     # ------------------------------------------------------------------
     def validate(self) -> None:

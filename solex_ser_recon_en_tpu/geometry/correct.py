@@ -37,14 +37,18 @@ class GeometryResult:
 
 
 def correct_image(
-    image01: np.ndarray,
+    image,
     phi: float,
     ratio: float,
     center: np.ndarray,
     height: float,
     log: Optional[Callable[[str], None]] = None,
 ) -> Tuple[np.ndarray, Circle, np.ndarray]:
-    """Circularise ``image01`` (float, 0..1) given ellipse tilt/ratio.
+    """Circularise ``image`` given ellipse tilt/ratio.
+
+    ``image`` is either float 0..1 (as the reference passes, divided by
+    65536 — ellipse_to_circle.py:299, Solex_recon.py:123) or uint16, in
+    which case the /65536 happens on device, saving a host float64 pass.
 
     reference: ellipse_to_circle.py:94-145 — builds the 3x3 inverse map from
     the 2x2 correction matrix, translates so nothing clips, warps with
@@ -56,7 +60,7 @@ def correct_image(
     mat3 = np.zeros((3, 3))
     mat3[:2, :2] = mat
     mat3[2, 2] = 1.0
-    h, w = image01.shape
+    h, w = image.shape
     corners = np.array([[0, 0], [0, h], [w, 0], [w, h]], dtype=np.float64)
     new_corners = (np.linalg.inv(mat) @ corners.T).T
     new_h = float(np.max(new_corners[:, 1]) - np.min(new_corners[:, 1]))
@@ -65,13 +69,15 @@ def correct_image(
     mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
 
     out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
-    warped = warp_projective(
-        jnp.asarray(image01, dtype=jnp.float32),
-        jnp.asarray(mat3),
-        out_h,
-        out_w,
-        cval=float(image01[0, 0]),
-    )
+    img_j = jnp.asarray(image)
+    if np.issubdtype(np.asarray(image).dtype, np.integer):
+        img_j = img_j.astype(jnp.float32) / 65536.0
+    else:
+        img_j = img_j.astype(jnp.float32)
+    cval = float(np.asarray(image[0, 0], dtype=np.float64))
+    if np.issubdtype(np.asarray(image).dtype, np.integer):
+        cval /= 65536.0
+    warped = warp_projective(img_j, jnp.asarray(mat3), out_h, out_w, cval=cval)
     corrected = np.asarray(warp_to_u16(warped))
 
     new_center = (np.linalg.inv(mat) @ np.asarray(center, dtype=np.float64).T).T - np.array(
@@ -108,16 +114,29 @@ def ellipse_to_circle(
     the warp circularises; borders come from transforming the kept edge
     points into the corrected frame.
     """
-    image01 = np.asarray(image_u16, dtype=np.float64) / 65536.0
     factor = 4
-    small = downscale_local_mean(image01, factor)
+    # 4x block-mean downscale of image/65536 on device; only the small
+    # image comes back to host for the point-set stages
+    img_j = jnp.asarray(image_u16).astype(jnp.float32) / 65536.0
+    h, w = img_j.shape
+    ph, pw = (-h) % factor, (-w) % factor
+    if ph or pw:
+        img_j = jnp.pad(img_j, ((0, ph), (0, pw)))
+    small = np.asarray(
+        img_j.reshape((h + ph) // factor, factor, (w + pw) // factor, factor).mean(
+            axis=(1, 3)
+        ),
+        dtype=np.float64,
+    )
     X, raw_X = get_edge_list(small)
     X = X * factor
     raw_X = raw_X * factor
     center_yx, height, phi, ratio, X_f, ell_pts = two_step(X)
     center = np.array([center_yx[1], center_yx[0]])  # (x, y)
 
-    fixed, circle, mat3 = correct_image(image01, phi, ratio, center, height, log=log)
+    fixed, circle, mat3 = correct_image(
+        np.asarray(image_u16), phi, ratio, center, height, log=log
+    )
 
     # transform kept edge points into the corrected frame for the borders
     pts = np.ones((X_f.shape[0], 3))

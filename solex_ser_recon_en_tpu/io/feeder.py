@@ -41,6 +41,17 @@ def normalize_frames(raw: jax.Array, rotate: bool, upscale: bool) -> jax.Array:
 _TARGET_CHUNK_BYTES = 96 * 1024 * 1024
 
 
+def probe_transfer_rate(sample_bytes: int = 24 * 1024 * 1024) -> float:
+    """Measured host->device bandwidth (bytes/s) for the feed policy."""
+    import time
+
+    buf = np.ones(sample_bytes // 2, dtype=np.uint16)
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    dt = max(time.perf_counter() - t0, 1e-6)
+    return sample_bytes / dt
+
+
 def auto_chunk_frames(frame_bytes: int, requested: int) -> int:
     """Frames per host->device transfer, capped to ~96MB per put."""
     cap = max(1, _TARGET_CHUNK_BYTES // max(frame_bytes, 1))
@@ -62,6 +73,11 @@ def raw_device_chunks(
     chunk = auto_chunk_frames(r.header.frame_bytes, chunk)
 
     def gen():
+        # the memmap slice is the zero-copy transfer source (device_put
+        # reads the pages directly); the native library contributes the
+        # madvise readahead for the NEXT slab so disk I/O overlaps the
+        # transfer.  A native ser_read memcpy here would double host
+        # memory traffic — the scarce resource on this class of host.
         native = None
         try:
             from .native import NativeSerReader
@@ -73,10 +89,8 @@ def raw_device_chunks(
             for start in range(0, r.frame_count, chunk):
                 n = min(chunk, r.frame_count - start)
                 if native is not None:
-                    raw = native.read(start, n)
                     native.prefetch(start + n, chunk)
-                else:
-                    raw = np.asarray(r.raw_frames(start, n))
+                raw = np.asarray(r.raw_frames(start, n))
                 yield start, jax.device_put(raw)
         finally:
             if native is not None:
@@ -110,11 +124,9 @@ def device_chunks(
             native = None
 
         def slab(start: int, n: int) -> np.ndarray:
+            # zero-copy memmap source; native layer provides readahead only
             if native is not None:
-                # native read + readahead hint for the next slab
-                out = native.read(start, n)
                 native.prefetch(start + n, chunk)
-                return out
             return np.asarray(r.raw_frames(start, n))
 
         pending = []

@@ -144,3 +144,41 @@ class RawScanProcessor:
         ]
         parts.sort(key=lambda p: p[0])
         return np.asarray(jnp.concatenate([p for _, p in parts], axis=2))
+
+
+def reconstruct_band(
+    band_chunks,
+    fit_floor,
+    fit_frac,
+    shifts: List[int],
+    iw_total: int,
+    x0: int,
+    rotate: bool,
+    upscale: bool,
+) -> np.ndarray:
+    """Pass B over *band* chunks: raw slabs restricted to spectral columns
+    [x0, x0+bw) (io/hostreduce.spectral_band) — the minimum-bytes feed for
+    hosts with a slow accelerator link.
+
+    Index semantics stay the reference's: clipping happens against the FULL
+    spectral width (solex_util.py:117-118) before the band offset.
+    """
+    ind_l, left_w = build_shift_indices(fit_floor, fit_frac, shifts, iw_total)
+    ind_b = ind_l - x0  # band-local columns; in range by band construction
+    S, ih = ind_b.shape
+    parts = []
+    Wt = None
+    for start, chunk in band_chunks:
+        bw = chunk.shape[1] if rotate else chunk.shape[2]
+        if Wt is None:
+            cols = np.arange(bw, dtype=np.int32)[None, None, :]
+            l = ind_b.T[:, :, None]
+            w = left_w[:, None, None]
+            W = np.where(cols == l, w, 0.0) + np.where(cols == l + 1, 1.0 - w, 0.0)
+            W = W.astype(np.float32)
+            if rotate:
+                W = W[::-1]
+            Wt = jnp.asarray(np.ascontiguousarray(W))
+        parts.append((start, _recon_raw(chunk, Wt, rotate, upscale)))
+    parts.sort(key=lambda p: p[0])
+    return np.asarray(jnp.concatenate([p for _, p in parts], axis=2))

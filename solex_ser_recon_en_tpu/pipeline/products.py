@@ -134,6 +134,10 @@ def image_process(
         if not options.clahe_only and not options.protus_only:
             write_png(output_path(basefich + "_uncontrasted.png", options), frame_raw)
             write_png(output_path(basefich + "_high_contrast.png", options), frame_hc)
+    if options.flag_display:
+        from ..utils.display import show_products
+
+        show_products(cc, frame_hc, frame_protus, tempo_ms=options.tempo)
     if save and options.save_fit:
         write_fits(output_path(basefich + "_clahe.fits", options), np.asarray(cl1), header)
     return cc, frame_protus

@@ -80,30 +80,48 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     log(f"Width, Height : {vid.Width} {vid.Height}")
     log(f"Number of frames : {vid.frame_count}")
 
-    from ..io.feeder import device_chunks, raw_device_chunks
+    from ..io.feeder import device_chunks, probe_transfer_rate, raw_device_chunks
+    from ..io.video import _SerVideo
     from ..ops.fused import RawScanProcessor
 
     keep_resident = vid.frame_count * vid.ih * vid.iw * 2 <= 4 * 1024**3
+    total_bytes = vid.frame_count * vid.ih * vid.iw * 2
     raw_proc = None
+    band_mode = False
     chunks = []
+
+    # feed policy: when the accelerator link is slower than local host
+    # memory (slow-DMA hosts, tunnelled devices), keep pass A on the host
+    # and transfer only the spectral band pass B gathers from.
+    feed = options.feed_mode
+    if feed == "auto" and isinstance(vid, _SerVideo) and total_bytes > 256 * 1024**2:
+        rate = probe_transfer_rate()
+        feed = "band" if rate < 200e6 else "device"
+
     with timer.stage("mean/max"):
-        try:
-            raw_iter, rotate, upscale = raw_device_chunks(vid, options.frame_chunk)
-        except TypeError:
-            raw_iter = None
-        if raw_iter is not None:
-            # fused raw-layout path: no normalisation pass over the slab
-            raw_proc = RawScanProcessor(vid.Height, vid.Width, rotate, upscale)
-            for start, chunk in raw_iter:
-                raw_proc.accumulate(start, chunk, keep=keep_resident)
-            mean_img, max_img = raw_proc.mean_max()
+        if feed == "band" and isinstance(vid, _SerVideo):
+            from ..io.hostreduce import host_mean_max
+
+            band_mode = True
+            mean_img, max_img = host_mean_max(vid._r)
         else:
-            acc = MeanMaxAccumulator()
-            for start, chunk in device_chunks(vid, options.frame_chunk):
-                acc.update(chunk)
-                if keep_resident:
-                    chunks.append((start, chunk))
-            mean_img, max_img = acc.result()
+            try:
+                raw_iter, rotate, upscale = raw_device_chunks(vid, options.frame_chunk)
+            except TypeError:
+                raw_iter = None
+            if raw_iter is not None:
+                # fused raw-layout path: no normalisation pass over the slab
+                raw_proc = RawScanProcessor(vid.Height, vid.Width, rotate, upscale)
+                for start, chunk in raw_iter:
+                    raw_proc.accumulate(start, chunk, keep=keep_resident)
+                mean_img, max_img = raw_proc.mean_max()
+            else:
+                acc = MeanMaxAccumulator()
+                for start, chunk in device_chunks(vid, options.frame_chunk):
+                    acc.update(chunk)
+                    if keep_resident:
+                        chunks.append((start, chunk))
+                mean_img, max_img = acc.result()
 
     if options.save_fit:
         write_fits(output_path(basefich0 + "_mean.fits", options), mean_img, hdr)
@@ -119,7 +137,29 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         )
 
     with timer.stage("recon"):
-        if raw_proc is not None:
+        if band_mode:
+            import jax
+
+            from ..io.feeder import auto_chunk_frames
+            from ..io.hostreduce import extract_band, spectral_band
+            from ..ops.fused import reconstruct_band
+
+            r = vid._r
+            x0, x1 = spectral_band(lf.floor, shifts, vid.iw)
+            bw = x1 - x0
+            band_frame_bytes = bw * vid.ih * r.header.dtype.itemsize
+            chunk_n = auto_chunk_frames(band_frame_bytes, options.frame_chunk * 8)
+
+            def band_chunks():
+                for start in range(0, r.frame_count, chunk_n):
+                    n = min(chunk_n, r.frame_count - start)
+                    yield start, jax.device_put(extract_band(r, x0, x1, start, n))
+
+            disk_list = reconstruct_band(
+                band_chunks(), lf.floor, lf.frac, shifts, vid.iw, x0,
+                r.flag_rotate, r.header.pixel_depth == 8,
+            )
+        elif raw_proc is not None:
             if keep_resident:
                 disk_list = raw_proc.reconstruct(lf.floor, lf.frac, shifts)
             else:
@@ -277,7 +317,7 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
             if flag_requested:
                 with timer.stage("warp"):
                     frame_circularized, _, _ = correct_image(
-                        scan.disk_list[i] / 65536,
+                        scan.disk_list[i],
                         phi,
                         ratio,
                         np.array([-1.0, -1.0]),
@@ -296,8 +336,11 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
             continue
 
         with timer.stage("products"):
+            # NOTE: stays float64 after de-vignette, like the reference
+            # (removeVignette returns floats; the cast to uint16 happens at
+            # the product stage, solex_util.py:528)
             out = single_image_process(
-                np.asarray(frame_circularized, dtype=np.uint16),
+                np.asarray(frame_circularized),
                 scan.header,
                 options,
                 circle,

@@ -49,3 +49,39 @@ def test_raw_processor_matches_normalized_path(rng, rotate, upscale):
         disks_r.astype(int), disks_n.astype(int), atol=1
     )
     assert (disks_r != disks_n).mean() < 0.02
+
+
+def test_band_mode_matches_device_path(tmp_path, rng):
+    """feed_mode='band' (host pass A + spectral-band transfer) produces the
+    same disks as the full device path."""
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    p = str(tmp_path / "b.ser")
+    scan = SyntheticScan(ih=200, iw=96, frames=150, depth=16,
+                         line_poly=(48.0, 0.02, 0.0, 0.0), noise=0.002, seed=3)
+    scan.write(p, transpose_to_wide=True)
+    s_dev = read_scan(p, Options(shift=[0, 5], feed_mode="device", _nolog=True))
+    s_band = read_scan(p, Options(shift=[0, 5], feed_mode="band", _nolog=True))
+    np.testing.assert_array_equal(s_dev.mean_img, s_band.mean_img)
+    assert s_dev.shifts == s_band.shifts
+    d = np.abs(s_dev.disk_list.astype(int) - s_band.disk_list.astype(int))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.02
+
+
+def test_band_mode_8bit_and_tall(tmp_path, rng):
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    p = str(tmp_path / "c.ser")
+    scan = SyntheticScan(ih=160, iw=64, frames=100, depth=8,
+                         line_poly=(30.0, 0.0, 0.0, 0.0), noise=0.004, seed=8)
+    scan.write(p)  # tall storage: no rotation
+    s_dev = read_scan(p, Options(shift=[-3, 0], feed_mode="device", _nolog=True))
+    s_band = read_scan(p, Options(shift=[-3, 0], feed_mode="band", _nolog=True))
+    np.testing.assert_array_equal(s_dev.mean_img, s_band.mean_img)
+    d = np.abs(s_dev.disk_list.astype(int) - s_band.disk_list.astype(int))
+    assert d.max() <= 1

@@ -143,3 +143,23 @@ def test_handle_folder_batch(scan_file, tmp_path):
     assert n == 2
     assert os.path.exists(os.path.join(str(tmp_path), "one_shift=0_clahe.png"))
     assert os.path.exists(os.path.join(str(tmp_path), "two_shift=0_clahe.png"))
+
+
+def test_devignette_path(scan_file, tmp_path):
+    """de-vignette flag: float data flows through to the products
+    (reference keeps removeVignette's float64 result, Solex_recon.py:128)."""
+    path, scan = scan_file
+    opts = Options(shift=[0], de_vignette=True, clahe_only=True,
+                   output_dir=str(tmp_path))
+    results = process_file(path, opts)
+    assert len(results) == 1
+    cc, protus = results[0][1]
+    assert cc.dtype == np.uint16
+    assert os.path.exists(os.path.join(str(tmp_path), "scan_shift=0_clahe.png"))
+
+
+def test_stubborn_transversalium_e2e(scan_file, tmp_path):
+    path, scan = scan_file
+    opts = Options(shift=[0], stubborn_transversalium=True, clahe_only=True,
+                   output_dir=str(tmp_path))
+    assert len(process_file(path, opts)) == 1
