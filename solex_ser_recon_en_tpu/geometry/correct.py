@@ -69,16 +69,14 @@ def correct_image(
     mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
 
     out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
-    img_j = jnp.asarray(image)
-    if np.issubdtype(np.asarray(image).dtype, np.integer):
-        img_j = img_j.astype(jnp.float32) / 65536.0
-    else:
-        img_j = img_j.astype(jnp.float32)
-    cval = float(np.asarray(image[0, 0], dtype=np.float64))
-    if np.issubdtype(np.asarray(image).dtype, np.integer):
+    integer_input = np.issubdtype(np.dtype(image.dtype), np.integer)
+    img_j = jnp.asarray(image).astype(jnp.float32)
+    cval = float(np.asarray(image[0, 0]))
+    if integer_input:
+        img_j = img_j / 65536.0
         cval /= 65536.0
     warped = warp_projective(img_j, jnp.asarray(mat3), out_h, out_w, cval=cval)
-    corrected = np.asarray(warp_to_u16(warped))
+    corrected = warp_to_u16(warped)  # device-resident; writers np.asarray it
 
     new_center = (np.linalg.inv(mat) @ np.asarray(center, dtype=np.float64).T).T - np.array(
         [tx, ty]

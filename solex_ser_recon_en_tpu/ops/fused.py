@@ -143,7 +143,10 @@ class RawScanProcessor:
             for start, c in chunks
         ]
         parts.sort(key=lambda p: p[0])
-        return np.asarray(jnp.concatenate([p for _, p in parts], axis=2))
+        # stays on device: downstream stages (ellipse fit downscale, warp,
+        # transversalium, products) are device-side; hosts download only
+        # for file writes
+        return jnp.concatenate([p for _, p in parts], axis=2)
 
 
 def reconstruct_band(
@@ -181,4 +184,4 @@ def reconstruct_band(
             Wt = jnp.asarray(np.ascontiguousarray(W))
         parts.append((start, _recon_raw(chunk, Wt, rotate, upscale)))
     parts.sort(key=lambda p: p[0])
-    return np.asarray(jnp.concatenate([p for _, p in parts], axis=2))
+    return jnp.concatenate([p for _, p in parts], axis=2)

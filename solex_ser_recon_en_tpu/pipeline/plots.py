@@ -56,7 +56,7 @@ def save_ellipse_fit_plot(path, image_u16, geo) -> None:
     ax[1][1].set_ylim([image.shape[0], 0])
     ax[1][1].legend(prop={"size": 6})
     ax[1][0].set_aspect("equal")
-    ax[1][0].imshow(geo.image, cmap="gray")
+    ax[1][0].imshow(np.asarray(geo.image), cmap="gray")
     for y in (geo.borders[1], geo.borders[3]):
         ax[1][0].axhline(y=y)
     for x in (geo.borders[0], geo.borders[2]):

@@ -106,38 +106,53 @@ def image_process(
     reference: solex_util.py:527-588.  Returns (clahe_image, protus_image)
     after rotation, both uint16.
     """
-    frame = np.asarray(frame, dtype=np.uint16)
-    fj = jnp.asarray(frame)
+    # device-resident until a consumer (file write / disc paint / display)
+    # actually needs host bytes — per-product downloads dominate on
+    # slow-link hosts otherwise
+    if isinstance(frame, np.ndarray):
+        frame = frame.astype(np.uint16, copy=False)
+    fj = jnp.asarray(frame).astype(jnp.uint16)
     cl1, cc, frame_hc, frame_protus = _products_core(fj)
-    frame_raw = frame
-    cc = np.asarray(cc)
-    frame_hc = np.asarray(frame_hc)
-    frame_protus = np.asarray(frame_protus)
+    frame_raw = fj
 
     if circle != NO_CIRCLE and options.disk_display:
         x0, y0 = int(circle[0]), int(circle[1])
         r = int(circle[2]) + options.delta_radius
         if r > 0:
-            frame_protus = _protus_disc(frame_protus, x0, y0, r)
+            frame_protus = jnp.asarray(
+                _protus_disc(np.asarray(frame_protus), x0, y0, r)
+            )
 
     k = options.img_rotate // 90
-    frame_raw = np.rot90(frame_raw, k, axes=(0, 1))
-    frame_hc = np.rot90(frame_hc, k, axes=(0, 1))
-    frame_protus = np.rot90(frame_protus, k, axes=(0, 1))
-    cc = np.rot90(cc, k, axes=(0, 1))
+    if k:
+        frame_raw = jnp.rot90(frame_raw, k, axes=(0, 1))
+        frame_hc = jnp.rot90(frame_hc, k, axes=(0, 1))
+        frame_protus = jnp.rot90(frame_protus, k, axes=(0, 1))
+        cc = jnp.rot90(cc, k, axes=(0, 1))
 
     if save and not options._nolog:
         if options.clahe_only or not options.protus_only:
-            write_png(output_path(basefich + "_clahe.png", options), cc)
+            write_png(output_path(basefich + "_clahe.png", options), np.asarray(cc))
         if options.protus_only or not options.clahe_only:
-            write_png(output_path(basefich + "_protus.png", options), frame_protus)
+            write_png(
+                output_path(basefich + "_protus.png", options), np.asarray(frame_protus)
+            )
         if not options.clahe_only and not options.protus_only:
-            write_png(output_path(basefich + "_uncontrasted.png", options), frame_raw)
-            write_png(output_path(basefich + "_high_contrast.png", options), frame_hc)
+            write_png(
+                output_path(basefich + "_uncontrasted.png", options),
+                np.asarray(frame_raw),
+            )
+            write_png(
+                output_path(basefich + "_high_contrast.png", options),
+                np.asarray(frame_hc),
+            )
     if options.flag_display:
         from ..utils.display import show_products
 
-        show_products(cc, frame_hc, frame_protus, tempo_ms=options.tempo)
+        show_products(
+            np.asarray(cc), np.asarray(frame_hc), np.asarray(frame_protus),
+            tempo_ms=options.tempo,
+        )
     if save and options.save_fit:
         write_fits(output_path(basefich + "_clahe.fits", options), np.asarray(cl1), header)
-    return cc, frame_protus
+    return np.asarray(cc), np.asarray(frame_protus)

@@ -217,7 +217,9 @@ def single_image_process(
     reference: Solex_recon.py:136-174.
     """
     if save and options.save_fit:
-        write_fits(output_path(basefich + "_circular.fits", options), frame, hdr)
+        write_fits(
+            output_path(basefich + "_circular.fits", options), np.asarray(frame), hdr
+        )
 
     if options.transversalium:
         if circle != NO_CIRCLE:
@@ -247,9 +249,14 @@ def single_image_process(
         detrans = frame
 
     if save and options.save_fit and options.transversalium:
-        write_fits(output_path(basefich + "_detransversaliumed.fits", options), detrans, hdr)
+        write_fits(
+            output_path(basefich + "_detransversaliumed.fits", options),
+            np.asarray(detrans),
+            hdr,
+        )
 
-    detrans, circle = crop_width(np.asarray(detrans), circle, options)
+    if options.fixed_width is not None or options.crop_width_square:
+        detrans, circle = crop_width(np.asarray(detrans), circle, options)
     return image_process(detrans, circle, options, hdr, basefich, save=save)
 
 
@@ -336,11 +343,12 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
             continue
 
         with timer.stage("products"):
-            # NOTE: stays float64 after de-vignette, like the reference
+            # NOTE: stays float after de-vignette, like the reference
             # (removeVignette returns floats; the cast to uint16 happens at
-            # the product stage, solex_util.py:528)
+            # the product stage, solex_util.py:528); device arrays pass
+            # through without a host round trip
             out = single_image_process(
-                np.asarray(frame_circularized),
+                frame_circularized,
                 scan.header,
                 options,
                 circle,

@@ -199,5 +199,7 @@ def correct_transversalium(
         out = stubborn_filter(img, flag, y1, y2, circle)
         return out, c
 
-    out = np.asarray(apply_row_gain(jnp.asarray(img), jnp.asarray(c, dtype=np.float32)))
+    # stays a device array — downstream stages (crop, products) are
+    # device-side; callers download only for file writes
+    out = apply_row_gain(jnp.asarray(img), jnp.asarray(c, dtype=np.float32))
     return out, c

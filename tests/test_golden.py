@@ -65,7 +65,7 @@ def test_products_match_reference_cv2(golden_scan):
     from solex_ser_recon_en_tpu.pipeline.products import _products_core
 
     _, _, _, disks = _run_device(golden_scan, [0])
-    disk = disks[0]
+    disk = np.ascontiguousarray(np.asarray(disks[0]))  # cv2 needs host C-order
     cl1, cc, hc, protus = (np.asarray(a) for a in _products_core(jnp.asarray(disk)))
     cc_ref, hc_ref = ref.cpu_products(disk)
     assert np.abs(cc.astype(int) - cc_ref.astype(int)).max() <= 4

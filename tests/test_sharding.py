@@ -83,3 +83,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_assign_files_partition():
+    from solex_ser_recon_en_tpu.parallel.distributed import assign_files
+
+    files = [f"scan_{i:03d}.ser" for i in range(50)]
+    parts = [assign_files(files, 4, p) for p in range(4)]
+    # complete, disjoint partition
+    joined = sorted(sum(parts, []))
+    assert joined == sorted(files)
+    # reasonably balanced
+    sizes = [len(p) for p in parts]
+    assert min(sizes) >= 5
+    # order-insensitive membership
+    import random
+
+    shuffled = files[:]
+    random.Random(0).shuffle(shuffled)
+    assert sorted(assign_files(shuffled, 4, 2)) == sorted(parts[2])
+    with pytest.raises(ValueError):
+        assign_files(files, 4, 7)
