@@ -110,6 +110,17 @@ def handle_files(
     return done
 
 
+def folder_scan_files(input_dir: str) -> List[str]:
+    """All SER/AVI scans in a folder (the single source of the glob —
+    shared with parallel.distributed.shard_folder_batch).
+
+    reference: SHG_MAIN.py:156,192.
+    """
+    return glob.glob(os.path.join(input_dir, "*.ser")) + glob.glob(
+        os.path.join(input_dir, "*.avi")
+    )
+
+
 def handle_folder(options: Options, poll_seconds: float = 1.0,
                   stop_after: Optional[float] = None) -> int:
     """Folder batch / continuous-detect mode.
@@ -120,9 +131,7 @@ def handle_folder(options: Options, poll_seconds: float = 1.0,
     until KeyboardInterrupt).  Returns files processed.
     """
     def todo() -> List[str]:
-        return glob.glob(os.path.join(options.input_dir, "*.ser")) + glob.glob(
-            os.path.join(options.input_dir, "*.avi")
-        )
+        return folder_scan_files(options.input_dir)
 
     if not options.continuous_detect_mode:
         files = todo()

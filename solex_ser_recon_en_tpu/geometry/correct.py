@@ -132,9 +132,7 @@ def ellipse_to_circle(
     center_yx, height, phi, ratio, X_f, ell_pts = two_step(X)
     center = np.array([center_yx[1], center_yx[0]])  # (x, y)
 
-    fixed, circle, mat3 = correct_image(
-        np.asarray(image_u16), phi, ratio, center, height, log=log
-    )
+    fixed, circle, mat3 = correct_image(image_u16, phi, ratio, center, height, log=log)
 
     # transform kept edge points into the corrected frame for the borders
     pts = np.ones((X_f.shape[0], 3))

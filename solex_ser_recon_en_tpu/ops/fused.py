@@ -125,7 +125,7 @@ class RawScanProcessor:
             mx = (mx.astype(np.uint16)) << 8
         return mean, np.ascontiguousarray(mx)
 
-    def reconstruct(self, fit_floor, fit_frac, shifts: List[int]) -> np.ndarray:
+    def reconstruct(self, fit_floor, fit_frac, shifts: List[int]) -> jax.Array:
         if not self._chunks:
             raise ValueError("no resident chunks to reconstruct from")
         self._chunks.sort(key=lambda p: p[0])
@@ -133,7 +133,7 @@ class RawScanProcessor:
 
     def reconstruct_streaming(
         self, chunks, fit_floor, fit_frac, shifts: List[int]
-    ) -> np.ndarray:
+    ) -> jax.Array:
         """Pass B over an iterator of (start, raw device chunk)."""
         Wt = build_raw_weights(
             fit_floor, fit_frac, shifts, self.iw, self.rotate, self.upscale
@@ -158,7 +158,7 @@ def reconstruct_band(
     x0: int,
     rotate: bool,
     upscale: bool,
-) -> np.ndarray:
+) -> jax.Array:
     """Pass B over *band* chunks: raw slabs restricted to spectral columns
     [x0, x0+bw) (io/hostreduce.spectral_band) — the minimum-bytes feed for
     hosts with a slow accelerator link.

@@ -38,17 +38,23 @@ def initialize(
 def assign_files(
     files: Sequence[str], num_processes: int, process_id: int
 ) -> List[str]:
-    """Deterministic, balanced split of a file batch across processes.
+    """Deterministic split of a file batch across processes.
 
     Stable content-independent hashing (not round-robin) so membership is
-    insensitive to listing order — the same property the continuous-detect
-    watcher needs when hosts poll a shared directory.
+    insensitive to listing order AND to later additions — the property the
+    continuous-detect watcher needs when hosts poll a shared directory.
+    Only the basename is hashed, so hosts mounting the same share at
+    different paths agree on the split.  Balance is statistical (uniform in
+    expectation); small batches can be uneven.
     """
     if not 0 <= process_id < num_processes:
         raise ValueError("process_id out of range")
+    import os
+
     mine = []
     for f in files:
-        h = int.from_bytes(hashlib.sha1(f.encode()).digest()[:4], "big")
+        key = os.path.basename(f)
+        h = int.from_bytes(hashlib.sha1(key.encode()).digest()[:4], "big")
         if h % num_processes == process_id:
             mine.append(f)
     return mine
@@ -57,10 +63,8 @@ def assign_files(
 def shard_folder_batch(options, num_processes: int, process_id: int):
     """Folder-batch worklist for this process (cli.main.handle_folder's
     multi-host form)."""
-    import glob
-    import os
+    from ..cli.main import folder_scan_files
 
-    files = glob.glob(os.path.join(options.input_dir, "*.ser")) + glob.glob(
-        os.path.join(options.input_dir, "*.avi")
+    return assign_files(
+        sorted(folder_scan_files(options.input_dir)), num_processes, process_id
     )
-    return assign_files(sorted(files), num_processes, process_id)

@@ -109,9 +109,15 @@ def image_process(
     # device-resident until a consumer (file write / disc paint / display)
     # actually needs host bytes — per-product downloads dominate on
     # slow-link hosts otherwise
-    if isinstance(frame, np.ndarray):
-        frame = frame.astype(np.uint16, copy=False)
-    fj = jnp.asarray(frame).astype(jnp.uint16)
+    fj = jnp.asarray(frame)
+    if not jnp.issubdtype(fj.dtype, jnp.integer):
+        # float input (de-vignette path): clip to the uint16 range before
+        # the cast so the result is identical for host and device inputs.
+        # Deliberate deviation: the reference's numpy cast WRAPS >65535
+        # values (solex_util.py:528) — saturation is the sane behaviour;
+        # see docs/PARITY.md.
+        fj = jnp.clip(fj, 0, 65535)
+    fj = fj.astype(jnp.uint16)
     cl1, cc, frame_hc, frame_protus = _products_core(fj)
     frame_raw = fj
 

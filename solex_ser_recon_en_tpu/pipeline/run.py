@@ -47,7 +47,8 @@ from .vignette import remove_vignette
 class ScanResult:
     """Everything solex_read produces (reference: Solex_recon.py:49-83)."""
 
-    disk_list: np.ndarray            # (S, ih, F) uint16
+    disk_list: object                # (S, ih, F) uint16 — device (jax) array
+                                     # on the fused/band paths, np otherwise
     shifts: List[int]                # augmented shift list
     shift_requested: List[int]
     backup_bounds: Tuple[int, int]

@@ -145,6 +145,8 @@ def stubborn_filter(
     reference: solex_util.py:277-354 (apply_lin_filter, live path only —
     the reference's result/result2 intermediates are dead code).
     """
+    # host float64 math (a device array's .astype(f64) silently yields f32)
+    img = np.asarray(img)
     logimg = np.log(np.maximum(img.astype(np.float64), 1e-12))
 
     # fill spurious rows with the mean of the nearest good rows above/below
