@@ -142,7 +142,64 @@ def device_only_fps() -> float:
     return n / dt
 
 
+def run_config(n: int) -> dict:
+    """Extended BASELINE.md configs (2-5); invoked as `bench.py --config N`.
+
+    Each returns {"metric", "value", "unit"} from a single timed run on the
+    cached scan (smaller derivatives where the config calls for it).
+    """
+    import numpy as np
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.io.ser import SerReader, write_ser
+    from solex_ser_recon_en_tpu.pipeline.run import process_file
+    from solex_ser_recon_en_tpu.cli.main import handle_folder
+
+    outdir = os.path.join(BENCH_DIR, f"out_c{n}")
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+
+    if n == 2:  # 16-bit + transversalium + all five FITS products
+        opts = Options(shift=[0], save_fit=True, transversalium=True,
+                       output_dir=outdir)
+        t0 = time.perf_counter()
+        process_file(SCAN, opts)
+        return {"metric": "config2_all_fits_outputs", "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+    if n == 3:  # Doppler sweep
+        opts = Options(shift=list(range(-10, 11, 5)), clahe_only=True,
+                       output_dir=outdir)
+        t0 = time.perf_counter()
+        process_file(SCAN, opts)
+        return {"metric": "config3_doppler_sweep_5_shifts", "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+    if n == 4:  # protus mode
+        opts = Options(shift=[0], transversalium=False, flip_x=True,
+                       fixed_width=1800, img_rotate=90, disk_display=True,
+                       output_dir=outdir)
+        t0 = time.perf_counter()
+        process_file(SCAN, opts)
+        return {"metric": "config4_protus_mode", "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+    if n == 5:  # folder batch over mixed scans (smaller derivatives)
+        folder = os.path.join(BENCH_DIR, "batch")
+        if not os.path.isdir(folder) or len(os.listdir(folder)) < 10:
+            os.makedirs(folder, exist_ok=True)
+            r = SerReader(SCAN)
+            base = np.asarray(r.raw_frames(0, 400))
+            for i in range(10):
+                write_ser(os.path.join(folder, f"scan_{i:02d}.ser"), base)
+        opts = Options(shift=[0], clahe_only=True, input_dir=folder,
+                       output_dir=outdir)
+        t0 = time.perf_counter()
+        done = handle_folder(opts)
+        dt = time.perf_counter() - t0
+        return {"metric": "config5_folder_batch_10x400f", "value": round(dt, 2), "unit": "s", "files": done}
+    raise SystemExit(f"unknown config {n}")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--config"):
+        n = int(sys.argv[1].split("=")[-1] if "=" in sys.argv[1] else sys.argv[2])
+        ensure_scan()
+        print(json.dumps(run_config(n)))
+        return
     ensure_scan()
     tpu = run_tpu()
     dev_fps = device_only_fps()

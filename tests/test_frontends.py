@@ -112,3 +112,22 @@ def test_options_json_roundtrip_reference_keys(tmp_path):
     saved = json.loads(p.read_text())
     assert saved["de-vignette"] is True  # reference key name preserved
     assert "shift_requested" not in saved
+
+
+def test_cli_profile_flag(tmp_path, monkeypatch):
+    """--profile wraps the run in a jax.profiler trace."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.cli.main import main
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    monkeypatch.chdir(tmp_path)
+    scan = SyntheticScan(ih=128, iw=48, frames=60, depth=16,
+                         line_poly=(24.0, 0.0, 0.0, 0.0), noise=0.003, seed=2)
+    scan.write("p.ser")
+    trace_dir = str(tmp_path / "trace")
+    rc = main([f"--profile={trace_dir}", "-cx", "-w0", "p.ser"])
+    assert rc == 0
+    import os
+
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
