@@ -13,10 +13,10 @@ one shot instead of the reference's Python loop (:280-294).
 from __future__ import annotations
 
 import math
-import os
+
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

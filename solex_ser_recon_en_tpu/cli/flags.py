@@ -8,7 +8,7 @@ integer width; files must end .SER/.AVI.
 from __future__ import annotations
 
 import sys
-from typing import List, Tuple
+from typing import List
 
 from ..config import Options
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.warp import warp_projective, warp_to_u16
-from .edges import downscale_local_mean, get_edge_list
+from .edges import get_edge_list
 from .ellipse import get_correction_matrix, two_step
 
 Circle = Tuple[float, float, float]

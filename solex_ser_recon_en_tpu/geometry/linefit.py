@@ -14,7 +14,6 @@ mantissa), and XLA TPU has no native f64.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Tuple
 

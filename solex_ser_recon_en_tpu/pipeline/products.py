@@ -14,8 +14,8 @@ import numpy as np
 from ..config import Options, output_path
 from ..io.fits import write_fits
 from ..io.png import write_png
-from ..ops.clahe import clahe
-from ..ops.stretch import percentile, rescale_brightness
+
+
 
 try:
     import cv2  # exact protus disc rasterisation parity

@@ -19,7 +19,6 @@ on the same input gives the honest speedup denominator.
 
 from __future__ import annotations
 
-import math
 import time
 from typing import List
 
