@@ -101,6 +101,58 @@ def correct_image(
     return corrected, circle, mat3
 
 
+def correct_images_batched(
+    disks,
+    phi: float,
+    ratio: float,
+    log: Optional[Callable[[str], None]] = None,
+):
+    """Circularise a stack of disks (K, ih, F) sharing one (phi, ratio).
+
+    A Doppler sweep warps every requested shift with the same correction
+    matrix (Solex_recon.py:120-123) — one vmapped device program instead of
+    K sequential warps.  Returns (uint16 (K, H', W') device array, circle,
+    mat3) with the same per-image semantics as correct_image(center=-1,
+    height=-1).
+    """
+    import jax
+
+    mat, theta = get_correction_matrix(phi, ratio)
+    mat3 = np.zeros((3, 3))
+    mat3[:2, :2] = mat
+    mat3[2, 2] = 1.0
+    k, h, w = disks.shape
+    corners = np.array([[0, 0], [0, h], [w, 0], [w, h]], dtype=np.float64)
+    new_corners = (np.linalg.inv(mat) @ corners.T).T
+    new_h = float(np.max(new_corners[:, 1]) - np.min(new_corners[:, 1]))
+    new_w = float(np.max(new_corners[:, 0]) - np.min(new_corners[:, 0]))
+    tx, ty = float(np.min(new_corners[:, 0])), float(np.min(new_corners[:, 1]))
+    mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
+    out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
+
+    dj = jnp.asarray(disks).astype(jnp.float32) / 65536.0
+    m3 = jnp.asarray(mat3)
+
+    def one(img):
+        return warp_to_u16(
+            warp_projective(img, m3, out_h, out_w, cval=img[0, 0])
+        )
+
+    warped = jax.vmap(one)(dj)
+    new_center = (np.linalg.inv(mat) @ np.array([-1.0, -1.0]).T).T - np.array([tx, ty])
+    new_radius = -1.0 * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
+    if log is not None:
+        np.set_printoptions(suppress=True)
+        log("Y/X ratio : " + "{:.3f}".format(ratio))
+        log("Tilt angle : " + "{:.3f}".format(math.degrees(phi)) + " degrees")
+        log("Linear transform correction matrix : \n" + str(mat))
+        log("Disk position, radius : UNKNOWN")
+        log("Unrotation : " + "{:.3f}".format(math.degrees(theta)) + " degrees")
+        np.set_printoptions(suppress=False)
+    circle = (float(new_center[0]), float(new_center[1]), float(new_radius))
+    return warped, circle, mat3
+
+
 def ellipse_to_circle(
     image_u16: np.ndarray,
     log: Optional[Callable[[str], None]] = None,

@@ -281,6 +281,30 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
     borders = [0, 0, 0, 0]
     circle: Circle = NO_CIRCLE
     results = []
+
+    # Doppler sweeps warp every requested shift with the SAME correction
+    # (Solex_recon.py:120-123): batch those warps into one vmapped program.
+    # The fit pass (if any) happens at the first loop index and sets
+    # ratio/slant, so the batchable set is known only lazily.
+    batched_warps = {}
+
+    def batch_warp_pending(start_index: int, ratio: float, phi: float, log=None) -> None:
+        idxs = [
+            j
+            for j in range(start_index, len(scan.shifts))
+            if scan.shifts[j] in scan.shift_requested
+        ]
+        if len(idxs) < 2:
+            return
+        from ..geometry.correct import correct_images_batched
+        import jax.numpy as jnp
+
+        stack = jnp.stack([jnp.asarray(scan.disk_list[j]) for j in idxs])
+        with timer.stage("warp"):
+            warped, _, _ = correct_images_batched(stack, phi, ratio, log=log)
+        for pos, j in enumerate(idxs):
+            batched_warps[j] = warped[pos]
+
     for i, s in enumerate(scan.shifts):
         flag_requested = s in scan.shift_requested
         basefich = basefich0 + f"_shift={s}"
@@ -323,15 +347,20 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
                 else 0.0
             )
             if flag_requested:
-                with timer.stage("warp"):
-                    frame_circularized, _, _ = correct_image(
-                        scan.disk_list[i],
-                        phi,
-                        ratio,
-                        np.array([-1.0, -1.0]),
-                        -1.0,
-                        log=log if i == 0 else None,
-                    )
+                if i not in batched_warps:
+                    batch_warp_pending(i, ratio, phi, log=log if i == 0 else None)
+                if i in batched_warps:
+                    frame_circularized = batched_warps.pop(i)
+                else:
+                    with timer.stage("warp"):
+                        frame_circularized, _, _ = correct_image(
+                            scan.disk_list[i],
+                            phi,
+                            ratio,
+                            np.array([-1.0, -1.0]),
+                            -1.0,
+                            log=log if i == 0 else None,
+                        )
                 if options.de_vignette:
                     if circle == NO_CIRCLE:
                         print("WARNING: cannot de-vignette without ellipse fit")

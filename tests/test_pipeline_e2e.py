@@ -163,3 +163,25 @@ def test_stubborn_transversalium_e2e(scan_file, tmp_path):
     opts = Options(shift=[0], stubborn_transversalium=True, clahe_only=True,
                    output_dir=str(tmp_path))
     assert len(process_file(path, opts)) == 1
+
+
+def test_sweep_batched_warp_matches_single(scan_file, tmp_path):
+    """The vmapped sweep warp produces the same images as per-shift warps."""
+    path, scan = scan_file
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    out_a.mkdir(), out_b.mkdir()
+    # known ratio/slant => every requested shift goes through the warp branch
+    shifts = [-3, 0, 3]
+    res_a = process_file(path, Options(shift=list(shifts), ratio_fixe=1.05,
+                                       slant_fix=1.0, clahe_only=True,
+                                       output_dir=str(out_a)))
+    for s in shifts:
+        a = read_image(os.path.join(str(out_a), f"scan_shift={s}_clahe.png"))
+        # single-shift run of the same config must match bit-for-bit
+        out_s = tmp_path / f"s{s}"
+        out_s.mkdir()
+        process_file(path, Options(shift=[s], ratio_fixe=1.05, slant_fix=1.0,
+                                   clahe_only=True, output_dir=str(out_s)))
+        b = read_image(os.path.join(str(out_s), f"scan_shift={s}_clahe.png"))
+        np.testing.assert_array_equal(a, b)
