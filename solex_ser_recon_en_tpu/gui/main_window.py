@@ -131,14 +131,17 @@ def input_ui(options: Options) -> Optional[List[str]]:  # pragma: no cover - GUI
             if event == "-tab_group-":
                 options.selected_mode = values["-tab_group-"]
             if event == "Pixel offset live":
+                # launches the interactive analyser; its chosen shift feeds
+                # back into the pixel-offset field (reference
+                # UI_handler.py:273-279)
                 try:
                     interpret_form_values(options, values, no_file=True)
-                    from ..analyser import SpectralAnalyser  # lazy
+                    from .analyser_window import analyse_spectrum  # lazy
 
                     file = str(values["-FILE-"]).split(";")[0]
-                    an = SpectralAnalyser(file, options)
-                    d = an.find_dispersion(6562.808)
-                    sg.popup_ok(f"dispersion: {d:.6f} Å/px")
+                    chosen = analyse_spectrum(options, file)
+                    if chosen is not None:
+                        window["_pixel_offset"].update(str(chosen))
                 except Exception:
                     traceback.print_exc()
                     sg.popup_ok("ERROR: " + traceback.format_exc())
