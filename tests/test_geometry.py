@@ -124,7 +124,7 @@ def test_ellipse_to_circle_on_synthetic_disk():
     # Y/X ratio of the *ellipse* (y-extent / x-extent) = 1.25 up to fit noise;
     # ratio is defined in the warp's own axis convention, so check the
     # area-preserving invariant instead: corrected disk is round
-    img = res.image.astype(np.float64)
+    img = np.asarray(res.image).astype(np.float64)
     mask = img > 0.4 * img.max()
     ys, xs = np.nonzero(mask)
     y_extent = ys.max() - ys.min()
