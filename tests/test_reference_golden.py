@@ -177,3 +177,66 @@ def test_reference_rescale_brightness_agrees(ref_modules, rng):
     ref_out = ref_su.rescale_brightness(img, 500.0, 60000.0, alpha=0.9)
     ours = np.asarray(rescale_brightness(img, 500.0, 60000.0, alpha=0.9))
     assert np.abs(ours.astype(int) - ref_out.astype(int)).max() <= 1
+
+
+@pytest.fixture(scope="module")
+def ref_geometry(ref_modules):
+    """Import the reference's ellipse_to_circle with skimage/lsq-ellipse
+    stubs (only the matrix math paths are exercised)."""
+    from solex_ser_recon_en_tpu.geometry.ellipse import ellipse_points, fit_ellipse
+
+    class _LsqEllipse:
+        def fit(self, X):
+            self._p = fit_ellipse(X)
+            return self
+
+        def as_parameters(self):
+            c, w, h, phi = self._p
+            return tuple(c), w, h, phi
+
+        def return_fit(self, n_points=100):
+            c, w, h, phi = self._p
+            return ellipse_points(c, w, h, phi, n_points)
+
+    for name in ("skimage", "skimage.feature", "skimage.data",
+                 "skimage.data._fetchers", "skimage.transform",
+                 "skimage.filters", "ellipse"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["skimage"].feature = sys.modules["skimage.feature"]
+    sys.modules["skimage"].transform = sys.modules["skimage.transform"]
+    sys.modules["skimage"].filters = sys.modules["skimage.filters"]
+    sys.modules["skimage"].data = sys.modules["skimage.data"]
+    sys.modules["skimage.transform"].downscale_local_mean = lambda *a, **k: None
+    sys.modules["ellipse"].LsqEllipse = _LsqEllipse
+    import ellipse_to_circle as ref_e2c
+
+    return ref_e2c
+
+
+def test_reference_correction_matrix_agrees(ref_geometry):
+    from solex_ser_recon_en_tpu.geometry.ellipse import get_correction_matrix
+
+    for phi, r in [(0.3, 0.8), (-0.2, 1.3), (0.0, 1.0), (0.7, 0.6)]:
+        m_ref, t_ref = ref_geometry.get_correction_matrix(phi, r)
+        m_ours, t_ours = get_correction_matrix(phi, r)
+        np.testing.assert_allclose(m_ours, m_ref, atol=1e-12)
+        assert t_ours == pytest.approx(t_ref, abs=1e-12)
+
+
+def test_reference_two_step_agrees(ref_geometry):
+    from solex_ser_recon_en_tpu.geometry.ellipse import two_step
+
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 2 * np.pi, 180, endpoint=False)
+    a, b, phi0 = 120.0, 90.0, 1.0  # strongly rotated: exercises the folding
+    R = np.array([[np.cos(phi0), -np.sin(phi0)], [np.sin(phi0), np.cos(phi0)]])
+    pts = (R @ np.stack([a * np.cos(t), b * np.sin(t)])).T + np.array([40.0, 60.0])
+    pts += rng.normal(0, 0.3, pts.shape)
+
+    c_ref, h_ref, phi_ref, ratio_ref, kept_ref, _ = ref_geometry.two_step(pts)
+    c_ours, h_ours, phi_ours, ratio_ours, kept_ours, _ = two_step(pts)
+    np.testing.assert_allclose(c_ours, c_ref, atol=1e-9)
+    assert h_ours == pytest.approx(h_ref, rel=1e-9)
+    assert phi_ours == pytest.approx(phi_ref, abs=1e-9)
+    assert ratio_ours == pytest.approx(ratio_ref, rel=1e-9)
+    assert kept_ours.shape == kept_ref.shape
