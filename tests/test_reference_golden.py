@@ -240,3 +240,81 @@ def test_reference_two_step_agrees(ref_geometry):
     assert phi_ours == pytest.approx(phi_ref, abs=1e-9)
     assert ratio_ours == pytest.approx(ratio_ref, rel=1e-9)
     assert kept_ours.shape == kept_ref.shape
+
+
+def test_reference_image_process_agrees(ref_modules, tmp_path, monkeypatch):
+    """Full product stage vs the reference's image_process (CLAHE, stretches,
+    protus disc, rotation) — files suppressed via _nolog/save_fit."""
+    ref_su, _ = ref_modules
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.pipeline.products import image_process
+
+    rng = np.random.default_rng(11)
+    h, w = 220, 240
+    cy, cx, r = h / 2, w / 2, 80.0
+    ys, xs = np.mgrid[:h, :w]
+    rho2 = ((xs - cx) ** 2 + (ys - cy) ** 2) / r**2
+    mu = np.sqrt(np.clip(1 - rho2, 0, 1))
+    frame = (
+        np.where(rho2 < 1, 1 - 0.4 * (1 - mu), 0.01) * 43000
+        + rng.normal(0, 40, (h, w))
+    ).clip(0, 65535).astype(np.uint16)
+    circle = (cx, cy, r)
+
+    opts_ref = _ref_options()
+    opts_ref.update({"disk_display": True, "delta_radius": 2, "img_rotate": 90,
+                     "tempo": 1})
+    cc_ref, protus_ref = ref_su.image_process(frame, circle, opts_ref, {}, "x")
+
+    opts = Options(_nolog=True, disk_display=True, delta_radius=2, img_rotate=90)
+    cc, protus = image_process(frame, circle, opts, save=False)
+    d_cc = np.abs(cc.astype(int) - cc_ref.astype(int))
+    d_pr = np.abs(protus.astype(int) - protus_ref.astype(int))
+    assert d_cc.max() <= 4, d_cc.max()
+    assert d_pr.max() <= 4, d_pr.max()
+
+
+def test_reference_single_image_process_agrees(ref_modules, ref_geometry, tmp_path):
+    """The whole post-circularisation path (transversalium + crop + products)
+    against the reference's single_image_process (Solex_recon.py:136-174)."""
+    ref_su, _ = ref_modules
+    sys.modules.setdefault("FreeSimpleGUI", types.ModuleType("FreeSimpleGUI"))
+    import Solex_recon as ref_recon  # noqa: E402
+
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.pipeline.run import single_image_process
+
+    rng = np.random.default_rng(13)
+    h, w = 240, 260
+    cy, cx, r = h / 2, w / 2, 90.0
+    ys, xs = np.mgrid[:h, :w]
+    rho2 = ((xs - cx) ** 2 + (ys - cy) ** 2) / r**2
+    mu = np.sqrt(np.clip(1 - rho2, 0, 1))
+    gain = 1 + 0.08 * np.sin(np.arange(h) / 2.7)
+    frame = (
+        (np.where(rho2 < 1, 1 - 0.4 * (1 - mu), 0.01) * 41000) * gain[:, None]
+        + rng.normal(0, 30, (h, w))
+    ).clip(1, 65535).astype(np.uint16)
+    circle = (cx, cy, r)
+    borders = [0, cy - r + 8, w - 1, cy + r - 8]
+    backup = (20, h - 20)
+
+    opts_ref = _ref_options()
+    opts_ref.update({"disk_display": True, "delta_radius": 0, "img_rotate": 0,
+                     "tempo": 1, "transversalium": True, "fixed_width": 230,
+                     "crop_width_square": False, "flip_x": False,
+                     "de-vignette": False})
+    cc_ref, pr_ref = ref_recon.single_image_process(
+        frame.copy(), {}, opts_ref, circle, borders, "x", backup
+    )
+
+    opts = Options(_nolog=True, disk_display=True, transversalium=True,
+                   trans_strength=151, fixed_width=230)
+    cc, pr = single_image_process(frame, {}, opts, circle, borders, "x",
+                                  backup, save=False)
+    d_cc = np.abs(np.asarray(cc).astype(int) - cc_ref.astype(int))
+    d_pr = np.abs(np.asarray(pr).astype(int) - pr_ref.astype(int))
+    # device f32 row stats shift the transversalium gain by ~1e-7, which the
+    # CLAHE CDF rescale amplifies: median 1 level, tails ~0.1% of full scale
+    assert np.median(d_cc) <= 1 and d_cc.max() <= 150, (np.median(d_cc), d_cc.max())
+    assert np.median(d_pr) <= 1 and d_pr.max() <= 150, (np.median(d_pr), d_pr.max())
