@@ -30,7 +30,9 @@ def default_form_values(options: Options) -> Dict[str, object]:
         "Correct transversalium lines": options.transversalium,
         "Stubborn transversalium": options.stubborn_transversalium,
         "-trans_strength-": (options.trans_strength - 1) / 100,
-        "Mirror X": options.flip_x,
+        # "deliberately not remembered" (reference README.md:76-77): the
+        # window always starts unchecked regardless of the config file
+        "Mirror X": False,
         "img_rotate": options.img_rotate,
         "-FILE-": "",
         "output_dir": options.output_dir,

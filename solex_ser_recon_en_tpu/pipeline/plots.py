@@ -15,10 +15,24 @@ matplotlib.use("Agg")
 import matplotlib.figure  # noqa: E402
 
 
+def _bg(img, max_px: float = 1.5e6):
+    """Strided downsample of a plot background image.
+
+    Full-resolution imshow at dpi 300-400 costs minutes of host CPU on slow
+    hosts for zero diagnostic value; the stride keeps the image coordinate
+    frame via the returned extent so overlays stay aligned.
+    """
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    step = max(1, int(np.ceil(np.sqrt(h * w / max_px))))
+    return img[::step, ::step], (-0.5, w - 0.5, h - 0.5, -0.5)
+
+
 def save_spectral_line_plot(path, mean_img, linefit) -> None:
     fig = matplotlib.figure.Figure()
     ax = fig.add_subplot(1, 1, 1)
-    ax.imshow(mean_img, cmap="gray")
+    bg, extent = _bg(mean_img)
+    ax.imshow(bg, cmap="gray", extent=extent)
     y1, y2 = linefit.y1, linefit.y2
     s = (y2 - y1) // 20 + 1
     ys = np.arange(y1, y2)[linefit.mask_good][::s]
@@ -32,22 +46,24 @@ def save_spectral_line_plot(path, mean_img, linefit) -> None:
     ax.legend(loc="center left", bbox_to_anchor=(1, 0.5))
     ax.set_aspect(0.1)
     fig.tight_layout()
-    fig.savefig(path, dpi=400)
+    fig.savefig(path, dpi=200)
 
 
 def save_ellipse_fit_plot(path, image_u16, geo) -> None:
-    image = np.asarray(image_u16, dtype=np.float64) / 65536
+    image = np.asarray(image_u16)
     fig = matplotlib.figure.Figure()
     ax = [
         [fig.add_subplot(2, 2, 1), fig.add_subplot(2, 2, 2)],
         [fig.add_subplot(2, 2, 3), fig.add_subplot(2, 2, 4)],
     ]
     fig.tight_layout()
-    ax[0][0].imshow(image, cmap="gray")
+    bg, extent = _bg(image)
+    bg = bg.astype(np.float64) / 65536  # divide after the downsample
+    ax[0][0].imshow(bg, cmap="gray", extent=extent)
     ax[0][0].set_title("uncorrected image", fontsize=11)
     ax[0][0].set_aspect("equal")
     ax[0][1].set_aspect("equal")
-    ax[0][1].imshow(image, cmap="gray")
+    ax[0][1].imshow(bg, cmap="gray", extent=extent)
     ax[0][1].plot(geo.raw_edges[:, 1], geo.raw_edges[:, 0], "ro", label="edge detection")
     ax[0][1].legend(prop={"size": 6})
     ax[1][1].set_aspect("equal")
@@ -56,13 +72,14 @@ def save_ellipse_fit_plot(path, image_u16, geo) -> None:
     ax[1][1].set_ylim([image.shape[0], 0])
     ax[1][1].legend(prop={"size": 6})
     ax[1][0].set_aspect("equal")
-    ax[1][0].imshow(np.asarray(geo.image), cmap="gray")
+    bg2, extent2 = _bg(geo.image)
+    ax[1][0].imshow(bg2, cmap="gray", extent=extent2)
     for y in (geo.borders[1], geo.borders[3]):
         ax[1][0].axhline(y=y)
     for x in (geo.borders[0], geo.borders[2]):
         ax[1][0].axvline(x=x)
     ax[1][0].set_title("geometrically corrected image", fontsize=11)
-    fig.savefig(path, dpi=300)
+    fig.savefig(path, dpi=150)
 
 
 def save_transversalium_plot(path, c) -> None:
