@@ -48,9 +48,9 @@ def _corr_scan(
     xs = jnp.arange(W, dtype=jnp.float32)
     mask = jnp.abs(xs - anchor_x) >= exc_width
 
-    lspec = jnp.where(mask, spectrum_log, 0.0)
-    lmean_excl = jnp.mean(spectrum_log)  # reference uses global mean as fill
-    lspec = jnp.where(mask, spectrum_log, lmean_excl)
+    # excluded anchor region is filled with the global mean (reference
+    # spectralAnalyserUI.py:290-292 uses np.mean of the full log spectrum)
+    lspec = jnp.where(mask, spectrum_log, jnp.mean(spectrum_log))
 
     def corr_for(scale):
         lam = anchor_wl + (xs - anchor_x) * scale

@@ -53,8 +53,10 @@ def read_image(path: str) -> np.ndarray:
     if _HAVE_PIL:
         img = np.asarray(Image.open(path))
         if img.ndim == 3:
+            # PIL decodes RGB order: R gets the 0.299 weight
+            dtype = img.dtype
             img = np.round(
-                0.299 * img[..., 2] + 0.587 * img[..., 1] + 0.114 * img[..., 0]
-            ).astype(img.dtype)
+                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+            ).astype(dtype)
         return img
     raise RuntimeError("no image backend available (need cv2 or PIL)")

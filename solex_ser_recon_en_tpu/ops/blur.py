@@ -52,7 +52,15 @@ def box_blur(img: jax.Array, kx: int, ky: int) -> jax.Array:
     acc = jnp.int32 if integer else jnp.float32
     s = _window_sum_1d(img, ky, img.ndim - 2, acc)
     s = _window_sum_1d(s, kx, img.ndim - 1, acc)
-    return s.astype(jnp.float32) / jnp.float32(kx * ky)
+    k = kx * ky
+    if integer:
+        # exact mean from int32 sums: a plain f32 cast of sums > 2^24
+        # (kernels >= ~25x11 on uint16) loses the last bit before the
+        # division; split into exact quotient + small remainder instead
+        q = s // k
+        r = s - q * k
+        return q.astype(jnp.float32) + r.astype(jnp.float32) / jnp.float32(k)
+    return s.astype(jnp.float32) / jnp.float32(k)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

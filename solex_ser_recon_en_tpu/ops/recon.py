@@ -144,7 +144,7 @@ class StreamingRecon:
     devices.
     """
 
-    def __init__(self, ih: int, iw: int, frame_count: int, shifts, fit_floor, fit_frac, kernel="auto"):
+    def __init__(self, shifts, fit_floor, fit_frac, kernel="auto"):
         self.shifts = list(shifts)
         self.fit_floor = fit_floor
         self.fit_frac = fit_frac

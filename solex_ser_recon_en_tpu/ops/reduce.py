@@ -77,11 +77,15 @@ class MeanMaxAccumulator:
             shape = chunk.shape[1:]
             self._sum = jnp.zeros(shape, jnp.int32)
             self._max = jnp.zeros(shape, jnp.uint16)
-        if self._since_spill + chunk.shape[0] > self._SPILL:
-            self._do_spill()
-        self._sum, self._max = _fold(self._sum, self._max, chunk)
-        self._since_spill += chunk.shape[0]
-        self.count += chunk.shape[0]
+        # a single chunk longer than the spill window would overflow the
+        # int32 fold on its own — split it
+        for start in range(0, chunk.shape[0], self._SPILL):
+            part = chunk[start : start + self._SPILL]
+            if self._since_spill + part.shape[0] > self._SPILL:
+                self._do_spill()
+            self._sum, self._max = _fold(self._sum, self._max, part)
+            self._since_spill += part.shape[0]
+            self.count += part.shape[0]
 
     def result(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._sum is None:

@@ -170,8 +170,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 )
         else:
             recon = StreamingRecon(
-                vid.ih, vid.iw, vid.frame_count, shifts, lf.floor, lf.frac,
-                kernel=options.recon_kernel,
+                shifts, lf.floor, lf.frac, kernel=options.recon_kernel
             )
             if keep_resident:
                 for start, chunk in chunks:
@@ -323,7 +322,16 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
                 log(f"Ellipse fit FAILED: {e}; no geometric correction")
                 options.ratio_fixe = 1.0
                 options.slant_fix = 0.0
-                continue
+                if flag_requested:
+                    # a requested shift must still yield its products: run
+                    # it through the identity-geometry warp path
+                    with timer.stage("warp"):
+                        frame_circularized, _, _ = correct_image(
+                            scan.disk_list[i], 0.0, 1.0,
+                            np.array([-1.0, -1.0]), -1.0,
+                        )
+                else:
+                    continue
             frame_circularized = geo.image
             circle = geo.circle
             borders = geo.borders

@@ -120,3 +120,28 @@ def test_reconstruct_pallas_kernel(rng):
     p = np.asarray(reconstruct(frames, floor, frac, shifts, kernel="pallas"))
     g = np.asarray(reconstruct(frames, floor, frac, shifts, kernel="gather"))
     assert np.abs(p.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_box_blur_exact_large_kernel(rng):
+    """Window sums above 2^24 must not lose the last bit to an f32 cast."""
+    img = rng.integers(0, 65536, size=(1200, 64), dtype=np.uint16)
+    ours = np.asarray(box_blur_u16(img, 25, 40))
+    import cv2
+
+    ref = cv2.blur(img, ksize=(25, 40))
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005  # only true half-ties remain (~1/k)
+
+
+def test_mean_max_accumulator_oversized_chunk():
+    """A single chunk longer than the int32 spill window stays exact."""
+    from solex_ser_recon_en_tpu.ops.reduce import MeanMaxAccumulator
+
+    n = (1 << 15) + 1000
+    frames = np.full((n, 2, 3), 65535, dtype=np.uint16)
+    acc = MeanMaxAccumulator()
+    acc.update(frames)
+    mean, mx = acc.result()
+    assert mean.min() == 65535 and mx.max() == 65535
+    assert acc.count == n

@@ -32,3 +32,22 @@ def test_ellipse_fit_failure_degrades_gracefully(tmp_path):
     # either the fit failed and we degraded, or it "succeeded" on noise —
     # in both cases the run completes; a failure must be logged when it happens
     assert "end time" in log
+
+
+def test_ellipse_failure_still_produces_requested_fit_shift(tmp_path):
+    """When the requested shift coincides with the ellipse-fit shift and the
+    fit fails, its products must still be written (identity geometry)."""
+    rng = np.random.default_rng(1)
+    x = np.arange(64, dtype=np.float64)
+    prof = 1 - 0.7 * np.exp(-0.5 * ((x - 32) / 2.5) ** 2)
+    frames = (
+        (28000 * prof[None, None, :] + rng.normal(0, 150, (80, 128, 64)))
+        .clip(0, 65535)
+        .astype(np.uint16)
+    )
+    p = str(tmp_path / "flat2.ser")
+    write_ser(p, frames)
+    opts = Options(shift=[10], clahe_only=True, output_dir=str(tmp_path))
+    results = process_file(p, opts)
+    assert [s for s, _ in results] == [10]
+    assert os.path.exists(str(tmp_path / "flat2_shift=10_clahe.png"))
