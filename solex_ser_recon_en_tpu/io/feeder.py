@@ -91,6 +91,15 @@ def raw_device_chunks(
                 if native is not None:
                     native.prefetch(start + n, chunk)
                 raw = np.asarray(r.raw_frames(start, n))
+                if n < chunk:
+                    # pad the trailing partial chunk to the bucket shape so
+                    # every scan with the same frame geometry reuses ONE
+                    # compiled program regardless of frame count (zeros are
+                    # neutral for sum/max; consumers slice recon output to
+                    # the true frame count)
+                    raw = np.concatenate(
+                        [raw, np.zeros((chunk - n,) + raw.shape[1:], raw.dtype)]
+                    )
                 yield start, jax.device_put(raw)
         finally:
             if native is not None:

@@ -96,7 +96,8 @@ class RawScanProcessor:
     ``reconstruct(fit, shifts)`` (pass B over the resident chunks).
     """
 
-    def __init__(self, height: int, width: int, rotate: bool, upscale: bool):
+    def __init__(self, height: int, width: int, rotate: bool, upscale: bool,
+                 frame_count: int | None = None):
         self.rotate = rotate
         self.upscale = upscale
         self.ih = max(width, height) if rotate else height
@@ -104,11 +105,17 @@ class RawScanProcessor:
         self._sum = jnp.zeros((height, width), jnp.int32)
         self._max = jnp.zeros((height, width), jnp.uint16)
         self._chunks: List[Tuple[int, jax.Array]] = []
+        # when given, the true scan length: feeders zero-pad the trailing
+        # chunk to a bucket shape (io/feeder.py) — zeros are neutral for
+        # sum/max, and the recon output is sliced back to this length
+        self.frame_count = frame_count
         self.count = 0
 
     def accumulate(self, start: int, raw_chunk: jax.Array, keep: bool = True) -> None:
         self._sum, self._max = _fold_raw(self._sum, self._max, raw_chunk)
         self.count += raw_chunk.shape[0]
+        if self.frame_count is not None:
+            self.count = min(self.count, self.frame_count)
         if keep:
             self._chunks.append((start, raw_chunk))
 
@@ -146,7 +153,10 @@ class RawScanProcessor:
         # stays on device: downstream stages (ellipse fit downscale, warp,
         # transversalium, products) are device-side; hosts download only
         # for file writes
-        return jnp.concatenate([p for _, p in parts], axis=2)
+        out = jnp.concatenate([p for _, p in parts], axis=2)
+        if self.frame_count is not None:
+            out = out[:, :, : self.frame_count]
+        return out
 
 
 def reconstruct_band(

@@ -112,7 +112,10 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 raw_iter = None
             if raw_iter is not None:
                 # fused raw-layout path: no normalisation pass over the slab
-                raw_proc = RawScanProcessor(vid.Height, vid.Width, rotate, upscale)
+                raw_proc = RawScanProcessor(
+                    vid.Height, vid.Width, rotate, upscale,
+                    frame_count=vid.frame_count,
+                )
                 for start, chunk in raw_iter:
                     raw_proc.accumulate(start, chunk, keep=keep_resident)
                 mean_img, max_img = raw_proc.mean_max()
@@ -154,12 +157,19 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             def band_chunks():
                 for start in range(0, r.frame_count, chunk_n):
                     n = min(chunk_n, r.frame_count - start)
-                    yield start, jax.device_put(extract_band(r, x0, x1, start, n))
+                    band = extract_band(r, x0, x1, start, n)
+                    if n < chunk_n:
+                        # bucket the trailing chunk (see io/feeder.py)
+                        band = np.concatenate(
+                            [band,
+                             np.zeros((chunk_n - n,) + band.shape[1:], band.dtype)]
+                        )
+                    yield start, jax.device_put(band)
 
             disk_list = reconstruct_band(
                 band_chunks(), lf.floor, lf.frac, shifts, vid.iw, x0,
                 r.flag_rotate, r.header.pixel_depth == 8,
-            )
+            )[:, :, : vid.frame_count]
         elif raw_proc is not None:
             if keep_resident:
                 disk_list = raw_proc.reconstruct(lf.floor, lf.frac, shifts)

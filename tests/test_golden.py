@@ -32,7 +32,8 @@ def golden_scan(tmp_path_factory):
 def _run_device(path, shifts):
     vid = open_video(path)
     it, rotate, upscale = raw_device_chunks(vid, 64)
-    proc = RawScanProcessor(vid.Height, vid.Width, rotate, upscale)
+    proc = RawScanProcessor(vid.Height, vid.Width, rotate, upscale,
+                            frame_count=vid.frame_count)
     for s, c in it:
         proc.accumulate(s, c)
     mean_img, max_img = proc.mean_max()

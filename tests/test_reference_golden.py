@@ -88,7 +88,8 @@ def test_reference_mean_max_agrees(ref_modules, scan_path):
     )
     vid = open_video(scan_path)
     it, rot, ups = raw_device_chunks(vid, 64)
-    proc = RawScanProcessor(vid.Height, vid.Width, rot, ups)
+    proc = RawScanProcessor(vid.Height, vid.Width, rot, ups,
+                            frame_count=vid.frame_count)
     for s, c in it:
         proc.accumulate(s, c)
     mean_ours, max_ours = proc.mean_max()
