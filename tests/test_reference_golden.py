@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="no reference mou
 
 @pytest.fixture(scope="module")
 def ref_modules():
+    np.NaN = np.nan  # the reference predates numpy 2.0 (solex_util.py:624)
     for name in ("astropy", "astropy.io", "astropy.io.fits", "FreeSimpleGUI"):
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["astropy.io"].fits = sys.modules["astropy.io.fits"]
@@ -319,3 +320,70 @@ def test_reference_single_image_process_agrees(ref_modules, ref_geometry, tmp_pa
     # CLAHE CDF rescale amplifies: median 1 level, tails ~0.1% of full scale
     assert np.median(d_cc) <= 1 and d_cc.max() <= 150, (np.median(d_cc), d_cc.max())
     assert np.median(d_pr) <= 1 and d_pr.max() <= 150, (np.median(d_pr), d_pr.max())
+
+
+def _disk_image(rng, h=300, w=280, r=105.0, stripe=0.0, vignette=0.0):
+    cy, cx = h / 2, w / 2
+    ys, xs = np.mgrid[:h, :w]
+    rho2 = ((xs - cx) ** 2 + (ys - cy) ** 2) / r**2
+    mu = np.sqrt(np.clip(1 - rho2, 0, 1))
+    img = np.where(rho2 < 1, 1 - 0.4 * (1 - mu), 0.01) * 42000
+    y = np.arange(h)
+    if stripe:
+        img = img * (1 + stripe * np.sin(y / 2.3))[:, None]
+    if vignette:
+        img = img * (1 - vignette * ((y - h / 2) / (h / 2)) ** 2)[:, None]
+    img = img + rng.normal(0, 25, img.shape)
+    return np.clip(img, 1, 65535).astype(np.uint16), (cx, cy, r)
+
+
+def test_reference_detect_bord_agrees(ref_modules, rng):
+    ref_su, _ = ref_modules
+    from solex_ser_recon_en_tpu.geometry import detect_bord
+
+    img, _ = _disk_image(rng)
+    assert detect_bord(img, axis=1) == ref_su.detect_bord(img, axis=1)
+    assert detect_bord(img, axis=0) == ref_su.detect_bord(img, axis=0)
+
+
+def test_reference_remove_vignette_agrees(ref_modules, rng):
+    ref_su, _ = ref_modules
+    from solex_ser_recon_en_tpu.pipeline.vignette import remove_vignette
+
+    img, circle = _disk_image(rng, h=380, w=360, r=140.0, vignette=0.25)
+    ref_out = ref_su.removeVignette(img.astype(np.float64), circle)
+    ours = np.asarray(remove_vignette(img, circle), dtype=np.float64)
+    # identical trend math (scipy savgol/gaussian on host); device axis
+    # percentiles are f32 -> tiny relative residue
+    rel = np.abs(ours - ref_out) / np.maximum(np.abs(ref_out), 1.0)
+    assert np.median(rel) < 1e-4
+    assert rel.max() < 5e-3, rel.max()
+
+
+def test_reference_stubborn_filter_agrees(ref_modules, rng):
+    ref_su, _ = ref_modules
+    from solex_ser_recon_en_tpu.pipeline.transversalium import correct_transversalium
+
+    img, circle = _disk_image(rng, stripe=0.3)
+    h, w = img.shape
+    borders = [0, circle[1] - circle[2] + 10, w - 1, circle[1] + circle[2] - 10]
+    opts = _ref_options()
+    opts["stubborn_transversalium"] = True
+    ref_out = ref_su.correct_transversalium2(img, circle, borders, opts, 0, "x")
+    ours, _ = correct_transversalium(img, circle, borders, trans_strength=151,
+                                     stubborn=True)
+    diff = np.abs(np.asarray(ours).astype(int) - ref_out.astype(int))
+    assert np.median(diff) <= 1
+    assert diff.max() <= 200, diff.max()  # f32 filters vs f64, log-exp chain
+
+
+def test_reference_flood_threshold_agrees(ref_modules, ref_geometry, rng):
+    from solex_ser_recon_en_tpu.geometry.edges import get_flood_image
+
+    img, _ = _disk_image(rng, h=320, w=300, r=110.0)
+    small = img.astype(np.float64) / 65536.0
+    ref_flood = ref_geometry.get_flood_image(small)
+    ours = get_flood_image(small)
+    # same binarisation threshold -> same blob, up to blur f32 rounding
+    agree = (ref_flood > 0) == (ours > 0)
+    assert agree.mean() > 0.999
