@@ -71,12 +71,17 @@ def run_tpu(n_iters: int = 2) -> dict:
     # The first run usually rides the relay's burst budget; later runs see
     # the sustained rate.  Persistent XLA cache makes run 1 warm across
     # bench invocations, so time every run and keep the best.
-    best, best_stages = None, None
+    best, best_stages, runs = None, None, []
     for _ in range(n_iters + 1):
         dt, stages = once()
+        runs.append(round(dt, 2))
         if best is None or dt < best:
             best, best_stages = dt, stages
-    return {"e2e_s": best, "stages_ms": {k: round(v * 1e3, 1) for k, v in best_stages.items()}}
+    return {
+        "e2e_s": best,
+        "e2e_runs_s": runs,  # run-to-run spread = host/link congestion
+        "stages_ms": {k: round(v * 1e3, 1) for k, v in best_stages.items()},
+    }
 
 
 def cpu_baseline_seconds() -> float:
@@ -210,6 +215,7 @@ def main() -> None:
         "unit": "s",
         "vs_baseline": round(cpu / tpu["e2e_s"], 2),
         "cpu_reference_s": round(cpu, 2),
+        "e2e_runs_s": tpu["e2e_runs_s"],
         "stages_ms": tpu["stages_ms"],
         "frames_per_s": round(FRAMES / tpu["e2e_s"], 1),
         "device_only_frames_per_s": round(dev_fps, 1),
