@@ -27,7 +27,9 @@ def usage() -> str:
         "'s' : 'crop_square_width', crop the width to equal the height (False by default)\n"
         "'t' : 'disable transversalium', disable transversalium correction (False by default)\n"
         "'m' : 'mirror flip', mirror flip in x-direction (False by default)\n"
-        "'r' : 'w'  crop width to a constant no. of pixels."
+        "'r' : 'w'  crop width to a constant no. of pixels.\n"
+        "'--mesh SPEC' : device mesh for multi-chip runs (TPU extension);\n"
+        "    SPEC = 'frame=8' | 'batch=2,frame=4' | bare count '8'."
     )
 
 
@@ -120,8 +122,30 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
     reference: CLI_handler.py:103-114.
     """
     files: List[str] = []
+    pending_mesh = False
     for argument in argv:
-        if argument.startswith("-"):
+        if pending_mesh:
+            pending_mesh = False
+            from ..parallel.mesh import parse_mesh_spec
+
+            try:
+                options.mesh = parse_mesh_spec(argument)
+            except ValueError as e:
+                print(e)
+                sys.exit(1)
+        elif argument.startswith("--mesh"):
+            # TPU extension: '--mesh frame=8' or '--mesh=frame=8'
+            if "=" in argument[6:]:
+                from ..parallel.mesh import parse_mesh_spec
+
+                try:
+                    options.mesh = parse_mesh_spec(argument.split("=", 1)[1])
+                except ValueError as e:
+                    print(e)
+                    sys.exit(1)
+            else:
+                pending_mesh = True
+        elif argument.startswith("-"):
             _apply_flag_group(options, argument)
         else:
             ext = argument.split(".")[-1].upper()

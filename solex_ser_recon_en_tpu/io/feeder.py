@@ -58,19 +58,43 @@ def auto_chunk_frames(frame_bytes: int, requested: int) -> int:
     return max(1, min(requested, cap))
 
 
+def shard_count0(sharding) -> int:
+    """Number of ways ``sharding`` splits axis 0 (1 when None/replicated)."""
+    if sharding is None:
+        return 1
+    try:
+        ax = sharding.spec[0]
+    except (AttributeError, IndexError):
+        return 1
+    if ax is None:
+        return 1
+    axes = ax if isinstance(ax, tuple) else (ax,)
+    n = 1
+    for a in axes:
+        n *= int(sharding.mesh.shape[a])
+    return n
+
+
+def _fit_chunk_to_shards(chunk: int, sharding) -> int:
+    """Chunk frame counts must divide evenly over the frame-axis shards."""
+    n = shard_count0(sharding)
+    return max(n, (chunk // n) * n)
+
+
 def raw_device_chunks(
-    vid: VideoReader, chunk: int
+    vid: VideoReader, chunk: int, sharding=None
 ) -> Tuple[Iterator[Tuple[int, jax.Array]], bool, bool]:
     """(iterator of raw device chunks, rotate, upscale) for SER scans.
 
     The chunks are in on-disk layout — consumers (ops/fused.py) contract
     them without a normalisation pass.  Raises TypeError for non-SER
-    sources (no raw layout to exploit).
+    sources (no raw layout to exploit).  ``sharding`` (a NamedSharding over
+    the frame axis) splits every chunk across the mesh as it is put.
     """
     if not isinstance(vid, _SerVideo):
         raise TypeError("raw chunks only for SER sources")
     r: SerReader = vid._r
-    chunk = auto_chunk_frames(r.header.frame_bytes, chunk)
+    chunk = _fit_chunk_to_shards(auto_chunk_frames(r.header.frame_bytes, chunk), sharding)
 
     def gen():
         # the memmap slice is the zero-copy transfer source (device_put
@@ -100,7 +124,7 @@ def raw_device_chunks(
                     raw = np.concatenate(
                         [raw, np.zeros((chunk - n,) + raw.shape[1:], raw.dtype)]
                     )
-                yield start, jax.device_put(raw)
+                yield start, jax.device_put(raw, sharding)
         finally:
             if native is not None:
                 native.close()
@@ -109,7 +133,7 @@ def raw_device_chunks(
 
 
 def device_chunks(
-    vid: VideoReader, chunk: int
+    vid: VideoReader, chunk: int, sharding=None
 ) -> Iterator[Tuple[int, jax.Array]]:
     """Yield (start, normalised device chunk) overlapping upload with use.
 
@@ -122,7 +146,10 @@ def device_chunks(
         r: SerReader = vid._r
         upscale = r.header.pixel_depth == 8
         rotate = r.flag_rotate
-        chunk = auto_chunk_frames(r.header.frame_bytes, chunk)
+        chunk = _fit_chunk_to_shards(
+            auto_chunk_frames(r.header.frame_bytes, chunk), sharding
+        )
+        nsh = shard_count0(sharding)
 
         native = None
         try:
@@ -142,7 +169,11 @@ def device_chunks(
         try:
             for start in range(0, r.frame_count, chunk):
                 n = min(chunk, r.frame_count - start)
-                dev = jax.device_put(slab(start, n))
+                # a trailing remainder that doesn't divide over the mesh
+                # goes up unsharded (consumers here track true frame counts,
+                # so zero-padding is not an option on this path)
+                sh = sharding if n % nsh == 0 else None
+                dev = jax.device_put(slab(start, n), sh)
                 pending.append((start, dev))
                 if len(pending) > 1:
                     s0, d0 = pending.pop(0)

@@ -97,13 +97,21 @@ class RawScanProcessor:
     """
 
     def __init__(self, height: int, width: int, rotate: bool, upscale: bool,
-                 frame_count: int | None = None):
+                 frame_count: int | None = None, mesh=None):
         self.rotate = rotate
         self.upscale = upscale
         self.ih = max(width, height) if rotate else height
         self.iw = min(width, height) if rotate else width
         self._sum = jnp.zeros((height, width), jnp.int32)
         self._max = jnp.zeros((height, width), jnp.uint16)
+        if mesh is not None:
+            # accumulators replicated over the mesh: folding a frame-sharded
+            # chunk then reduces with one psum over 'frame' (ICI)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._sum = jax.device_put(self._sum, rep)
+            self._max = jax.device_put(self._max, rep)
         self._chunks: List[Tuple[int, jax.Array]] = []
         # when given, the true scan length: feeders zero-pad the trailing
         # chunk to a bucket shape (io/feeder.py) — zeros are neutral for

@@ -44,6 +44,55 @@ def make_mesh(axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     return Mesh(devices.reshape(b, f), ("batch", "frame"))
 
 
+def mesh_from_options(spec: Optional[Dict[str, int]]) -> Optional[Mesh]:
+    """Build the pipeline mesh from ``Options.mesh``.
+
+    Returns None (single-device operation) when the spec is empty, names a
+    single device, or asks for more devices than the host has — the product
+    pipeline degrades gracefully rather than aborting, mirroring the
+    reference's per-file resilience posture (SHG_MAIN.py:104-129).
+    """
+    if not spec:
+        return None
+    b = int(spec.get("batch", 1))
+    f = int(spec.get("frame", 1))
+    n = b * f
+    if n <= 1:
+        return None
+    devs = jax.devices()
+    if n > len(devs):
+        print(
+            f"WARNING: mesh {spec} needs {n} devices, host has {len(devs)}; "
+            "running single-device"
+        )
+        return None
+    return make_mesh({"batch": b, "frame": f}, devs[:n])
+
+
+def frame_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Sharding for a frames-leading array: frame axis split, rest replicated."""
+    return NamedSharding(mesh, P("frame", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def parse_mesh_spec(spec: str) -> Dict[str, int]:
+    """``frame=8`` / ``batch=2,frame=4`` / bare ``8`` (all-frame) -> dict."""
+    spec = spec.strip()
+    if spec.isdigit():
+        return {"frame": int(spec)}
+    out: Dict[str, int] = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in ("batch", "frame") or not v.strip().isdigit():
+            raise ValueError(f"invalid mesh spec {spec!r}")
+        out[k] = int(v)
+    return out
+
+
 def shard_scan_recon(frames, ind_l, left_w, mesh: Mesh, kernel: str = "onehot"):
     """Single-file multi-shift recon with the frame axis sharded.
 

@@ -84,6 +84,14 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     from ..io.feeder import device_chunks, probe_transfer_rate, raw_device_chunks
     from ..io.video import _SerVideo
     from ..ops.fused import RawScanProcessor
+    from ..parallel.mesh import frame_sharding, mesh_from_options, replicated
+
+    # Options.mesh names a ('batch', 'frame') device mesh; within one scan
+    # the frame axis is the zero-communication direction (SURVEY.md §5.7):
+    # every feed below splits its chunks over 'frame', the mean/max fold
+    # reduces with one psum over ICI, and the recon contraction is local.
+    mesh = mesh_from_options(options.mesh)
+    fshard = frame_sharding(mesh) if mesh is not None else None
 
     keep_resident = vid.frame_count * vid.ih * vid.iw * 2 <= 4 * 1024**3
     total_bytes = vid.frame_count * vid.ih * vid.iw * 2
@@ -107,21 +115,23 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             mean_img, max_img = host_mean_max(vid._r)
         else:
             try:
-                raw_iter, rotate, upscale = raw_device_chunks(vid, options.frame_chunk)
+                raw_iter, rotate, upscale = raw_device_chunks(
+                    vid, options.frame_chunk, fshard
+                )
             except TypeError:
                 raw_iter = None
             if raw_iter is not None:
                 # fused raw-layout path: no normalisation pass over the slab
                 raw_proc = RawScanProcessor(
                     vid.Height, vid.Width, rotate, upscale,
-                    frame_count=vid.frame_count,
+                    frame_count=vid.frame_count, mesh=mesh,
                 )
                 for start, chunk in raw_iter:
                     raw_proc.accumulate(start, chunk, keep=keep_resident)
                 mean_img, max_img = raw_proc.mean_max()
             else:
                 acc = MeanMaxAccumulator()
-                for start, chunk in device_chunks(vid, options.frame_chunk):
+                for start, chunk in device_chunks(vid, options.frame_chunk, fshard):
                     acc.update(chunk)
                     if keep_resident:
                         chunks.append((start, chunk))
@@ -144,7 +154,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         if band_mode:
             import jax
 
-            from ..io.feeder import auto_chunk_frames
+            from ..io.feeder import auto_chunk_frames, _fit_chunk_to_shards
             from ..io.hostreduce import extract_band, spectral_band
             from ..ops.fused import reconstruct_band
 
@@ -152,7 +162,10 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             x0, x1 = spectral_band(lf.floor, shifts, vid.iw)
             bw = x1 - x0
             band_frame_bytes = bw * vid.ih * r.header.dtype.itemsize
-            chunk_n = auto_chunk_frames(band_frame_bytes, options.frame_chunk * 8)
+            chunk_n = _fit_chunk_to_shards(
+                auto_chunk_frames(band_frame_bytes, options.frame_chunk * 8),
+                fshard,
+            )
 
             def band_chunks():
                 for start in range(0, r.frame_count, chunk_n):
@@ -164,7 +177,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                             [band,
                              np.zeros((chunk_n - n,) + band.shape[1:], band.dtype)]
                         )
-                    yield start, jax.device_put(band)
+                    yield start, jax.device_put(band, fshard)
 
             disk_list = reconstruct_band(
                 band_chunks(), lf.floor, lf.frac, shifts, vid.iw, x0,
@@ -174,7 +187,9 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             if keep_resident:
                 disk_list = raw_proc.reconstruct(lf.floor, lf.frac, shifts)
             else:
-                raw_iter, _, _ = raw_device_chunks(vid, options.frame_chunk)
+                raw_iter, _, _ = raw_device_chunks(
+                    vid, options.frame_chunk, fshard
+                )
                 disk_list = raw_proc.reconstruct_streaming(
                     raw_iter, lf.floor, lf.frac, shifts
                 )
@@ -186,9 +201,17 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 for start, chunk in chunks:
                     recon.update(start, chunk)
             else:
-                for start, chunk in device_chunks(vid, options.frame_chunk):
+                for start, chunk in device_chunks(vid, options.frame_chunk, fshard):
                     recon.update(start, chunk)
             disk_list = recon.result()
+
+    if mesh is not None:
+        # gather the disks once: (S, ih, F) is ~1000x smaller than the scan,
+        # and the post-processing chain (ellipse fit, warp, transversalium,
+        # products) operates on whole disks
+        import jax
+
+        disk_list = jax.device_put(disk_list, replicated(mesh))
 
     if options.flip_x:
         disk_list = disk_list[:, :, ::-1]
