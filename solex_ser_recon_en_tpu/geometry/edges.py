@@ -17,6 +17,7 @@ from scipy.spatial import ConvexHull
 
 from ..ops.blur import box_blur
 from ..ops.canny import canny
+from ..utils.placement import small_ops
 
 NUM_REG = 2  # include biggest NUM_REG regions (ellipse_to_circle.py:31)
 
@@ -45,7 +46,8 @@ def flood_threshold(image: np.ndarray) -> float:
     """
     mean_thresh = 0.9 * float(np.sum(image)) / image.size
     bw = max(1, int(image.shape[0] * 0.01))
-    blurred = np.asarray(box_blur(jnp.asarray(image), bw, bw))
+    with small_ops():
+        blurred = np.asarray(box_blur(jnp.asarray(image), bw, bw))
 
     very_bright = np.percentile(blurred, 99)
     data = blurred.ravel()
@@ -91,11 +93,14 @@ def get_edge_list(image: np.ndarray, sigma: float = 2.0) -> Tuple[np.ndarray, np
     np.argwhere.  Retries with smaller sigma when nothing is found.
     """
     while sigma > 0:
-        low = float(np.median(np.asarray(box_blur(jnp.asarray(image), 5, 5)))) / 10
-        high = low * 1.5
-        flooded = get_flood_image(image)
-        edges = np.asarray(canny(jnp.asarray(flooded), sigma=float(sigma),
-                                 low_threshold=low, high_threshold=high))
+        with small_ops():
+            low = float(
+                np.median(np.asarray(box_blur(jnp.asarray(image), 5, 5)))
+            ) / 10
+            high = low * 1.5
+            flooded = get_flood_image(image)
+            edges = np.asarray(canny(jnp.asarray(flooded), sigma=float(sigma),
+                                     low_threshold=low, high_threshold=high))
         raw_X = np.argwhere(edges)
         labelled, nf = scipy.ndimage.label(edges, structure=np.ones((3, 3)))
         if nf > 0:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.blur import box_blur_u16
+from ..utils.placement import small_ops
 
 
 def detect_bord(img: np.ndarray, axis: int) -> Tuple[int, int]:
@@ -29,7 +30,8 @@ def detect_bord(img: np.ndarray, axis: int) -> Tuple[int, int]:
     reference: solex_util.py:165-172 — threshold = median/5 of the projected
     mean of the blurred image.
     """
-    blur = np.asarray(box_blur_u16(jnp.asarray(img), 5, 5))
+    with small_ops():
+        blur = np.asarray(box_blur_u16(jnp.asarray(img), 5, 5))
     proj = np.mean(blur, axis=axis)
     threshold = np.median(proj) / 5
     where = proj > threshold
@@ -94,7 +96,8 @@ def fit_spectral_line(mean_img: np.ndarray, max_img: np.ndarray) -> LineFit:
 
     bw_x = 25
     bw_y = max(1, int((y2 - y1) * 0.01))
-    blurred = np.asarray(box_blur_u16(jnp.asarray(mean_img), bw_x, bw_y))
+    with small_ops():
+        blurred = np.asarray(box_blur_u16(jnp.asarray(mean_img), bw_x, bw_y))
     half = bw_x // 2
     min_blur = half + np.argmin(blurred[:, half:-half], axis=1)
 

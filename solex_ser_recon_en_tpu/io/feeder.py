@@ -42,14 +42,67 @@ _TARGET_CHUNK_BYTES = 96 * 1024 * 1024
 
 
 def probe_transfer_rate(sample_bytes: int = 24 * 1024 * 1024) -> float:
-    """Measured host->device bandwidth (bytes/s) for the feed policy."""
+    """Measured host->device bandwidth (bytes/s) for the feed policy.
+
+    Token-bucket links read artificially fast on one burst, so the probe
+    sends a small warm-up put first and then takes the WORST of two timed
+    samples — still an upper bound on the sustained rate (draining the
+    bucket outright would cost more than it saves), which is why the feed
+    policy treats the reading as optimistic.
+    """
     import time
 
-    buf = np.ones(sample_bytes // 2, dtype=np.uint16)
-    t0 = time.perf_counter()
-    jax.device_put(buf).block_until_ready()
-    dt = max(time.perf_counter() - t0, 1e-6)
-    return sample_bytes / dt
+    global _PROBE_CACHE
+    now = time.monotonic()
+    if _PROBE_CACHE is not None and now - _PROBE_CACHE[1] < _PROBE_TTL_S:
+        return _PROBE_CACHE[0]
+    jax.device_put(np.ones(4 * 1024 * 1024, np.uint8)).block_until_ready()
+    rate = float("inf")
+    for _ in range(2):
+        buf = np.ones(sample_bytes // 2, dtype=np.uint16)
+        t0 = time.perf_counter()
+        jax.device_put(buf).block_until_ready()
+        dt = max(time.perf_counter() - t0, 1e-6)
+        rate = min(rate, sample_bytes / dt)
+    _PROBE_CACHE = (rate, now)
+    return rate
+
+
+# probing costs ~50 MB of link budget — memoise within a process (folder
+# batches would otherwise re-pay it per file)
+_PROBE_CACHE = None
+_PROBE_TTL_S = 120.0
+
+
+def prefetch_iter(it, depth: int = 2):
+    """Run ``it`` in a background thread, keeping ``depth`` items ready.
+
+    Used to double-buffer host-side chunk preparation (band extraction,
+    memmap reads) against device compute: the producer stages chunk k+1
+    while the consumer's matmuls chew on chunk k.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def auto_chunk_frames(frame_bytes: int, requested: int) -> int:

@@ -41,6 +41,58 @@ def host_mean_max(r: SerReader, chunk_frames: int = 256) -> Tuple[np.ndarray, np
     return mean, np.ascontiguousarray(mx16)
 
 
+def host_reconstruct(
+    r: SerReader,
+    fit_floor: np.ndarray,
+    fit_frac: np.ndarray,
+    shifts,
+    chunk_frames: int = 512,
+) -> np.ndarray:
+    """Multi-shift disk reconstruction on the host, float64, reference-exact.
+
+    The minimum-relay-bytes pass B: gathers the two interpolation neighbours
+    straight out of the SER memmap's page cache (no band copy, no transfer)
+    and reproduces the reference's float64 arithmetic and truncating uint16
+    store bit-for-bit (solex_util.py:113-134).  Only the tiny (S, ih, F)
+    disks ever cross the accelerator link.  Chosen by the feed policy when
+    the link's sustained rate makes shipping the scan (or even its spectral
+    band) slower than ~1 s of host gathers; on normally-attached TPUs the
+    device kernels (ops/recon.py) win and are chosen instead.
+    """
+    from ..ops.recon import build_shift_indices
+
+    ih, iw = r.ih, r.iw
+    F = r.frame_count
+    shifts = list(shifts)
+    S = len(shifts)
+    ind_l, _ = build_shift_indices(fit_floor, fit_frac, shifts, iw)
+    w_l = 1.0 - np.asarray(fit_frac, dtype=np.float64)   # (ih,)
+    w_r = np.asarray(fit_frac, dtype=np.float64)
+    upscale = r.header.pixel_depth == 8
+    out = np.empty((S, ih, F), dtype=np.uint16)
+    if r.flag_rotate:
+        # norm[y, x] = raw[x, W-1-y] (fused.py header): gather rows=ind_l,
+        # cols reversed-y from the raw (F, H, W) layout
+        yrev = np.arange(ih - 1, -1, -1)
+    for start in range(0, F, chunk_frames):
+        n = min(chunk_frames, F - start)
+        raw = r.raw_frames(start, n)            # memmap view, zero-copy
+        for si in range(S):
+            il = ind_l[si]
+            if r.flag_rotate:
+                left = raw[:, il, yrev]          # (n, ih)
+                right = raw[:, il + 1, yrev]
+            else:
+                rows = np.arange(ih)
+                left = raw[:, rows, il]
+                right = raw[:, rows, il + 1]
+            vals = left * w_l + right * w_r      # float64 like the reference
+            if upscale:
+                vals *= 256.0
+            out[si, :, start : start + n] = vals.T   # truncating u16 store
+    return out
+
+
 def spectral_band(
     fit_floor: np.ndarray, shifts, iw: int, margin: int = 2
 ) -> Tuple[int, int]:

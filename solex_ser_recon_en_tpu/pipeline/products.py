@@ -121,7 +121,17 @@ def image_process(
     cl1, cc, frame_hc, frame_protus = _products_core(fj)
     frame_raw = fj
 
-    if circle != NO_CIRCLE and options.disk_display:
+    # the protus product is only materialised (disc paint costs a host
+    # round trip) when something will consume it — a file write or the
+    # live display; reference reaches image_process unconditionally but
+    # clahe_only saves no protus png (solex_util.py:556-566)
+    protus_needed = (
+        not save  # library callers (analyser preview/save) consume it
+        or (not options._nolog and
+            (options.protus_only or not options.clahe_only))
+        or options.flag_display
+    )
+    if protus_needed and circle != NO_CIRCLE and options.disk_display:
         x0, y0 = int(circle[0]), int(circle[1])
         r = int(circle[2]) + options.delta_radius
         if r > 0:
@@ -161,4 +171,6 @@ def image_process(
         )
     if save and options.save_fit:
         write_fits(output_path(basefich + "_clahe.fits", options), np.asarray(cl1), header)
-    return np.asarray(cc), np.asarray(frame_protus)
+    # device arrays pass through — callers pull host bytes on demand, so a
+    # clahe_only run never pays the protus download
+    return cc, frame_protus

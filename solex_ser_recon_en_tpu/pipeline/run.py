@@ -99,16 +99,26 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     band_mode = False
     chunks = []
 
-    # feed policy: when the accelerator link is slower than local host
-    # memory (slow-DMA hosts, tunnelled devices), keep pass A on the host
-    # and transfer only the spectral band pass B gathers from.
+    # Feed policy — how many bytes cross the accelerator link:
+    #   device: whole slab to HBM, full device pipeline (normal TPU hosts)
+    #   band:   host pass A, only the recon's spectral band transferred
+    #   host:   host pass A + host float64 recon; only the (S, ih, F) disks
+    #           (~1000x smaller than the scan) ever cross the link
+    # The probe reads an optimistic burst-biased rate on token-bucket links,
+    # so for big scans anything under the device threshold goes straight to
+    # "host" — the band's ~100 MB is bucket-sized, a gamble "host" never
+    # takes for ~0.5 s of page-cache gathers.
     feed = options.feed_mode
     if feed == "auto" and isinstance(vid, _SerVideo) and total_bytes > 256 * 1024**2:
         rate = probe_transfer_rate()
-        feed = "band" if rate < 200e6 else "device"
+        feed = "host" if rate < 200e6 else "device"
+
+    from ..utils.placement import set_small_ops_on_host
+
+    set_small_ops_on_host(feed in ("band", "host"))
 
     with timer.stage("mean/max"):
-        if feed == "band" and isinstance(vid, _SerVideo):
+        if feed in ("band", "host") and isinstance(vid, _SerVideo):
             from ..io.hostreduce import host_mean_max
 
             band_mode = True
@@ -151,10 +161,25 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         )
 
     with timer.stage("recon"):
-        if band_mode:
+        if feed == "host" and band_mode:
             import jax
 
-            from ..io.feeder import auto_chunk_frames, _fit_chunk_to_shards
+            from ..io.hostreduce import host_reconstruct
+
+            disk_list = host_reconstruct(vid._r, lf.floor, lf.frac, shifts)
+            if disk_list.nbytes <= 96 * 1024 * 1024 and mesh is None:
+                # start the (async) disk upload now so post-processing
+                # doesn't wait on it; oversized sweeps stay host-side and
+                # upload per-shift on demand
+                disk_list = jax.device_put(disk_list)
+        elif band_mode:
+            import jax
+
+            from ..io.feeder import (
+                auto_chunk_frames,
+                _fit_chunk_to_shards,
+                prefetch_iter,
+            )
             from ..io.hostreduce import extract_band, spectral_band
             from ..ops.fused import reconstruct_band
 
@@ -179,9 +204,11 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                         )
                     yield start, jax.device_put(band, fshard)
 
+            # double-buffered: a background thread extracts + stages chunk
+            # k+1 while the device matmuls chunk k
             disk_list = reconstruct_band(
-                band_chunks(), lf.floor, lf.frac, shifts, vid.iw, x0,
-                r.flag_rotate, r.header.pixel_depth == 8,
+                prefetch_iter(band_chunks()), lf.floor, lf.frac, shifts,
+                vid.iw, x0, r.flag_rotate, r.header.pixel_depth == 8,
             )[:, :, : vid.frame_count]
         elif raw_proc is not None:
             if keep_resident:

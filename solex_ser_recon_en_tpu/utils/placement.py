@@ -1,0 +1,43 @@
+"""Execution placement for small-image device ops.
+
+The geometry/line-fit stages run jitted XLA programs over *small* arrays
+(<= a few MB: the blurred mean image, the 4x-downscaled disk for Canny).
+On a normally-attached TPU those ride along for free; on hosts where the
+accelerator link is a throttled relay, every one of those ops costs two
+link round trips that dwarf the compute.  When the pipeline's feed policy
+detects such a link it routes the small ops to XLA:CPU — the SAME jitted
+code, same results, zero link traffic.
+
+This is a placement decision, not an implementation fork: callers wrap the
+op in ``with small_ops():`` and JAX's ``default_device`` does the rest.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+_SMALL_OPS_ON_HOST = False
+
+
+def set_small_ops_on_host(flag: bool) -> None:
+    global _SMALL_OPS_ON_HOST
+    _SMALL_OPS_ON_HOST = flag
+
+
+def small_ops_on_host() -> bool:
+    return _SMALL_OPS_ON_HOST
+
+
+def small_ops():
+    """Context manager placing the enclosed jax ops per the current policy."""
+    if _SMALL_OPS_ON_HOST:
+        import jax
+
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:  # no CPU backend registered (rare)
+            return contextlib.nullcontext()
+        if jax.default_backend() == "cpu":
+            return contextlib.nullcontext()  # already there
+        return jax.default_device(cpu)
+    return contextlib.nullcontext()

@@ -143,6 +143,30 @@ def test_reference_recon_agrees(ref_modules, scan_path):
         assert (diff > 0).mean() < 0.02
 
 
+def test_reference_host_recon_bit_exact(ref_modules, scan_path):
+    """The host float64 recon (feed_mode='host') matches the reference's
+    read_video_improved BIT-FOR-BIT — same arithmetic, same truncation."""
+    ref_su, ref_vr = ref_modules
+    from solex_ser_recon_en_tpu.io.hostreduce import host_reconstruct
+    from solex_ser_recon_en_tpu.io.ser import SerReader
+
+    rdr = ref_vr.video_reader(scan_path)
+    opts = _ref_options()
+    mean_img, fit_ref, _, _ = ref_su.compute_mean_return_fit(
+        ref_vr.video_reader(scan_path), opts, {}, rdr.iw, rdr.ih, "x"
+    )
+    opts["shift"] = [10, 0, -4]
+    disks_ref, ih, iw, fc = ref_su.read_video_improved(
+        ref_vr.video_reader(scan_path), fit_ref, opts
+    )
+    r = SerReader(scan_path)
+    floor = fit_ref[:, 0].astype(np.int64)
+    frac = fit_ref[:, 1]
+    ours = host_reconstruct(r, floor, frac, [10, 0, -4], chunk_frames=48)
+    for i in range(3):
+        np.testing.assert_array_equal(ours[i], disks_ref[i])
+
+
 def test_reference_transversalium_agrees(ref_modules):
     ref_su, _ = ref_modules
     from solex_ser_recon_en_tpu.pipeline.transversalium import correct_transversalium
