@@ -54,6 +54,30 @@ def test_form_folder_mode(tmp_path):
     assert opts.input_dir == str(tmp_path)
 
 
+def test_i18n_all_13_languages_ship():
+    """Full data-asset parity: the reference ships 13 language dicts
+    (language_data/dict_lang_*.txt); every one must load, translate the
+    complete English key set, and carry a flag icon that exists."""
+    import os
+
+    from solex_ser_recon_en_tpu.i18n import _BUILTIN
+
+    langs, dicts = read_langs()
+    want = {
+        "English", "Français", "Deutsch", "Español", "Italiano", "日本語",
+        "한국어", "Монгол", "Português", "简体中文", "繁體中文", "Українська",
+    }
+    assert want <= set(langs), set(langs)
+    en_keys = {k for k in get_lang("English") if not k.startswith("_")}
+    for name, d in zip(langs, dicts):
+        missing = en_keys - set(d)
+        assert not missing, f"{name} missing {missing}"
+        flag = d.get("_flag_icon")
+        assert flag and os.path.exists(os.path.join(_BUILTIN, flag)), name
+        # every value is a non-empty string (hot-swap safe)
+        assert all(isinstance(v, str) and v for v in d.values()), name
+
+
 def test_i18n_languages():
     langs, dicts = read_langs()
     assert "English" in langs and "Français" in langs
