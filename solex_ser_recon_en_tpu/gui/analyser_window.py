@@ -23,7 +23,7 @@ from ..analyser.atlas import anchor_table, load_atlas, target_table
 from ..config import Options
 
 
-def analyse_spectrum(options: Options, file: Optional[str] = None):  # pragma: no cover - GUI
+def analyse_spectrum(options: Options, file: Optional[str] = None):
     """Show the analyser window; returns the chosen pixel shift (or None).
 
     reference: spectralAnalyserUI.py:60 (analyseSpectrum) — the return value

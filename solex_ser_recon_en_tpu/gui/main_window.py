@@ -32,7 +32,7 @@ def _require_sg():
         ) from e
 
 
-def input_ui(options: Options) -> Optional[List[str]]:  # pragma: no cover - GUI
+def input_ui(options: Options) -> Optional[List[str]]:
     """Show the main window; returns selected files (None = quit).
 
     reference: UI_handler.py:169-311.
@@ -154,7 +154,7 @@ def input_ui(options: Options) -> Optional[List[str]]:  # pragma: no cover - GUI
         window.close()
 
 
-def run_app() -> int:  # pragma: no cover - GUI
+def run_app() -> int:
     """GUI event loop: config round-trip + file/folder dispatch.
 
     reference: SHG_MAIN.py:229-246.

@@ -1,0 +1,201 @@
+"""Exercise the REAL GUI windows under the scriptable FreeSimpleGUI stub.
+
+These tests construct gui/main_window.py's and gui/analyser_window.py's
+actual layouts and pump their actual event loops (language hot-swap, tab
+switch, validation popups, OK/Cancel, analyser start/dispersion/GOTO/save)
+— the stub only replaces widget rendering.  reference: UI_handler.py:169-311,
+SHG_MAIN.py:229-246, spectralAnalyserUI.py:60-391.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.config import Options
+
+import stub_freesimplegui as stub  # tests dir is on sys.path under pytest
+
+
+@pytest.fixture(autouse=True)
+def _inject_stub(monkeypatch):
+    monkeypatch.setitem(sys.modules, "FreeSimpleGUI", stub)
+    # analyser window's matplotlib tk canvas: replace with a no-op shim
+    shim = types.ModuleType("matplotlib.backends.backend_tkagg")
+
+    class FigureCanvasTkAgg:
+        def __init__(self, fig, master=None):
+            self.figure = fig
+
+        def get_tk_widget(self):
+            return self
+
+        def pack(self, **kw):
+            pass
+
+        def draw(self):
+            pass
+
+    shim.FigureCanvasTkAgg = FigureCanvasTkAgg
+    monkeypatch.setitem(sys.modules, "matplotlib.backends.backend_tkagg", shim)
+    yield
+
+
+def test_main_window_ok_path(basic_scan, tmp_path):
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    path = basic_scan["path"]
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+    stub.script([
+        ("OK", {"-FILE-": path, "_pixel_offset": "0:4:2",
+                "Save fits files": True, "output_dir": outdir,
+                "_fixed_width": "123", "Mirror X": True}),
+    ])
+    opts = Options()
+    files = input_ui(opts)
+    assert files == [path]
+    assert opts.shift == [0, 2, 4]
+    assert opts.save_fit is True
+    assert opts.fixed_width == 123
+    assert opts.flip_x is True
+    assert opts.output_dir == outdir
+    assert stub.WINDOWS[0].closed
+
+
+def test_main_window_language_hot_swap_all_13():
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+    from solex_ser_recon_en_tpu.i18n import read_langs
+
+    langs, dicts = read_langs()
+    # full parity: the reference ships 12 dict_lang_*.txt files
+    assert len(langs) >= 12
+    stub.script(
+        [("lang_input", {"lang_input": name}) for name in langs]
+        + [("Cancel", {})]
+    )
+    opts = Options()
+    assert input_ui(opts) is None
+    assert opts.language == langs[-1]
+    win = stub.WINDOWS[0]
+    # the OK button label followed every language swap
+    ok_labels = win["OK"].label_updates
+    want = [d.get("OK", "OK") for d in dicts]
+    assert ok_labels == want
+    # a representative checkbox label swapped too
+    assert len(win["Mirror X"].label_updates) == len(langs)
+
+
+def test_main_window_validation_popup_then_cancel():
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    stub.script([
+        ("OK", {"_pixel_offset": "garbage"}),   # ValueError -> popup, loop
+        ("Cancel", {}),
+    ])
+    assert input_ui(Options()) is None
+    assert stub.POPUPS == ["invalid pixel offset value!"]
+
+
+def test_main_window_tab_switch_sets_mode(tmp_path):
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    folder = str(tmp_path / "watch")
+    os.makedirs(folder)
+    stub.script([
+        ("-tab_group-", {"-tab_group-": "Folder input mode"}),
+        ("OK", {"input_dir": folder, "Continuous detect mode": True}),
+    ])
+    opts = Options()
+    files = input_ui(opts)
+    assert files == []
+    assert opts.selected_mode == "Folder input mode"
+    assert opts.input_dir == folder
+    assert opts.continuous_detect_mode is True
+
+
+def test_main_window_win_closed():
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    stub.script([])  # read() immediately reports WIN_CLOSED
+    assert input_ui(Options()) is None
+
+
+def test_run_app_event_loop(basic_scan, tmp_path, monkeypatch):
+    """run_app: config round-trip + file dispatch (SHG_MAIN.py:229-246)."""
+    import importlib
+
+    import solex_ser_recon_en_tpu.gui.main_window as mw
+
+    # cli/__init__ re-exports a `main` function that shadows the submodule
+    # on attribute-style imports
+    cli_main = importlib.import_module("solex_ser_recon_en_tpu.cli.main")
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    monkeypatch.setattr(cli_main, "handle_files",
+                        lambda files, options, *a, **k: calls.append(files))
+    stub.script([
+        ("OK", {"-FILE-": basic_scan["path"], "_pixel_offset": "7"}),
+        # second input_ui round ends the app (script exhausted -> WIN_CLOSED)
+    ])
+    assert mw.run_app() == 0
+    assert calls == [[basic_scan["path"]]]
+    # options were persisted with the entered shift
+    saved = cli_main.read_ini(str(tmp_path / "SHG_config.txt"))
+    assert saved.shift == [7]
+
+
+@pytest.fixture(scope="module")
+def analyser_scan(tmp_path_factory):
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    p = str(tmp_path_factory.mktemp("gui_an") / "scan.ser")
+    SyntheticScan(
+        ih=220, iw=120, frames=180, depth=16,
+        line_poly=(60.0, 0.0, 0.0, 0.0), disk_radius=70.0,
+        noise=0.002, seed=9,
+    ).write(p)
+    return p
+
+
+def test_analyser_window_full_session(analyser_scan):
+    from solex_ser_recon_en_tpu.analyser.atlas import anchor_table
+    from solex_ser_recon_en_tpu.gui.analyser_window import analyse_spectrum
+
+    a_waves, a_names, anchors = anchor_table()
+    halpha = anchors[int(np.argmin(np.abs(np.asarray(a_waves) - 6562.808)))]
+    base = os.path.splitext(analyser_scan)[0]
+    stub.script([
+        ("Start analysis", {"-FILE2-": analyser_scan}),
+        ("Auto dispersion", {"-anchor-": halpha}),
+        ("-shift-", {"-shift-": 3}),
+        ("GOTO", {"-ashift-": "6563.2"}),
+        ("Save image", {}),
+        ("Exit", {}),
+    ])
+    opts = Options()
+    shift = analyse_spectrum(opts, analyser_scan)
+    assert stub.POPUPS == []
+    assert 0.02 <= opts.dispersion <= 0.12       # Auto dispersion landed
+    assert shift == int(round((6563.2 - 6562.808) / opts.dispersion)) or shift >= 1
+    win = stub.WINDOWS[0]
+    assert win["-dispersion-"].label_updates     # dispersion field updated
+    saved = [f for f in os.listdir(os.path.dirname(analyser_scan))
+             if "_shift=" in f and f.endswith(".png")]
+    assert saved, "Save image wrote nothing"
+    assert base  # silence lint
+
+
+def test_analyser_window_goto_without_dispersion_pops(analyser_scan):
+    from solex_ser_recon_en_tpu.gui.analyser_window import analyse_spectrum
+
+    stub.script([
+        ("Start analysis", {"-FILE2-": analyser_scan}),
+        ("GOTO", {"-ashift-": "6563.0", "-anchor-": ""}),
+        ("Exit", {}),
+    ])
+    analyse_spectrum(Options(), analyser_scan)
+    assert any("dispersion" in p for p in stub.POPUPS)

@@ -52,3 +52,35 @@ def test_native_8bit(tmp_path, rng):
     assert r.pixel_depth == 8
     np.testing.assert_array_equal(r.read(0, 5), frames)
     r.close()
+
+
+@pytest.mark.parametrize("depth", [8, 16])
+def test_native_mean_max_matches_numpy(tmp_path, rng, depth):
+    dt = np.uint8 if depth == 8 else np.uint16
+    hi = 256 if depth == 8 else 65536
+    frames = rng.integers(0, hi, size=(37, 12, 20)).astype(dt)
+    p = str(tmp_path / f"mm{depth}.ser")
+    write_ser(p, frames)
+    r = NativeSerReader(p)
+    s, m = r.mean_max()
+    r.close()
+    np.testing.assert_array_equal(s, frames.sum(axis=0, dtype=np.uint64))
+    np.testing.assert_array_equal(m, frames.max(axis=0).astype(np.uint16))
+
+
+def test_host_mean_max_normalisation(tmp_path, rng):
+    """host_mean_max (native or fallback) matches reference semantics:
+    uint64 sum, truncating mean, rot90 for wide storage."""
+    from solex_ser_recon_en_tpu.io.ser import SerReader
+    from solex_ser_recon_en_tpu.io import hostreduce
+
+    frames = rng.integers(0, 65536, size=(23, 10, 30), dtype=np.uint16)
+    p = str(tmp_path / "hm.ser")
+    write_ser(p, frames)  # wide storage -> exercises the rot90 path
+    r = SerReader(p)
+    mean, mx = hostreduce.host_mean_max(r)
+    want_sum = np.rot90(frames.sum(axis=0, dtype=np.uint64))
+    want_mean = (want_sum.astype(np.float64) / 23).astype(np.uint16)
+    want_max = np.rot90(frames.max(axis=0))
+    np.testing.assert_array_equal(mean, want_mean)
+    np.testing.assert_array_equal(mx, want_max)
