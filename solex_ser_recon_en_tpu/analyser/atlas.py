@@ -110,6 +110,143 @@ class SolarAtlas:
         return cls(intensity=inten, first=first, last=last, step=step)
 
 
+    @classmethod
+    def realistic(
+        cls,
+        first: float = 3000.0,
+        last: float = 10000.0,
+        step: float = 0.01,
+        seed: int = 20260816,
+    ) -> "SolarAtlas":
+        """Physically-motivated disk-integrated solar spectrum.
+
+        The reference ships a measured atlas (language_data/alps.npz,
+        700,000 u8 samples, spectralAnalyserUI.py:61-65); we generate an
+        equivalent-fidelity synthetic one so auto-dispersion sees the same
+        *structure* a real spectrum has (the stick atlas of ``synthetic()``
+        does not):
+
+        - Planck continuum at T_eff = 5772 K times a slow instrument slope,
+        - the strong Fraunhofer lines with pseudo-Voigt profiles (Gaussian
+          cores + Lorentzian damping wings for Ca II H/K, Na D, Mg b, Hα..),
+        - a metal-line forest whose density rises toward the blue (the real
+          solar property that anchors correlation-based scale search),
+        - telluric O2 A/B bands (sharp, regularly spaced) and H2O bands.
+
+        Deterministic (seeded) — the shipped data/atlas.npz is this
+        function's output quantised to uint8 in the reference schema.
+        """
+        wl = np.arange(first, last, step)
+        # Planck continuum (per-wavelength, arbitrary units), normalised
+        h_c_over_k = 14387768.78  # h*c/k_B in nm*K -> use Å: x10
+        x = 143877687.8 / (wl * 5772.0)
+        planck = 1.0 / (wl**5 * np.expm1(np.clip(x, 1e-6, 700)))
+        cont = planck / planck.max()
+        # slow instrument/response slope so the continuum is not pure Planck
+        t = (wl - first) / (last - first)
+        cont = cont * (0.85 + 0.3 * t - 0.15 * t * t)
+        cont /= cont.max()
+
+        depth_map = np.zeros_like(wl)  # accumulated absorption (multiplied)
+        trans = np.ones_like(wl)
+
+        def absorb(center, depth, sigma, gamma=0.0, eta=0.0):
+            """Pseudo-Voigt absorption: (1-eta)*Gauss + eta*Lorentz."""
+            span = 6 * sigma + (30 * gamma if gamma else 0.0)
+            lo = np.searchsorted(wl, center - span)
+            hi = np.searchsorted(wl, center + span)
+            if lo >= hi:
+                return
+            d = wl[lo:hi] - center
+            prof = (1 - eta) * np.exp(-0.5 * (d / sigma) ** 2)
+            if eta:
+                prof += eta * gamma * gamma / (d * d + gamma * gamma)
+            trans[lo:hi] *= 1.0 - depth * prof
+
+        # --- strong Fraunhofer lines: (λ Å, depth, σ core, γ wing, η) ---
+        strong = [
+            (6562.808, 0.88, 0.35, 1.6, 0.35),   # Hα
+            (4861.35, 0.82, 0.40, 1.8, 0.35),    # Hβ
+            (4340.47, 0.78, 0.40, 1.6, 0.35),    # Hγ
+            (4101.73, 0.75, 0.40, 1.5, 0.35),    # Hδ
+            (3970.07, 0.80, 0.45, 2.0, 0.40),    # Hε (blend with Ca II H)
+            (3933.66, 0.95, 0.80, 6.0, 0.55),    # Ca II K
+            (3968.47, 0.94, 0.80, 5.5, 0.55),    # Ca II H
+            (5889.95, 0.90, 0.25, 0.9, 0.30),    # Na I D2
+            (5895.92, 0.87, 0.25, 0.8, 0.30),    # Na I D1
+            (5167.32, 0.72, 0.22, 0.5, 0.25),    # Mg I b3
+            (5172.68, 0.76, 0.22, 0.6, 0.25),    # Mg I b2
+            (5183.60, 0.78, 0.22, 0.6, 0.25),    # Mg I b1
+            (4226.73, 0.80, 0.25, 0.7, 0.25),    # Ca I
+            (4383.55, 0.72, 0.18, 0.3, 0.2),     # Fe I
+            (4404.75, 0.68, 0.16, 0.25, 0.2),    # Fe I
+            (4325.76, 0.66, 0.16, 0.25, 0.2),    # Fe I / CH G-band region
+            (4307.90, 0.70, 0.30, 0.4, 0.2),     # G band (CH blend)
+            (4045.81, 0.70, 0.18, 0.3, 0.2),     # Fe I
+            (5269.54, 0.62, 0.15, 0.2, 0.15),    # Fe I
+            (5328.04, 0.58, 0.14, 0.2, 0.15),    # Fe I
+            (6173.33, 0.45, 0.12, 0.0, 0.0),     # Fe I (magnetograph line)
+            (6301.50, 0.42, 0.12, 0.0, 0.0),     # Fe I
+            (6302.49, 0.38, 0.12, 0.0, 0.0),     # Fe I
+            (7664.90, 0.70, 0.20, 0.4, 0.2),     # K I
+            (7698.96, 0.65, 0.20, 0.4, 0.2),     # K I
+            (8498.02, 0.62, 0.45, 1.2, 0.3),     # Ca II IR triplet
+            (8542.09, 0.78, 0.55, 1.6, 0.3),     # Ca II IR triplet
+            (8662.14, 0.72, 0.50, 1.4, 0.3),     # Ca II IR triplet
+            (8750.47, 0.45, 0.50, 1.0, 0.3),     # Paschen 12
+            (8862.78, 0.42, 0.50, 1.0, 0.3),     # Paschen 11
+            (9014.91, 0.40, 0.55, 1.0, 0.3),     # Paschen 10
+            (9229.01, 0.45, 0.60, 1.2, 0.3),     # Paschen 9
+            (9545.97, 0.48, 0.65, 1.3, 0.3),     # Paschen 8
+            (5875.62, 0.12, 0.25, 0.0, 0.0),     # He I D3 (weak)
+            (6867.19, 0.30, 0.15, 0.0, 0.0),     # O2 B head
+            (7593.70, 0.55, 0.15, 0.0, 0.0),     # O2 A head
+        ]
+        for c, d, s, g, e in strong:
+            absorb(c, d, s, g, e)
+
+        rng = np.random.default_rng(seed)
+        # --- metal-line forest: density falls toward the red like the Sun's
+        n_forest = 24000
+        u = rng.random(n_forest)
+        lam = first + (last - first) * (1 - np.sqrt(u))  # denser at the blue
+        depths = np.minimum(0.85, rng.exponential(0.12, n_forest) + 0.02)
+        sigmas = rng.uniform(0.035, 0.14, n_forest)
+        for c, d, s in zip(lam, depths, sigmas):
+            absorb(float(c), float(d), float(s))
+        # --- telluric bands: sharp, quasi-regular combs ---
+        for head, tail, spacing, dmax in (
+            (7593.7, 7684.0, 1.45, 0.85),   # O2 A
+            (6867.2, 6944.0, 1.55, 0.45),   # O2 B
+            (7165.0, 7320.0, 0.9, 0.30),    # H2O
+            (8105.0, 8350.0, 1.0, 0.35),    # H2O
+            (9300.0, 9650.0, 0.8, 0.45),    # H2O
+        ):
+            c = head
+            k = 0
+            while c < tail:
+                jitter = rng.uniform(-0.08, 0.08)
+                d = dmax * (0.35 + 0.65 * rng.random())
+                absorb(c + jitter, d, 0.035)
+                k += 1
+                c = head + spacing * k * (1 + 0.004 * k)  # band-head spread
+        inten = cont * trans
+        # keep the multiplication accumulator honest
+        del depth_map
+        return cls(intensity=inten / inten.max(), first=first, last=last,
+                   step=step)
+
+    def to_npz(self, path: str) -> None:
+        """Write in the reference alps.npz schema (u8 y/first/last/step)."""
+        np.savez_compressed(
+            path,
+            y=np.clip(np.round(self.intensity * 255.0), 0, 255).astype(np.uint8),
+            first=self.first,
+            last=self.last,
+            step=self.step,
+        )
+
+
 def load_atlas(path: Optional[str] = None) -> SolarAtlas:
     """Load the atlas from ``path``, common locations, or synthesise one."""
     candidates = [path] if path else []

