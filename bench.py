@@ -1,32 +1,42 @@
 #!/usr/bin/env python3
 """Benchmark: end-to-end 2000-frame 16-bit full-disk scan (BASELINE config 1).
 
-Pipeline measured: SER decode -> device mean/max -> cubic line fit ->
-multi-shift MXU recon -> ellipse fit -> circularisation warp ->
-transversalium -> CLAHE/stretch products -> PNG out.
+Pipeline measured: SER decode -> mean/max -> cubic line fit -> multi-shift
+recon -> ellipse fit -> circularisation warp -> CLAHE/stretch products ->
+PNG out, through the feed policy's chosen path (on this relay-attached host:
+host pass A + host f64 recon, device geometry/products).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": e2e_seconds, "unit": "s", "vs_baseline": speedup}
+  {"metric": ..., "value": median_e2e_seconds, "unit": "s", "vs_baseline": x}
 
-vs_baseline = (CPU reference replica seconds) / (our seconds); the replica
-(solex_ser_recon_en_tpu/utils/cpu_reference.py) reproduces the reference's
-per-frame hot loops exactly (the reference itself cannot run here — its GUI
-deps are absent).  The CPU number is measured once and cached.
+Protocol: one UNTIMED warmup run (absorbs the cold page-cache read of the
+2.4 GB scan and per-process XLA program loads — reported as ``warmup_s``),
+then N timed runs; ``value`` is the MEDIAN, with best and the full spread
+reported alongside a per-run host-memcpy congestion probe (this sandbox's
+host memory/IO path is token-bucket throttled; the probe makes run-to-run
+variance attributable).
+
+vs_baseline = (CPU reference replica seconds) / (our median seconds); the
+replica (solex_ser_recon_en_tpu/utils/cpu_reference.py) reproduces the
+reference's per-frame hot loops exactly (the reference itself cannot run
+here — its GUI deps are absent).  The CPU number is measured once on the
+FULL 2000-frame scan and cached.
 """
 
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
 BENCH_DIR = os.environ.get("SOLEX_BENCH_DIR", "/tmp/solex_bench")
 SCAN = os.path.join(BENCH_DIR, "bench_scan_2000f.ser")
-BASELINE_CACHE = os.path.join(BENCH_DIR, "cpu_baseline.json")
+BASELINE_CACHE = os.path.join(BENCH_DIR, "cpu_baseline_full.json")
 
 # full-scale Sol'Ex scan: 2000 frames, 2048-px slit, 300-px spectral window
 FRAMES, IH, IW = 2000, 2048, 300
-CPU_BASELINE_FRAMES = 500  # replica subset; scaled linearly (loop is O(F))
+N_RUNS = 5
 
 
 def ensure_scan() -> None:
@@ -43,16 +53,22 @@ def ensure_scan() -> None:
         squash_y=1.08, shear=0.02, disk_radius=int(0.42 * FRAMES),
         trans_stripes=0.08, noise=0.002, seed=5,
     )
-    # generate in frame blocks to bound host memory
-    out = np.empty((FRAMES, IH, IW), dtype=np.uint16)
     full = scan.generate()  # (F, ih, iw)
-    out[:] = full
-    del full
     # store wide (W > H) to exercise the auto-rotate path
-    write_ser(SCAN, np.rot90(out, k=-1, axes=(1, 2)))
+    write_ser(SCAN, np.rot90(full, k=-1, axes=(1, 2)))
 
 
-def run_tpu(n_iters: int = 2) -> dict:
+def host_congestion_probe(mb: int = 64) -> float:
+    """Host memcpy GB/s right now — the throttled resource on this host."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024, np.uint8)
+    t0 = time.perf_counter()
+    a.copy()
+    return round(mb / 1024 / max(time.perf_counter() - t0, 1e-9), 2)
+
+
+def run_tpu(n_runs: int = N_RUNS) -> dict:
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.pipeline.run import process_file
     from solex_ser_recon_en_tpu.utils.timer import StageTimer
@@ -68,53 +84,45 @@ def run_tpu(n_iters: int = 2) -> dict:
         process_file(SCAN, opts, timer)
         return time.perf_counter() - t0, timer.times
 
-    # The first run usually rides the relay's burst budget; later runs see
-    # the sustained rate.  Persistent XLA cache makes run 1 warm across
-    # bench invocations, so time every run and keep the best.
-    best, best_stages, runs = None, None, []
-    for _ in range(n_iters + 1):
+    warmup_s, _ = once()  # cold page cache + per-process XLA program loads
+    runs, congestion, best, best_stages = [], [], None, None
+    for _ in range(n_runs):
+        congestion.append(host_congestion_probe())
         dt, stages = once()
         runs.append(round(dt, 2))
         if best is None or dt < best:
             best, best_stages = dt, stages
     return {
-        "e2e_s": best,
-        "e2e_runs_s": runs,  # run-to-run spread = host/link congestion
+        "e2e_s": statistics.median(runs),
+        "best_s": best,
+        "warmup_s": round(warmup_s, 2),
+        "e2e_runs_s": runs,
+        "host_memcpy_gbps": congestion,  # spread explains run variance
         "stages_ms": {k: round(v * 1e3, 1) for k, v in best_stages.items()},
     }
 
 
 def cpu_baseline_seconds() -> float:
+    """Reference-replica seconds on the FULL scan (measured once, cached)."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)["seconds"]
-    import numpy as np
-    from solex_ser_recon_en_tpu.io.ser import SerReader, write_ser
     from solex_ser_recon_en_tpu.utils.cpu_reference import cpu_pipeline
 
-    # subset scan for the replica (linear in F), then scale
-    sub = os.path.join(BENCH_DIR, "bench_sub.ser")
-    r = SerReader(SCAN)
-    write_ser(sub, np.asarray(r.raw_frames(0, CPU_BASELINE_FRAMES)))
-    sub_s = cpu_pipeline(sub, [0])
-    secs = sub_s * (FRAMES / CPU_BASELINE_FRAMES)
+    secs = cpu_pipeline(SCAN, [0])
     with open(BASELINE_CACHE, "w") as f:
-        json.dump(
-            {"seconds": secs, "subset_seconds": sub_s,
-             "subset_frames": CPU_BASELINE_FRAMES}, f)
+        json.dump({"seconds": secs, "frames": FRAMES,
+                   "host_memcpy_gbps": host_congestion_probe()}, f)
     return secs
 
 
 def device_only_fps() -> float:
     """Throughput of the fused device step on resident frames (the number
     that transfers to deployments with normal host DMA — this bench host's
-    ~40-100 MB/s memory/relay path dominates the e2e figure)."""
+    throttled memory/relay path dominates the e2e figure)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    def jnp_concat(parts):
-        return jnp.concatenate(parts, axis=0)
 
     from solex_ser_recon_en_tpu.io.ser import SerReader
     from solex_ser_recon_en_tpu.io.feeder import normalize_frames
@@ -130,7 +138,7 @@ def device_only_fps() -> float:
     for s in range(0, n, step):
         c = min(step, n - s)
         parts.append(jax.device_put(np.asarray(r.raw_frames(s, c))))
-    frames = jnp_concat(parts)
+    frames = jnp.concatenate(parts, axis=0)
     frames = normalize_frames(frames, r.flag_rotate, r.header.pixel_depth == 8)
     frames.block_until_ready()
     curve = r.iw / 2 + 0.001 * np.arange(r.ih)
@@ -147,15 +155,53 @@ def device_only_fps() -> float:
     return n / dt
 
 
-def run_config(n: int) -> dict:
-    """Extended BASELINE.md configs (2-5); invoked as `bench.py --config N`.
+_BATCH_FRAMES, _BATCH_IH, _BATCH_IW = 200, 256, 96
 
-    Each returns {"metric", "value", "unit"} from a single timed run on the
-    cached scan (smaller derivatives where the config calls for it).
-    """
+
+def _ensure_mixed_batch(folder: str, n_files: int = 50) -> None:
+    """BASELINE config 5 corpus: 50 mixed SER+AVI scans (40 SER, 10 AVI),
+    each a small (200-frame, 256x96) synthetic scan so the config measures
+    batch/orchestration throughput, not 50 repeats of config 1."""
     import numpy as np
+    from solex_ser_recon_en_tpu.io.ser import write_ser
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    os.makedirs(folder, exist_ok=True)
+    if len(os.listdir(folder)) >= n_files:
+        return
+    scan = SyntheticScan(
+        ih=_BATCH_IH, iw=_BATCH_IW, frames=_BATCH_FRAMES, depth=16,
+        line_poly=(48.0, 0.01, -1e-5, 0.0), noise=0.002, seed=11,
+    )
+    base = scan.generate()                            # (F, ih, iw)
+    wide = np.rot90(base, k=-1, axes=(1, 2))          # wide storage
+    n_avi = n_files // 5
+    for i in range(n_files - n_avi):
+        p = os.path.join(folder, f"scan_{i:02d}.ser")
+        if not os.path.exists(p):
+            write_ser(p, wide)
+    try:
+        import cv2
+
+        frames8 = (base >> 8).astype(np.uint8)        # normal orientation
+        h, w = frames8.shape[1:]
+        for i in range(n_avi):
+            p = os.path.join(folder, f"scan_avi_{i:02d}.avi")
+            if os.path.exists(p):
+                continue
+            vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"Y800"), 30,
+                                 (w, h), isColor=False)
+            for f in frames8:
+                vw.write(f)
+            vw.release()
+    except Exception:
+        pass  # SER-only corpus when no AVI encoder exists
+
+
+def run_config(n: int) -> dict:
+    """Extended BASELINE.md configs (2-5); invoked as `bench.py --config N`
+    and folded into the default output as ``extra_configs``."""
     from solex_ser_recon_en_tpu.config import Options
-    from solex_ser_recon_en_tpu.io.ser import SerReader, write_ser
     from solex_ser_recon_en_tpu.pipeline.run import process_file
     from solex_ser_recon_en_tpu.cli.main import handle_folder
 
@@ -168,34 +214,36 @@ def run_config(n: int) -> dict:
                        output_dir=outdir)
         t0 = time.perf_counter()
         process_file(SCAN, opts)
-        return {"metric": "config2_all_fits_outputs", "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+        return {"metric": "config2_all_fits_outputs",
+                "value": round(time.perf_counter() - t0, 2), "unit": "s"}
     if n == 3:  # Doppler sweep
         opts = Options(shift=list(range(-10, 11, 5)), clahe_only=True,
                        output_dir=outdir)
         t0 = time.perf_counter()
         process_file(SCAN, opts)
-        return {"metric": "config3_doppler_sweep_5_shifts", "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+        return {"metric": "config3_doppler_sweep_5_shifts",
+                "value": round(time.perf_counter() - t0, 2), "unit": "s"}
     if n == 4:  # protus mode
         opts = Options(shift=[0], transversalium=False, flip_x=True,
                        fixed_width=1800, img_rotate=90, disk_display=True,
                        output_dir=outdir)
         t0 = time.perf_counter()
         process_file(SCAN, opts)
-        return {"metric": "config4_protus_mode", "value": round(time.perf_counter() - t0, 2), "unit": "s"}
-    if n == 5:  # folder batch over mixed scans (smaller derivatives)
-        folder = os.path.join(BENCH_DIR, "batch")
-        if not os.path.isdir(folder) or len(os.listdir(folder)) < 10:
-            os.makedirs(folder, exist_ok=True)
-            r = SerReader(SCAN)
-            base = np.asarray(r.raw_frames(0, 400))
-            for i in range(10):
-                write_ser(os.path.join(folder, f"scan_{i:02d}.ser"), base)
+        return {"metric": "config4_protus_mode",
+                "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+    if n == 5:  # folder batch over 50 mixed SER+AVI scans (BASELINE spec)
+        folder = os.path.join(BENCH_DIR, "batch50")
+        _ensure_mixed_batch(folder, 50)
+        files = sorted(os.listdir(folder))
         opts = Options(shift=[0], clahe_only=True, input_dir=folder,
                        output_dir=outdir)
         t0 = time.perf_counter()
         done = handle_folder(opts)
         dt = time.perf_counter() - t0
-        return {"metric": "config5_folder_batch_10x400f", "value": round(dt, 2), "unit": "s", "files": done}
+        total_frames = _BATCH_FRAMES * len(files)
+        return {"metric": "config5_folder_batch_50_mixed",
+                "value": round(dt, 2), "unit": "s", "files": done,
+                "aggregate_frames_per_s": round(total_frames / dt, 1)}
     raise SystemExit(f"unknown config {n}")
 
 
@@ -209,16 +257,28 @@ def main() -> None:
     tpu = run_tpu()
     dev_fps = device_only_fps()
     cpu = cpu_baseline_seconds()
+    extra = {}
+    if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
+        for n in (2, 3, 4, 5):
+            try:
+                extra[f"config{n}"] = run_config(n)
+            except Exception as e:  # a config failure must not mask config 1
+                extra[f"config{n}"] = {"error": str(e)[:200]}
     result = {
         "metric": "e2e_2000frame_16bit_full_disk_scan",
         "value": round(tpu["e2e_s"], 4),
         "unit": "s",
         "vs_baseline": round(cpu / tpu["e2e_s"], 2),
+        "best_s": round(tpu["best_s"], 4),
+        "vs_baseline_best": round(cpu / tpu["best_s"], 2),
+        "warmup_s": tpu["warmup_s"],
         "cpu_reference_s": round(cpu, 2),
         "e2e_runs_s": tpu["e2e_runs_s"],
+        "host_memcpy_gbps": tpu["host_memcpy_gbps"],
         "stages_ms": tpu["stages_ms"],
         "frames_per_s": round(FRAMES / tpu["e2e_s"], 1),
         "device_only_frames_per_s": round(dev_fps, 1),
+        "extra_configs": extra,
     }
     print(json.dumps(result))
 

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <new>
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -116,6 +117,70 @@ int ser_read(void* handle, uint32_t start, uint32_t count, uint8_t* out) {
   const uint8_t* src =
       f->map + kHeaderSize + static_cast<int64_t>(start) * f->frame_bytes;
   memcpy(out, src, static_cast<size_t>(f->frame_bytes) * count);
+  return 0;
+}
+
+// Fused single-pass sum + max over all frames (pass A of the pipeline,
+// reference: solex_util.py:174-188).  NumPy needs two reduction passes per
+// chunk (sum, then max) — 2x the host memory traffic of this loop, which
+// the autovectoriser turns into one widening-add + max sweep.  Accumulates
+// into cache-resident uint32 tiles, folding to the uint64 output before
+// overflow; prefetches the next frame window so cold reads overlap compute.
+// sum_out: width*height uint64 (raw layout), max_out: width*height uint16
+// (8-bit inputs are widened, NOT shifted — scaling is the caller's job).
+int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
+  SerFile* f = static_cast<SerFile*>(handle);
+  if (!f) return -1;
+  const int64_t px = static_cast<int64_t>(f->width) * f->height;
+  uint32_t* acc32 = new (std::nothrow) uint32_t[px]();
+  if (!acc32) return -2;
+  for (int64_t i = 0; i < px; ++i) {
+    sum_out[i] = 0;
+    max_out[i] = 0;
+  }
+  const uint8_t* base = f->map + kHeaderSize;
+  // uint32 accumulator overflow bound: 65535 * 65537 > 2^32
+  const uint32_t fold_every = (f->pixel_depth == 16) ? 65000u : 16000000u;
+  const uint32_t prefetch_win = 256;
+  uint32_t since_fold = 0;
+  for (uint32_t fr = 0; fr < f->frame_count; ++fr) {
+    if (fr % prefetch_win == 0 && fr + prefetch_win < f->frame_count) {
+      const uint8_t* p =
+          base + static_cast<int64_t>(fr + prefetch_win) * f->frame_bytes;
+      uintptr_t addr = reinterpret_cast<uintptr_t>(p);
+      uintptr_t page = addr & ~static_cast<uintptr_t>(4095);
+      madvise(reinterpret_cast<void*>(page),
+              static_cast<size_t>(f->frame_bytes) * prefetch_win +
+                  (addr - page),
+              MADV_WILLNEED);
+    }
+    const uint8_t* fp = base + static_cast<int64_t>(fr) * f->frame_bytes;
+    if (f->pixel_depth == 16) {
+      const uint16_t* p = reinterpret_cast<const uint16_t*>(fp);
+      for (int64_t i = 0; i < px; ++i) {
+        uint16_t v = p[i];
+        acc32[i] += v;
+        if (v > max_out[i]) max_out[i] = v;
+      }
+    } else {
+      for (int64_t i = 0; i < px; ++i) {
+        uint16_t v = fp[i];
+        acc32[i] += v;
+        if (v > max_out[i]) max_out[i] = v;
+      }
+    }
+    if (++since_fold == fold_every) {
+      for (int64_t i = 0; i < px; ++i) {
+        sum_out[i] += acc32[i];
+        acc32[i] = 0;
+      }
+      since_fold = 0;
+    }
+  }
+  if (since_fold) {
+    for (int64_t i = 0; i < px; ++i) sum_out[i] += acc32[i];
+  }
+  delete[] acc32;
   return 0;
 }
 

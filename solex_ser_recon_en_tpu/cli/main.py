@@ -86,6 +86,16 @@ def handle_files(
     number of files fully processed.
     """
     tasks = precheck_files(files, options)
+    # a batch worth more bytes than a link probe costs gets one probe up
+    # front, so every file (however small) rides the right feed path
+    try:
+        batch_bytes = sum(os.path.getsize(f) for f, _ in tasks)
+        if batch_bytes > 256 * 1024**2:
+            from ..io.feeder import probe_transfer_rate
+
+            probe_transfer_rate()
+    except OSError:
+        pass
     done = 0
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = []

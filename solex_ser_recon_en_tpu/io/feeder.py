@@ -56,6 +56,8 @@ def probe_transfer_rate(sample_bytes: int = 24 * 1024 * 1024) -> float:
     now = time.monotonic()
     if _PROBE_CACHE is not None and now - _PROBE_CACHE[1] < _PROBE_TTL_S:
         return _PROBE_CACHE[0]
+    if sample_bytes == 0:  # cached-only query (small-file feed policy)
+        return -1.0
     jax.device_put(np.ones(4 * 1024 * 1024, np.uint8)).block_until_ready()
     rate = float("inf")
     for _ in range(2):
@@ -71,7 +73,16 @@ def probe_transfer_rate(sample_bytes: int = 24 * 1024 * 1024) -> float:
 # probing costs ~50 MB of link budget — memoise within a process (folder
 # batches would otherwise re-pay it per file)
 _PROBE_CACHE = None
-_PROBE_TTL_S = 120.0
+_PROBE_TTL_S = 600.0
+_SMALL_BYTES_SEEN = 0
+
+
+def note_small_scan(nbytes: int) -> int:
+    """Track cumulative small-scan feed volume; once a folder batch has
+    pushed more than a probe costs, a real probe becomes worth paying."""
+    global _SMALL_BYTES_SEEN
+    _SMALL_BYTES_SEEN += int(nbytes)
+    return _SMALL_BYTES_SEEN
 
 
 def prefetch_iter(it, depth: int = 2):

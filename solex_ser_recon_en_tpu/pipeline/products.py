@@ -93,6 +93,14 @@ def _products_core(fj: jnp.ndarray):
     return cl1, cc, frame_hc, frame_protus
 
 
+def products_core_batched(stack):
+    """(K, H, W) uint16 stack -> the four product stacks in ONE vmapped
+    device program (Doppler sweeps share geometry, so per-shift percentile
+    + CLAHE + stretches batch cleanly; reference runs them sequentially
+    per shift, Solex_recon.py:105-133)."""
+    return jax.vmap(_products_core)(jnp.asarray(stack))
+
+
 def image_process(
     frame: np.ndarray,
     circle: Circle,
@@ -100,11 +108,15 @@ def image_process(
     header: Optional[Dict] = None,
     basefich: str = "",
     save: bool = True,
+    core_out=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """CLAHE + stretches + protus + rotation + product files.
 
     reference: solex_util.py:527-588.  Returns (clahe_image, protus_image)
-    after rotation, both uint16.
+    after rotation, both uint16.  ``core_out`` lets a Doppler-sweep caller
+    pass precomputed (cl1, cc, hc, protus) from ONE vmapped device program
+    over the whole shift stack (pipeline/run.py) instead of K sequential
+    programs.
     """
     # device-resident until a consumer (file write / disc paint / display)
     # actually needs host bytes — per-product downloads dominate on
@@ -118,7 +130,9 @@ def image_process(
         # see docs/PARITY.md.
         fj = jnp.clip(fj, 0, 65535)
     fj = fj.astype(jnp.uint16)
-    cl1, cc, frame_hc, frame_protus = _products_core(fj)
+    cl1, cc, frame_hc, frame_protus = (
+        core_out if core_out is not None else _products_core(fj)
+    )
     frame_raw = fj
 
     # the protus product is only materialised (disc paint costs a host

@@ -43,6 +43,11 @@ from .transversalium import correct_transversalium
 from .vignette import remove_vignette
 
 
+# escape hatch for A/B testing the vmapped sweep path against the
+# sequential one (tests/test_sweep_batched.py)
+_SWEEP_BATCHED = True
+
+
 @dataclass
 class ScanResult:
     """Everything solex_read produces (reference: Solex_recon.py:49-83)."""
@@ -109,9 +114,22 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     # "host" — the band's ~100 MB is bucket-sized, a gamble "host" never
     # takes for ~0.5 s of page-cache gathers.
     feed = options.feed_mode
-    if feed == "auto" and isinstance(vid, _SerVideo) and total_bytes > 256 * 1024**2:
-        rate = probe_transfer_rate()
-        feed = "host" if rate < 200e6 else "device"
+    if feed == "auto" and isinstance(vid, _SerVideo):
+        if total_bytes > 256 * 1024**2:
+            rate = probe_transfer_rate()
+            feed = "host" if rate < 200e6 else "device"
+        else:
+            # small scans aren't worth a fresh ~50 MB probe, but a folder
+            # batch's earlier probe (memoised) is free to consult — and once
+            # the batch has cumulatively fed more than a probe costs, one
+            # real probe pays for itself
+            from ..io.feeder import note_small_scan
+
+            rate = probe_transfer_rate(sample_bytes=0)
+            if rate < 0 and note_small_scan(total_bytes) > 256 * 1024**2:
+                rate = probe_transfer_rate()
+            if 0 <= rate < 200e6:
+                feed = "host"
 
     from ..utils.placement import set_small_ops_on_host
 
@@ -347,6 +365,19 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
     # ratio/slant, so the batchable set is known only lazily.
     batched_warps = {}
 
+    # ...and the post-processing (transversalium row stats + product core)
+    # batches the same way when per-shift shapes stay uniform — i.e. no
+    # host-side crop/de-vignette/stubborn steps in between (_finish_sweep)
+    sweep_eligible = (
+        _SWEEP_BATCHED
+        and sum(1 for s in scan.shifts if s in scan.shift_requested) >= 2
+        and not options.stubborn_transversalium
+        and not options.de_vignette
+        and options.fixed_width is None
+        and not options.crop_width_square
+    )
+    pending_sweep = []
+
     def batch_warp_pending(start_index: int, ratio: float, phi: float, log=None) -> None:
         idxs = [
             j
@@ -440,6 +471,12 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
         if not flag_requested:
             continue
 
+        if sweep_eligible:
+            # defer: the whole sweep's transversalium + products run as two
+            # vmapped device programs after the loop (see _finish_sweep)
+            pending_sweep.append((s, basefich, frame_circularized))
+            continue
+
         with timer.stage("products"):
             # NOTE: stays float after de-vignette, like the reference
             # (removeVignette returns floats; the cast to uint16 happens at
@@ -454,6 +491,86 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
                 basefich,
                 scan.backup_bounds,
             )
+        results.append((s, out))
+        log.complete()
+
+    if pending_sweep:
+        with timer.stage("products"):
+            results.extend(
+                _finish_sweep(pending_sweep, scan, options, circle, borders, log)
+            )
+    return results
+
+
+def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log):
+    """Batched post-processing for a Doppler sweep's requested shifts.
+
+    All shifts share the fitted geometry (Solex_recon.py:105-133), so
+    per-shift transversalium row stats and the CLAHE/stretch product core
+    each run as ONE vmapped device program over the (K, H, W) stack; only
+    file writes and tiny gain vectors loop on the host.  Shapes are uniform
+    by construction (same warp matrix).  The results are identical to the
+    sequential path (test_sweep_batched.py asserts it).
+    """
+    import jax.numpy as jnp
+
+    from .products import products_core_batched
+
+    stack = jnp.stack([jnp.asarray(f) for (_, _, f) in pending])
+    if not jnp.issubdtype(stack.dtype, jnp.integer):
+        stack = jnp.clip(stack, 0, 65535)
+    stack = stack.astype(jnp.uint16)
+
+    if options.save_fit:
+        for k, (_, basefich, _) in enumerate(pending):
+            write_fits(
+                output_path(basefich + "_circular.fits", options),
+                np.asarray(stack[k]), scan.header,
+            )
+
+    if options.transversalium:
+        from .transversalium import correct_transversalium_batched
+
+        if circle != NO_CIRCLE:
+            tr_circle, tr_borders = circle, borders
+        else:
+            tr_circle = (0, 0, 99999)
+            tr_borders = [
+                0, scan.backup_bounds[0] + 20,
+                stack.shape[2] - 1, scan.backup_bounds[1] - 20,
+            ]
+        detrans, gains = correct_transversalium_batched(
+            stack, tr_circle, tr_borders,
+            trans_strength=options.trans_strength,
+        )
+        show_plots = (
+            not options.clahe_only
+            and not options.protus_only
+            and not options._nolog
+        )
+        for k, (_, basefich, _) in enumerate(pending):
+            if show_plots:
+                save_transversalium_plot(
+                    output_path(
+                        basefich + "_transversalium_correction.png", options
+                    ),
+                    gains[k],
+                )
+            if options.save_fit:
+                write_fits(
+                    output_path(basefich + "_detransversaliumed.fits", options),
+                    np.asarray(detrans[k]), scan.header,
+                )
+    else:
+        detrans = stack
+
+    cores = products_core_batched(detrans)
+    results = []
+    for k, (s, basefich, _) in enumerate(pending):
+        out = image_process(
+            detrans[k], circle, options, scan.header, basefich,
+            core_out=tuple(c[k] for c in cores),
+        )
         results.append((s, out))
         log.complete()
     return results

@@ -42,6 +42,31 @@ def _row_band(circle, borders) -> Tuple[int, int]:
     return y1, y2
 
 
+def _gain_from_mean_r(
+    mean_r: np.ndarray, y1: int, y2: int, h: int, trans_strength: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(H,)-vector host math shared by the single and batched paths:
+    savgol detrend + cumsum + Tukey taper (reference solex_util.py:396-470)."""
+    # reference builds y_ratios_r = [0] + [rows y1+1 .. y2-1]
+    y_ratios_r = np.zeros(y2 - y1, dtype=np.float64)
+    y_ratios_r[1:] = mean_r[y1 + 1 : y2]
+
+    n = len(y_ratios_r)
+    if n < 7:
+        return np.ones(h), np.ones(n)
+
+    window = min(trans_strength, n // 2 * 2 - 1)
+    trend = savgol_filter(y_ratios_r, window, 3)
+    detrended = y_ratios_r - trend
+    detrended -= np.mean(detrended)
+    correction = np.exp(-np.cumsum(detrended))
+
+    correction_t = 1.0 + (correction - 1.0) * tukey_taper(n)
+    c = np.ones(h, dtype=np.float64)
+    c[y1:y2] = correction_t
+    return c, correction
+
+
 def transversalium_gain(
     img: np.ndarray,
     circle,
@@ -66,24 +91,7 @@ def transversalium_gain(
     y1, y2 = _row_band(circle, borders)
     y1 = max(y1, 0)
     y2 = min(y2, h)
-    # reference builds y_ratios_r = [0] + [rows y1+1 .. y2-1]
-    y_ratios_r = np.zeros(y2 - y1, dtype=np.float64)
-    y_ratios_r[1:] = mean_r[y1 + 1 : y2]
-
-    n = len(y_ratios_r)
-    if n < 7:
-        c = np.ones(h)
-        return c, y1, y2, np.ones(n)
-
-    window = min(trans_strength, n // 2 * 2 - 1)
-    trend = savgol_filter(y_ratios_r, window, 3)
-    detrended = y_ratios_r - trend
-    detrended -= np.mean(detrended)
-    correction = np.exp(-np.cumsum(detrended))
-
-    correction_t = 1.0 + (correction - 1.0) * tukey_taper(n)
-    c = np.ones(h, dtype=np.float64)
-    c[y1:y2] = correction_t
+    c, correction = _gain_from_mean_r(mean_r, y1, y2, h, trans_strength)
     return c, y1, y2, correction
 
 
@@ -175,6 +183,45 @@ def stubborn_filter(
     delta = fix_edge_effect(delta, circle, linlen + 20)
     out = img.astype(np.float64) * np.exp(-delta * c.reshape(-1, 1))
     return np.minimum(out, 65535).astype(np.uint16)
+
+
+def correct_transversalium_batched(
+    stack,
+    circle,
+    borders,
+    trans_strength: int = 301,
+):
+    """Doppler-sweep transversalium: ONE device program for all K shifts.
+
+    All sweep shifts share the correction geometry (circle/borders — the
+    reference fits once at i=0 and reuses it, Solex_recon.py:105-133), so
+    the per-image row statistics and the final row multiplies vmap cleanly;
+    only the tiny (H,)-vector savgol/cumsum stays a host loop.
+
+    Returns (stack_out (K,H,W) uint16 device array, gains (K,H) float64).
+    """
+    import jax
+
+    stack_j = jnp.asarray(stack)
+    K, h, w = stack_j.shape
+    valid, _, _ = strip_mask(
+        h,
+        w,
+        jnp.asarray(np.asarray(circle, dtype=np.float32)),
+        jnp.asarray(np.asarray(borders, dtype=np.float32)),
+    )
+    _, mean_r_all = jax.vmap(lambda im: row_log_ratio_stats(im, valid))(stack_j)
+    mean_r_all = np.asarray(mean_r_all, dtype=np.float64)
+
+    y1, y2 = _row_band(circle, borders)
+    y1 = max(y1, 0)
+    y2 = min(y2, h)
+    gains = np.stack([
+        _gain_from_mean_r(mean_r_all[k], y1, y2, h, trans_strength)[0]
+        for k in range(K)
+    ])
+    out = jax.vmap(apply_row_gain)(stack_j, jnp.asarray(gains, dtype=jnp.float32))
+    return out, gains
 
 
 def correct_transversalium(
