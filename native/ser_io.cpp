@@ -86,8 +86,10 @@ int ser_open(const char* path, void** handle_out, uint32_t* width,
   int64_t payload = f->file_size - kHeaderSize;
   int64_t n = payload / f->frame_bytes;
   if (n < static_cast<int64_t>(f->frame_count)) f->frame_count = static_cast<uint32_t>(n);
-  // the scan is consumed front to back; let the kernel stream it
-  madvise(const_cast<uint8_t*>(bytes), st.st_size, MADV_SEQUENTIAL);
+  // NOTE: deliberately no MADV_SEQUENTIAL here — it marks the pages as
+  // preferential reclaim victims, so under page-cache pressure every pass
+  // over a multi-pass scan re-reads from (throttled) disk.  Readahead is
+  // requested explicitly per window via ser_prefetch instead.
   *handle_out = f;
   *width = f->width;
   *height = f->height;

@@ -88,26 +88,42 @@ def host_reconstruct(
     w_r = np.asarray(fit_frac, dtype=np.float64)
     upscale = r.header.pixel_depth == 8
     out = np.empty((S, ih, F), dtype=np.uint16)
+
+    # flattened per-frame gather indices (raw frame viewed as one row):
+    # rotate: norm[y, x] = raw[x, W-1-y] (fused.py header) -> il[y]*W+(W-1-y),
+    # right neighbour one raw ROW over (+W); else y*W+il[y], right +1
+    W = r.header.width
+    il64 = ind_l.astype(np.int64)
     if r.flag_rotate:
-        # norm[y, x] = raw[x, W-1-y] (fused.py header): gather rows=ind_l,
-        # cols reversed-y from the raw (F, H, W) layout
-        yrev = np.arange(ih - 1, -1, -1)
+        yrev = np.arange(ih - 1, -1, -1, dtype=np.int64)
+        flat_l = il64 * W + yrev[None, :]        # (S, ih)
+        right_off = W
+    else:
+        rows = np.arange(ih, dtype=np.int64)
+        flat_l = rows[None, :] * W + il64
+        right_off = 1
+
+    # all per-chunk temporaries are preallocated and reused: on hosts whose
+    # anonymous-memory allocation is token-bucket throttled, per-chunk fresh
+    # buffers (not the math) dominate the pass — see docs/PERF.md
+    left = np.empty((chunk_frames, ih), dtype=r.header.dtype)
+    right = np.empty_like(left)
+    vals = np.empty((chunk_frames, ih), dtype=np.float64)
+    tmp = np.empty_like(vals)
     for start in range(0, F, chunk_frames):
         n = min(chunk_frames, F - start)
-        raw = r.raw_frames(start, n)            # memmap view, zero-copy
+        raw = r.raw_frames(start, n)             # memmap view, zero-copy
+        raw2 = raw.reshape(n, -1)
         for si in range(S):
-            il = ind_l[si]
-            if r.flag_rotate:
-                left = raw[:, il, yrev]          # (n, ih)
-                right = raw[:, il + 1, yrev]
-            else:
-                rows = np.arange(ih)
-                left = raw[:, rows, il]
-                right = raw[:, rows, il + 1]
-            vals = left * w_l + right * w_r      # float64 like the reference
+            np.take(raw2, flat_l[si], axis=1, out=left[:n])
+            np.take(raw2, flat_l[si] + right_off, axis=1, out=right[:n])
+            # float64 like the reference (solex_util.py:122-134)
+            np.multiply(left[:n], w_l, out=vals[:n])
+            np.multiply(right[:n], w_r, out=tmp[:n])
+            np.add(vals[:n], tmp[:n], out=vals[:n])
             if upscale:
-                vals *= 256.0
-            out[si, :, start : start + n] = vals.T   # truncating u16 store
+                vals[:n] *= 256.0
+            out[si, :, start : start + n] = vals[:n].T  # truncating u16 store
     return out
 
 

@@ -135,6 +135,14 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
 
     set_small_ops_on_host(feed in ("band", "host"))
 
+    if feed in ("band", "host") and isinstance(vid, _SerVideo):
+        # host feeds sweep the file at least twice (pass A + pass B); pin
+        # its pages so a cache-pressured kernel doesn't make every pass a
+        # throttled disk re-read (io/pagecache.py, best-effort)
+        from ..io.pagecache import pin
+
+        pin(file)
+
     with timer.stage("mean/max"):
         if feed in ("band", "host") and isinstance(vid, _SerVideo):
             from ..io.hostreduce import host_mean_max

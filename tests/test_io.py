@@ -106,3 +106,36 @@ def test_png_roundtrip_16bit(tmp_path):
     p = str(tmp_path / "z.png")
     write_png(p, img)
     np.testing.assert_array_equal(read_image(p), img)
+
+
+def test_pagecache_pin_budget_and_reuse(tmp_path, monkeypatch):
+    from solex_ser_recon_en_tpu.io import pagecache
+
+    monkeypatch.setattr(pagecache, "_MIN_FILE", 1024)
+    monkeypatch.setattr(pagecache, "_BUDGET", 64 * 1024)
+    pagecache.clear()
+    a = tmp_path / "a.bin"
+    b = tmp_path / "b.bin"
+    a.write_bytes(b"x" * 40960)
+    b.write_bytes(b"y" * 40960)
+    assert pagecache.pin(str(a))
+    assert pagecache.pin(str(a))  # idempotent
+    assert pagecache.pinned_bytes() == 40960
+    assert pagecache.pin(str(b))  # evicts a (over budget)
+    assert pagecache.pinned_bytes() == 40960
+    too_big = tmp_path / "big.bin"
+    too_big.write_bytes(b"z" * (128 * 1024))
+    assert not pagecache.pin(str(too_big))  # exceeds whole budget
+    assert not pagecache.pin(str(tmp_path / "missing.bin"))
+    pagecache.clear()
+    assert pagecache.pinned_bytes() == 0
+
+
+def test_pagecache_respects_disable_env(tmp_path, monkeypatch):
+    from solex_ser_recon_en_tpu.io import pagecache
+
+    monkeypatch.setattr(pagecache, "_MIN_FILE", 1)
+    monkeypatch.setenv("SOLEX_NO_PIN", "1")
+    f = tmp_path / "f.bin"
+    f.write_bytes(b"x" * 4096)
+    assert not pagecache.pin(str(f))
