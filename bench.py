@@ -253,6 +253,7 @@ def main() -> None:
         ensure_scan()
         print(json.dumps(run_config(n)))
         return
+    t_start = time.monotonic()
     ensure_scan()
     tpu = run_tpu()
     dev_fps = device_only_fps()
@@ -260,6 +261,11 @@ def main() -> None:
     extra = {}
     if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
         for n in (2, 3, 4, 5):
+            if time.monotonic() - t_start > 900:
+                # congested-window guard: the headline JSON line must be
+                # printed before any driver-side timeout
+                extra[f"config{n}"] = {"skipped": "bench time budget"}
+                continue
             try:
                 extra[f"config{n}"] = run_config(n)
             except Exception as e:  # a config failure must not mask config 1
