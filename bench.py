@@ -240,9 +240,11 @@ def run_config(n: int) -> dict:
         t0 = time.perf_counter()
         done = handle_folder(opts)
         dt = time.perf_counter() - t0
-        total_frames = _BATCH_FRAMES * len(files)
+        # throughput over files actually processed, not directory entries
+        total_frames = _BATCH_FRAMES * done
         return {"metric": "config5_folder_batch_50_mixed",
                 "value": round(dt, 2), "unit": "s", "files": done,
+                "files_in_folder": len(files),
                 "aggregate_frames_per_s": round(total_frames / dt, 1)}
     raise SystemExit(f"unknown config {n}")
 
@@ -258,18 +260,6 @@ def main() -> None:
     tpu = run_tpu()
     dev_fps = device_only_fps()
     cpu = cpu_baseline_seconds()
-    extra = {}
-    if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
-        for n in (2, 3, 4, 5):
-            if time.monotonic() - t_start > 900:
-                # congested-window guard: the headline JSON line must be
-                # printed before any driver-side timeout
-                extra[f"config{n}"] = {"skipped": "bench time budget"}
-                continue
-            try:
-                extra[f"config{n}"] = run_config(n)
-            except Exception as e:  # a config failure must not mask config 1
-                extra[f"config{n}"] = {"error": str(e)[:200]}
     result = {
         "metric": "e2e_2000frame_16bit_full_disk_scan",
         "value": round(tpu["e2e_s"], 4),
@@ -284,9 +274,30 @@ def main() -> None:
         "stages_ms": tpu["stages_ms"],
         "frames_per_s": round(FRAMES / tpu["e2e_s"], 1),
         "device_only_frames_per_s": round(dev_fps, 1),
-        "extra_configs": extra,
     }
-    print(json.dumps(result))
+    # the headline goes out BEFORE the extra configs run, so a
+    # congestion-stretched config can never cost the driver the result;
+    # the final line repeats it with extras folded in
+    print(json.dumps(result), flush=True)
+    extra = {}
+    if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
+        for n in (2, 3, 4, 5):
+            if time.monotonic() - t_start > 900:
+                # congested-window guard: the headline JSON line must be
+                # printed before any driver-side timeout
+                extra[f"config{n}"] = {"skipped": "bench time budget"}
+                continue
+            try:
+                # pipeline progress prints go to stderr: stdout must carry
+                # only JSON lines for the driver's tail parse
+                import contextlib
+
+                with contextlib.redirect_stdout(sys.stderr):
+                    extra[f"config{n}"] = run_config(n)
+            except Exception as e:  # a config failure must not mask config 1
+                extra[f"config{n}"] = {"error": str(e)[:200]}
+    result["extra_configs"] = extra
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

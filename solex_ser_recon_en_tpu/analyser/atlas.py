@@ -138,8 +138,8 @@ class SolarAtlas:
         """
         wl = np.arange(first, last, step)
         # Planck continuum (per-wavelength, arbitrary units), normalised
-        h_c_over_k = 14387768.78  # h*c/k_B in nm*K -> use Å: x10
-        x = 143877687.8 / (wl * 5772.0)
+        hc_over_k_angstrom = 143877687.8  # h*c/k_B in Å*K
+        x = hc_over_k_angstrom / (wl * 5772.0)
         planck = 1.0 / (wl**5 * np.expm1(np.clip(x, 1e-6, 700)))
         cont = planck / planck.max()
         # slow instrument/response slope so the continuum is not pure Planck
@@ -147,7 +147,6 @@ class SolarAtlas:
         cont = cont * (0.85 + 0.3 * t - 0.15 * t * t)
         cont /= cont.max()
 
-        depth_map = np.zeros_like(wl)  # accumulated absorption (multiplied)
         trans = np.ones_like(wl)
 
         def absorb(center, depth, sigma, gamma=0.0, eta=0.0):
@@ -231,8 +230,6 @@ class SolarAtlas:
                 k += 1
                 c = head + spacing * k * (1 + 0.004 * k)  # band-head spread
         inten = cont * trans
-        # keep the multiplication accumulator honest
-        del depth_map
         return cls(intensity=inten / inten.max(), first=first, last=last,
                    step=step)
 

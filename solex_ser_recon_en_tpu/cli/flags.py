@@ -156,4 +156,7 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
                     f"WARNING: {argument} was not a valid SER or AVI file name and "
                     'was ignored. Remember to use "-" if you want to input a flag'
                 )
+    if pending_mesh:
+        print("--mesh requires a spec (e.g. --mesh frame=8)")
+        sys.exit(1)
     return files

@@ -91,29 +91,52 @@ def prefetch_iter(it, depth: int = 2):
     Used to double-buffer host-side chunk preparation (band extraction,
     memmap reads) against device compute: the producer stages chunk k+1
     while the consumer's matmuls chew on chunk k.
+
+    If the consumer abandons the generator (exception downstream, early
+    close), the producer is told to stop instead of blocking forever on the
+    full queue holding staged host/HBM buffers.
     """
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
-            q.put(done)
+                if not put(item):
+                    return
+            put(done)
         except BaseException as e:  # surfaced on the consumer side
-            q.put(e)
+            put(e)
 
     threading.Thread(target=run, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a producer mid-put and drop staged buffers
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def auto_chunk_frames(frame_bytes: int, requested: int) -> int:

@@ -61,6 +61,9 @@ class ScanResult:
     basefich0: str
     mean_img: np.ndarray = None
     linefit: object = None
+    # the feed policy's small-ops placement decision for THIS scan; the
+    # post-processing stage re-asserts it on whatever thread runs it
+    small_ops_host: bool = False
 
 
 def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -> ScanResult:
@@ -133,7 +136,8 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
 
     from ..utils.placement import set_small_ops_on_host
 
-    set_small_ops_on_host(feed in ("band", "host"))
+    small_ops_host = feed in ("band", "host")
+    set_small_ops_on_host(small_ops_host)  # this (reading) thread
 
     if feed in ("band", "host") and isinstance(vid, _SerVideo):
         # host feeds sweep the file at least twice (pass A + pass B); pin
@@ -285,6 +289,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         basefich0=basefich0,
         mean_img=mean_img,
         linefit=lf,
+        small_ops_host=small_ops_host,
     )
 
 
@@ -352,6 +357,11 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
     reference: Solex_recon.py:93-133 (solex_process).
     """
     timer = timer or StageTimer()
+    from ..utils.placement import set_small_ops_on_host
+
+    # may run on a pool thread (cli/main.py decode/process overlap):
+    # re-assert this scan's placement decision thread-locally
+    set_small_ops_on_host(scan.small_ops_host)
     basefich0 = scan.basefich0
     log = RunLog(basefich0, options)
     if options.transversalium:
@@ -431,21 +441,22 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
                         )
                 else:
                     continue
-            frame_circularized = geo.image
-            circle = geo.circle
-            borders = geo.borders
-            options.ratio_fixe = geo.ratio
-            options.slant_fix = math.degrees(geo.phi)
-            if (
-                not options.clahe_only
-                and not options.protus_only
-                and not options._nolog
-            ):
-                save_ellipse_fit_plot(
-                    output_path(basefich + "_ellipse_fit.png", options),
-                    scan.disk_list[i],
-                    geo,
-                )
+            else:
+                frame_circularized = geo.image
+                circle = geo.circle
+                borders = geo.borders
+                options.ratio_fixe = geo.ratio
+                options.slant_fix = math.degrees(geo.phi)
+                if (
+                    not options.clahe_only
+                    and not options.protus_only
+                    and not options._nolog
+                ):
+                    save_ellipse_fit_plot(
+                        output_path(basefich + "_ellipse_fit.png", options),
+                        scan.disk_list[i],
+                        geo,
+                    )
         else:
             ratio = options.ratio_fixe if options.ratio_fixe is not None else 1.0
             phi = (

@@ -15,22 +15,27 @@ op in ``with small_ops():`` and JAX's ``default_device`` does the rest.
 from __future__ import annotations
 
 import contextlib
+import threading
 
-_SMALL_OPS_ON_HOST = False
+# THREAD-local: the batch pipeline overlaps file N's post-processing (pool
+# thread) with file N+1's read (main thread, which decides ITS feed
+# policy) — a process-global flag would race the policy across files.
+# Each stage-entry point re-asserts its file's decision on its own thread
+# (pipeline/run.py).
+_TLS = threading.local()
 
 
 def set_small_ops_on_host(flag: bool) -> None:
-    global _SMALL_OPS_ON_HOST
-    _SMALL_OPS_ON_HOST = flag
+    _TLS.value = bool(flag)
 
 
 def small_ops_on_host() -> bool:
-    return _SMALL_OPS_ON_HOST
+    return getattr(_TLS, "value", False)
 
 
 def small_ops():
     """Context manager placing the enclosed jax ops per the current policy."""
-    if _SMALL_OPS_ON_HOST:
+    if small_ops_on_host():
         import jax
 
         try:

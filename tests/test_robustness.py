@@ -51,3 +51,25 @@ def test_ellipse_failure_still_produces_requested_fit_shift(tmp_path):
     results = process_file(p, opts)
     assert [s for s, _ in results] == [10]
     assert os.path.exists(str(tmp_path / "flat2_shift=10_clahe.png"))
+
+
+def test_ellipse_fit_exception_forces_degrade_path(basic_scan, tmp_path, monkeypatch):
+    """Force ellipse_to_circle to RAISE (not merely fit noise) and assert the
+    documented identity-geometry degrade path completes with products —
+    regression for the post-except fallthrough that read the unbound `geo`."""
+    import solex_ser_recon_en_tpu.pipeline.run as runmod
+    from solex_ser_recon_en_tpu.config import Options
+
+    def boom(*a, **k):
+        raise ValueError("forced ellipse failure")
+
+    monkeypatch.setattr(runmod, "ellipse_to_circle", boom)
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    opts = Options(shift=[0, 10], transversalium=True,
+                   output_dir=str(outdir), _nolog=True)
+    results = runmod.process_file(basic_scan["path"], opts)
+    # both requested shifts (incl. the one sharing the ellipse-fit index)
+    # still yield products under identity geometry
+    assert sorted(s for s, _ in results) == [0, 10]
+    assert opts.ratio_fixe == 1.0 and opts.slant_fix == 0.0
