@@ -121,28 +121,25 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
 
     reference: CLI_handler.py:103-114.
     """
+    def set_mesh(spec: str) -> None:
+        from ..parallel.mesh import parse_mesh_spec
+
+        try:
+            options.mesh = parse_mesh_spec(spec)
+        except ValueError as e:
+            print(e)
+            sys.exit(1)
+
     files: List[str] = []
     pending_mesh = False
     for argument in argv:
         if pending_mesh:
             pending_mesh = False
-            from ..parallel.mesh import parse_mesh_spec
-
-            try:
-                options.mesh = parse_mesh_spec(argument)
-            except ValueError as e:
-                print(e)
-                sys.exit(1)
+            set_mesh(argument)
         elif argument.startswith("--mesh"):
             # TPU extension: '--mesh frame=8' or '--mesh=frame=8'
             if "=" in argument[6:]:
-                from ..parallel.mesh import parse_mesh_spec
-
-                try:
-                    options.mesh = parse_mesh_spec(argument.split("=", 1)[1])
-                except ValueError as e:
-                    print(e)
-                    sys.exit(1)
+                set_mesh(argument.split("=", 1)[1])
             else:
                 pending_mesh = True
         elif argument.startswith("-"):

@@ -56,8 +56,6 @@ def probe_transfer_rate(sample_bytes: int = 24 * 1024 * 1024) -> float:
     now = time.monotonic()
     if _PROBE_CACHE is not None and now - _PROBE_CACHE[1] < _PROBE_TTL_S:
         return _PROBE_CACHE[0]
-    if sample_bytes == 0:  # cached-only query (small-file feed policy)
-        return -1.0
     jax.device_put(np.ones(4 * 1024 * 1024, np.uint8)).block_until_ready()
     rate = float("inf")
     for _ in range(2):
@@ -75,6 +73,27 @@ def probe_transfer_rate(sample_bytes: int = 24 * 1024 * 1024) -> float:
 _PROBE_CACHE = None
 _PROBE_TTL_S = 600.0
 _SMALL_BYTES_SEEN = 0
+
+
+def cached_probe_rate():
+    """The memoised probe reading (bytes/s), or None when none is fresh —
+    lets small-scan feed decisions consult a prior probe for free."""
+    import time
+
+    if _PROBE_CACHE is not None and time.monotonic() - _PROBE_CACHE[1] < _PROBE_TTL_S:
+        return _PROBE_CACHE[0]
+    return None
+
+
+def pad_to_bucket(arr: np.ndarray, chunk: int) -> np.ndarray:
+    """Zero-pad a trailing chunk to the bucket shape so every scan with the
+    same frame geometry reuses ONE compiled program regardless of length
+    (zeros are neutral for sum/max; recon output is sliced to the true
+    frame count)."""
+    n = arr.shape[0]
+    if n >= chunk:
+        return arr
+    return np.concatenate([arr, np.zeros((chunk - n,) + arr.shape[1:], arr.dtype)])
 
 
 def note_small_scan(nbytes: int) -> int:
@@ -201,16 +220,7 @@ def raw_device_chunks(
                 n = min(chunk, r.frame_count - start)
                 if native is not None:
                     native.prefetch(start + n, chunk)
-                raw = np.asarray(r.raw_frames(start, n))
-                if n < chunk:
-                    # pad the trailing partial chunk to the bucket shape so
-                    # every scan with the same frame geometry reuses ONE
-                    # compiled program regardless of frame count (zeros are
-                    # neutral for sum/max; consumers slice recon output to
-                    # the true frame count)
-                    raw = np.concatenate(
-                        [raw, np.zeros((chunk - n,) + raw.shape[1:], raw.dtype)]
-                    )
+                raw = pad_to_bucket(np.asarray(r.raw_frames(start, n)), chunk)
                 yield start, jax.device_put(raw, sharding)
         finally:
             if native is not None:

@@ -126,12 +126,12 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             # batch's earlier probe (memoised) is free to consult — and once
             # the batch has cumulatively fed more than a probe costs, one
             # real probe pays for itself
-            from ..io.feeder import note_small_scan
+            from ..io.feeder import cached_probe_rate, note_small_scan
 
-            rate = probe_transfer_rate(sample_bytes=0)
-            if rate < 0 and note_small_scan(total_bytes) > 256 * 1024**2:
+            rate = cached_probe_rate()
+            if rate is None and note_small_scan(total_bytes) > 256 * 1024**2:
                 rate = probe_transfer_rate()
-            if 0 <= rate < 200e6:
+            if rate is not None and rate < 200e6:
                 feed = "host"
 
     from ..utils.placement import set_small_ops_on_host
@@ -222,16 +222,12 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 fshard,
             )
 
+            from ..io.feeder import pad_to_bucket
+
             def band_chunks():
                 for start in range(0, r.frame_count, chunk_n):
                     n = min(chunk_n, r.frame_count - start)
-                    band = extract_band(r, x0, x1, start, n)
-                    if n < chunk_n:
-                        # bucket the trailing chunk (see io/feeder.py)
-                        band = np.concatenate(
-                            [band,
-                             np.zeros((chunk_n - n,) + band.shape[1:], band.dtype)]
-                        )
+                    band = pad_to_bucket(extract_band(r, x0, x1, start, n), chunk_n)
                     yield start, jax.device_put(band, fshard)
 
             # double-buffered: a background thread extracts + stages chunk
@@ -293,6 +289,16 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     )
 
 
+def _transversalium_geometry(circle: Circle, borders, backup_bounds, width: int):
+    """Correction geometry: the fitted circle, or the detect_bord backup
+    band when no ellipse was fitted (reference: Solex_recon.py:145-146)."""
+    if circle != NO_CIRCLE:
+        return circle, borders
+    return (0, 0, 99999), [
+        0, backup_bounds[0] + 20, width - 1, backup_bounds[1] - 20,
+    ]
+
+
 def single_image_process(
     frame: np.ndarray,
     hdr: dict,
@@ -313,20 +319,14 @@ def single_image_process(
         )
 
     if options.transversalium:
-        if circle != NO_CIRCLE:
-            detrans, c = correct_transversalium(
-                frame, circle, borders,
-                trans_strength=options.trans_strength,
-                stubborn=options.stubborn_transversalium,
-            )
-        else:
-            detrans, c = correct_transversalium(
-                frame,
-                (0, 0, 99999),
-                [0, backup_bounds[0] + 20, frame.shape[1] - 1, backup_bounds[1] - 20],
-                trans_strength=options.trans_strength,
-                stubborn=options.stubborn_transversalium,
-            )
+        tr_circle, tr_borders = _transversalium_geometry(
+            circle, borders, backup_bounds, frame.shape[1]
+        )
+        detrans, c = correct_transversalium(
+            frame, tr_circle, tr_borders,
+            trans_strength=options.trans_strength,
+            stubborn=options.stubborn_transversalium,
+        )
         if (
             save
             and not options.clahe_only
@@ -541,23 +541,19 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
     stack = stack.astype(jnp.uint16)
 
     if options.save_fit:
+        host_stack = np.asarray(stack)  # one bulk pull for all K writes
         for k, (_, basefich, _) in enumerate(pending):
             write_fits(
                 output_path(basefich + "_circular.fits", options),
-                np.asarray(stack[k]), scan.header,
+                host_stack[k], scan.header,
             )
 
     if options.transversalium:
         from .transversalium import correct_transversalium_batched
 
-        if circle != NO_CIRCLE:
-            tr_circle, tr_borders = circle, borders
-        else:
-            tr_circle = (0, 0, 99999)
-            tr_borders = [
-                0, scan.backup_bounds[0] + 20,
-                stack.shape[2] - 1, scan.backup_bounds[1] - 20,
-            ]
+        tr_circle, tr_borders = _transversalium_geometry(
+            circle, borders, scan.backup_bounds, stack.shape[2]
+        )
         detrans, gains = correct_transversalium_batched(
             stack, tr_circle, tr_borders,
             trans_strength=options.trans_strength,
@@ -567,6 +563,7 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
             and not options.protus_only
             and not options._nolog
         )
+        host_detrans = np.asarray(detrans) if options.save_fit else None
         for k, (_, basefich, _) in enumerate(pending):
             if show_plots:
                 save_transversalium_plot(
@@ -575,10 +572,10 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
                     ),
                     gains[k],
                 )
-            if options.save_fit:
+            if host_detrans is not None:
                 write_fits(
                     output_path(basefich + "_detransversaliumed.fits", options),
-                    np.asarray(detrans[k]), scan.header,
+                    host_detrans[k], scan.header,
                 )
     else:
         detrans = stack
