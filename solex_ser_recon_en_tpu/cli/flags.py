@@ -29,7 +29,10 @@ def usage() -> str:
         "'m' : 'mirror flip', mirror flip in x-direction (False by default)\n"
         "'r' : 'w'  crop width to a constant no. of pixels.\n"
         "'--mesh SPEC' : device mesh for multi-chip runs (TPU extension);\n"
-        "    SPEC = 'frame=8' | 'batch=2,frame=4' | bare count '8'."
+        "    SPEC = 'frame=8' | 'batch=2,frame=4' | bare count '8'.\n"
+        "'--feed MODE' : feed policy override (TPU extension);\n"
+        "    MODE = 'auto' | 'device' | 'band' | 'host'.\n"
+        "'--profile[=dir]' : write a jax.profiler trace of the run."
     )
 
 
@@ -130,18 +133,33 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
             print(e)
             sys.exit(1)
 
+    def set_feed(mode: str) -> None:
+        if mode not in ("auto", "device", "band", "host"):
+            print(f"invalid feed mode {mode!r} (auto|device|band|host)")
+            sys.exit(1)
+        options.feed_mode = mode
+
     files: List[str] = []
-    pending_mesh = False
+    pending_mesh = pending_feed = False
     for argument in argv:
         if pending_mesh:
             pending_mesh = False
             set_mesh(argument)
+        elif pending_feed:
+            pending_feed = False
+            set_feed(argument)
         elif argument.startswith("--mesh"):
             # TPU extension: '--mesh frame=8' or '--mesh=frame=8'
             if "=" in argument[6:]:
                 set_mesh(argument.split("=", 1)[1])
             else:
                 pending_mesh = True
+        elif argument.startswith("--feed"):
+            # TPU extension: '--feed host' or '--feed=host'
+            if "=" in argument[6:]:
+                set_feed(argument.split("=", 1)[1])
+            else:
+                pending_feed = True
         elif argument.startswith("-"):
             _apply_flag_group(options, argument)
         else:
@@ -155,5 +173,8 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
                 )
     if pending_mesh:
         print("--mesh requires a spec (e.g. --mesh frame=8)")
+        sys.exit(1)
+    if pending_feed:
+        print("--feed requires a mode (auto|device|band|host)")
         sys.exit(1)
     return files

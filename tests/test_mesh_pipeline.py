@@ -102,6 +102,23 @@ def test_cli_mesh_flag():
     assert opts2.mesh == {"frame": 8}
 
 
+def test_cli_feed_flag():
+    from solex_ser_recon_en_tpu.cli.flags import parse_cli
+
+    opts = Options()
+    files = parse_cli(opts, ["--feed", "host", "x.ser"])
+    assert opts.feed_mode == "host" and files == ["x.ser"]
+    opts2 = Options()
+    parse_cli(opts2, ["--feed=band"])
+    assert opts2.feed_mode == "band"
+    with pytest.raises(SystemExit):
+        parse_cli(Options(), ["--feed", "warp9"])
+    with pytest.raises(SystemExit):
+        parse_cli(Options(), ["--feed"])  # trailing, no mode
+    with pytest.raises(SystemExit):
+        parse_cli(Options(), ["--mesh"])  # trailing, no spec
+
+
 def test_parse_mesh_spec_rejects_garbage():
     from solex_ser_recon_en_tpu.parallel.mesh import parse_mesh_spec
 
