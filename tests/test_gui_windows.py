@@ -199,3 +199,38 @@ def test_analyser_window_goto_without_dispersion_pops(analyser_scan):
     ])
     analyse_spectrum(Options(), analyser_scan)
     assert any("dispersion" in p for p in stub.POPUPS)
+
+
+def test_clahe_window_full_session(tmp_path, monkeypatch):
+    """CLAHE tool GUI: validation popup, language swap, OK -> files
+    processed with the entered settings (reference clahe_apply.py:113-240)."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.io.png import write_png, read_image
+    import solex_ser_recon_en_tpu.gui.clahe_window as cw
+
+    monkeypatch.chdir(tmp_path)
+    img = (np.random.default_rng(3).integers(0, 65536, (64, 80))
+           .astype(np.uint16))
+    src = tmp_path / "in.png"
+    write_png(str(src), img)
+
+    stub.script([
+        ("OK", {"-FILE-": ""}),                       # no file -> popup
+        ("OK", {"-FILE-": str(src), "do_stretch": True,
+                "lo": 60, "hi": 40, "sat": 80}),      # hi <= lo -> popup
+        ("lang_input", {"lang_input": "Deutsch"}),
+        ("OK", {"lo": 5, "hi": 95, "tile_size": 3}),
+    ])
+    assert cw.run_app() == 0
+    assert len(stub.POPUPS) == 2
+    out = tmp_path / "in_clahe.png"
+    assert out.exists()
+    res = read_image(str(out))
+    assert res.shape == img.shape
+    # settings persisted to clahe_config.txt
+    import json
+
+    cfg = json.loads((tmp_path / "clahe_config.txt").read_text())
+    assert cfg["tile_size"] == 3 and cfg["do_stretch"] is True
+    assert cfg["language"] == "Deutsch"
