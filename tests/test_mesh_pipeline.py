@@ -126,3 +126,26 @@ def test_parse_mesh_spec_rejects_garbage():
         parse_mesh_spec("rows=3")
     with pytest.raises(ValueError):
         parse_mesh_spec("frame=")
+
+
+def test_mesh_with_non_divisible_frame_count(tmp_path):
+    """194 frames over 8 shards: the trailing chunk must pad to the bucket
+    and recon output slice back to the true length, bit-identical to
+    single-device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    p = str(tmp_path / "odd.ser")
+    SyntheticScan(ih=128, iw=64, frames=194, depth=16,
+                  line_poly=(30.0, 0.01, 0.0, 0.0), noise=0.002,
+                  seed=6).write(p, transpose_to_wide=True)
+    res_1, dir_1 = _run(p, tmp_path, "odd1")
+    res_8, dir_8 = _run(p, tmp_path, "odd8", mesh={"frame": 8})
+    _assert_identical(res_1, res_8, dir_1, dir_8)
+    from solex_ser_recon_en_tpu.io.fits import read_fits
+
+    raw = read_fits(str(dir_8 / "odd_shift=0_raw.fits"))[0]
+    assert raw.shape[1] == 194  # padded bucket sliced back to true length
