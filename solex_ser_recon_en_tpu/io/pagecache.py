@@ -6,7 +6,7 @@ the same file across runs.  On hosts with a small page-cache budget
 (cgroup-capped) and token-bucket disk throughput, the kernel reclaims the
 scan's pages between passes and every pass pays the full disk read again.
 
-``pin(path)`` holds an open read-only mapping of the file and ``mlock``\ s
+``pin(path)`` holds an open read-only mapping of the file and ``mlock``\\ s
 it so those pages stay resident for the process lifetime (an explicit,
 bounded form of what the OS page cache is supposed to do).  Everything is
 best-effort: any failure (no permission, RLIMIT_MEMLOCK, low memory)
