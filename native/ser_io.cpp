@@ -122,20 +122,36 @@ int ser_read(void* handle, uint32_t start, uint32_t count, uint8_t* out) {
   return 0;
 }
 
-// Fused single-pass sum + max over all frames (pass A of the pipeline,
-// reference: solex_util.py:174-188).  NumPy needs two reduction passes per
-// chunk (sum, then max) — 2x the host memory traffic of this loop, which
-// the autovectoriser turns into one widening-add + max sweep.  Accumulates
-// into cache-resident uint32 tiles, folding to the uint64 output before
-// overflow; prefetches the next frame window so cold reads overlap compute.
+// Fused single-pass sum + max + optional band extraction over all frames
+// (pass A of the pipeline, reference: solex_util.py:174-188).  NumPy needs
+// two reduction passes per chunk (sum, then max) — 2x the host memory
+// traffic of this loop, which the autovectoriser turns into one
+// widening-add + max sweep.  Accumulates into cache-resident uint32 tiles,
+// folding to the uint64 output before overflow; prefetches the next frame
+// window so cold reads overlap compute.
 // sum_out: width*height uint64 (raw layout), max_out: width*height uint16
 // (8-bit inputs are widened, NOT shifted — scaling is the caller's job).
-int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
+//
+// Band extraction: when band_out != nullptr, the raw-coordinate rectangle
+// rows [r0, r1) x cols [c0, c1) of every frame is copied (while the frame
+// is hot in cache) into band_out, laid out (frames, r1-r0, c1-c0) in the
+// file's pixel type.  This lets pass B (the recon's spectral-column
+// gathers, io/hostreduce.py) read from a compact contiguous buffer instead
+// of re-sweeping the whole multi-GB scan — the second pass the two-pass
+// reference design pays (Solex_recon.py:61-73) disappears.
+int ser_mean_max_band(void* handle, uint64_t* sum_out, uint16_t* max_out,
+                      uint32_t r0, uint32_t r1, uint32_t c0, uint32_t c1,
+                      uint8_t* band_out) {
   SerFile* f = static_cast<SerFile*>(handle);
   if (!f) return -1;
+  if (band_out && (r0 >= r1 || c0 >= c1 || r1 > f->height || c1 > f->width))
+    return -3;
   const int64_t px = static_cast<int64_t>(f->width) * f->height;
   uint32_t* acc32 = new (std::nothrow) uint32_t[px]();
   if (!acc32) return -2;
+  const int64_t elem = f->pixel_depth / 8;
+  const int64_t band_row_bytes = static_cast<int64_t>(c1 - c0) * elem;
+  const int64_t band_frame_bytes = band_row_bytes * (r1 - r0);
   for (int64_t i = 0; i < px; ++i) {
     sum_out[i] = 0;
     max_out[i] = 0;
@@ -171,6 +187,20 @@ int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
         if (v > max_out[i]) max_out[i] = v;
       }
     }
+    if (band_out) {
+      uint8_t* dst = band_out + static_cast<int64_t>(fr) * band_frame_bytes;
+      if (c0 == 0 && c1 == f->width) {
+        // full-width row range (wide-stored scans): one contiguous copy
+        memcpy(dst, fp + static_cast<int64_t>(r0) * f->width * elem,
+               static_cast<size_t>(band_frame_bytes));
+      } else {
+        for (uint32_t r = r0; r < r1; ++r) {
+          memcpy(dst + static_cast<int64_t>(r - r0) * band_row_bytes,
+                 fp + (static_cast<int64_t>(r) * f->width + c0) * elem,
+                 static_cast<size_t>(band_row_bytes));
+        }
+      }
+    }
     if (++since_fold == fold_every) {
       for (int64_t i = 0; i < px; ++i) {
         sum_out[i] += acc32[i];
@@ -184,6 +214,11 @@ int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
   }
   delete[] acc32;
   return 0;
+}
+
+// Back-compat entry: fused sum + max only, no band extraction.
+int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
+  return ser_mean_max_band(handle, sum_out, max_out, 0, 0, 0, 0, nullptr);
 }
 
 // Zero-copy pointer to frame payload (valid until ser_close).

@@ -20,6 +20,21 @@ import numpy as np
 from .ser import SerReader
 
 
+def _finalize_mean_max(
+    acc: np.ndarray, mx: np.ndarray, r: SerReader
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Raw-layout (sum, max) -> normalised-orientation (mean u16, max u16)."""
+    if r.flag_rotate:
+        acc = np.rot90(acc)
+        mx = np.rot90(mx)
+    scale = 256 if r.header.pixel_depth == 8 else 1
+    mean = ((acc.astype(np.float64) * scale) / r.frame_count).astype(np.uint16)
+    mx16 = mx.astype(np.uint16)
+    if r.header.pixel_depth == 8:
+        mx16 = mx16 << 8
+    return mean, np.ascontiguousarray(mx16)
+
+
 def host_mean_max(r: SerReader, chunk_frames: int = 256) -> Tuple[np.ndarray, np.ndarray]:
     """Normalised-orientation mean/max of a SER scan, computed on host.
 
@@ -48,15 +63,165 @@ def host_mean_max(r: SerReader, chunk_frames: int = 256) -> Tuple[np.ndarray, np
             raw = r.raw_frames(start, n)
             acc += raw.sum(axis=0, dtype=np.uint64)
             np.maximum(mx, raw.max(axis=0), out=mx)
+    return _finalize_mean_max(acc, mx, r)
+
+
+def _band_rect(r: SerReader, x0: int, x1: int) -> Tuple[int, int, int, int]:
+    """Raw-frame rectangle (r0, r1, c0, c1) covering spectral cols [x0, x1).
+
+    Wide-stored scans (flag_rotate) keep the spectral axis on raw ROWS
+    (io/ser.py:155-157), tall-stored on raw columns.
+    """
+    if r.flag_rotate:
+        return x0, x1, 0, r.header.width
+    return 0, r.header.height, x0, x1
+
+
+def host_mean_max_band(
+    r: SerReader, x0: int, x1: int, chunk_frames: int = 256
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pass A + spectral-band extraction fused into ONE sweep over the scan.
+
+    Returns (mean, max, band) where mean/max match host_mean_max exactly and
+    band is the raw-layout slab restricted to spectral columns [x0, x1) —
+    identical to stacking extract_band over all frames, but captured while
+    each frame is already in cache for the reductions.  The recon (pass B,
+    host_reconstruct_from_band) then never touches the full scan again,
+    halving the pipeline's host memory traffic vs the reference's two-pass
+    structure (Solex_recon.py:61-73).
+    """
+    r0, r1, c0, c1 = _band_rect(r, x0, x1)
+    try:
+        from .native import NativeSerReader
+
+        nr = NativeSerReader(r.path)
+        try:
+            acc, mx, band = nr.mean_max_band(r0, r1, c0, c1)
+        finally:
+            nr.close()
+    except Exception:
+        h, w = r.header.height, r.header.width
+        acc = np.zeros((h, w), dtype=np.uint64)
+        mx = np.zeros((h, w), dtype=r.header.dtype)
+        band = np.empty((r.frame_count, r1 - r0, c1 - c0), dtype=r.header.dtype)
+        for start in range(0, r.frame_count, chunk_frames):
+            n = min(chunk_frames, r.frame_count - start)
+            raw = r.raw_frames(start, n)
+            acc += raw.sum(axis=0, dtype=np.uint64)
+            np.maximum(mx, raw.max(axis=0), out=mx)
+            band[start : start + n] = raw[:, r0:r1, c0:c1]
+    mean, mx16 = _finalize_mean_max(acc, mx, r)
+    return mean, mx16, band
+
+
+def provisional_spectral_band(
+    r: SerReader, shifts, margin: int = 12, target_frames: int = 64
+) -> Tuple[int, int]:
+    """Estimate the recon's spectral band from a sparse frame subsample.
+
+    The exact band needs the full-mean line fit, which needs pass A — a
+    circular dependency for the fused single-sweep path.  A fit on a
+    ~target_frames subsample locates the line to well under a pixel of the
+    full fit (the line is a high-contrast absorption feature); ``margin``
+    columns of slack absorb the residual.  Callers MUST verify coverage
+    against the final fit (band_covers) and fall back to a full-scan recon
+    when the guess missed — correctness never depends on this estimate.
+    """
+    from ..geometry.linefit import fit_spectral_line
+
+    F = r.frame_count
+    step = max(1, F // target_frames)
+    h, w = r.header.height, r.header.width
+    acc = np.zeros((h, w), dtype=np.uint64)
+    mx = np.zeros((h, w), dtype=r.header.dtype)
+    n = 0
+    for start in range(0, F, step):
+        raw = r.raw_frames(start, 1)
+        acc += raw[0]
+        np.maximum(mx, raw[0], out=mx)
+        n += 1
     if r.flag_rotate:
         acc = np.rot90(acc)
         mx = np.rot90(mx)
     scale = 256 if r.header.pixel_depth == 8 else 1
-    mean = ((acc.astype(np.float64) * scale) / r.frame_count).astype(np.uint16)
+    mean = ((acc.astype(np.float64) * scale) / n).astype(np.uint16)
     mx16 = mx.astype(np.uint16)
     if r.header.pixel_depth == 8:
         mx16 = mx16 << 8
-    return mean, np.ascontiguousarray(mx16)
+    lf = fit_spectral_line(mean, np.ascontiguousarray(mx16))
+    return spectral_band(lf.floor, shifts, r.iw, margin=margin)
+
+
+def band_covers(
+    x0: int, x1: int, fit_floor: np.ndarray, fit_frac, shifts, iw: int
+) -> bool:
+    """True when spectral cols [x0, x1) contain every recon gather index."""
+    from ..ops.recon import build_shift_indices
+
+    ind_l, _ = build_shift_indices(fit_floor, fit_frac, list(shifts), iw)
+    return int(ind_l.min()) >= x0 and int(ind_l.max()) + 1 <= x1 - 1
+
+
+def host_reconstruct_from_band(
+    r: SerReader,
+    band: np.ndarray,
+    x0: int,
+    fit_floor: np.ndarray,
+    fit_frac: np.ndarray,
+    shifts,
+    chunk_frames: int = 512,
+) -> np.ndarray:
+    """host_reconstruct, gathering from a pre-extracted spectral band slab.
+
+    Bit-identical math (float64 interpolation, truncating uint16 store,
+    solex_util.py:113-134); only the gather source changes — the compact
+    (F, ...) band from host_mean_max_band instead of the full-scan memmap,
+    so pass B runs at cache speed with zero page-cache pressure.  Callers
+    must have checked band_covers() first.
+    """
+    from ..ops.recon import build_shift_indices
+
+    ih, iw = r.ih, r.iw
+    F = r.frame_count
+    shifts = list(shifts)
+    S = len(shifts)
+    ind_l, _ = build_shift_indices(fit_floor, fit_frac, shifts, iw)
+    w_l = 1.0 - np.asarray(fit_frac, dtype=np.float64)
+    w_r = np.asarray(fit_frac, dtype=np.float64)
+    upscale = r.header.pixel_depth == 8
+    out = np.empty((S, ih, F), dtype=np.uint16)
+
+    il64 = ind_l.astype(np.int64) - x0  # band-local spectral index
+    bw = band.shape[1] if r.flag_rotate else band.shape[2]
+    if r.flag_rotate:
+        # band frame (bw_spectral, W_spatial): norm[y] = band[il-x0, W-1-y]
+        W = r.header.width
+        yrev = np.arange(ih - 1, -1, -1, dtype=np.int64)
+        flat_l = il64 * W + yrev[None, :]
+        right_off = W
+    else:
+        # band frame (H_spatial, bw_spectral)
+        rows = np.arange(ih, dtype=np.int64)
+        flat_l = rows[None, :] * bw + il64
+        right_off = 1
+
+    left = np.empty((chunk_frames, ih), dtype=band.dtype)
+    right = np.empty_like(left)
+    vals = np.empty((chunk_frames, ih), dtype=np.float64)
+    tmp = np.empty_like(vals)
+    for start in range(0, F, chunk_frames):
+        n = min(chunk_frames, F - start)
+        raw2 = band[start : start + n].reshape(n, -1)
+        for si in range(S):
+            np.take(raw2, flat_l[si], axis=1, out=left[:n])
+            np.take(raw2, flat_l[si] + right_off, axis=1, out=right[:n])
+            np.multiply(left[:n], w_l, out=vals[:n])
+            np.multiply(right[:n], w_r, out=tmp[:n])
+            np.add(vals[:n], tmp[:n], out=vals[:n])
+            if upscale:
+                vals[:n] *= 256.0
+            out[si, :, start : start + n] = vals[:n].T
+    return out
 
 
 def host_reconstruct(

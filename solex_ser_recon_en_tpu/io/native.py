@@ -83,6 +83,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.ser_mean_max_band.restype = ctypes.c_int
+        lib.ser_mean_max_band.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -146,6 +157,29 @@ class NativeSerReader:
         if rc != 0:
             raise RuntimeError(f"ser_mean_max failed ({rc})")
         return s, m
+
+    def mean_max_band(self, r0: int, r1: int, c0: int, c1: int):
+        """Fused single-pass sum/max + raw-rect band extraction.
+
+        One sweep computes pass A's reductions AND copies the raw-coordinate
+        rectangle rows [r0, r1) x cols [c0, c1) of every frame into a
+        (frames, r1-r0, c1-c0) slab while the frame is cache-hot — the recon
+        (pass B) then gathers from this compact buffer instead of re-sweeping
+        the whole scan (native/ser_io.cpp:ser_mean_max_band).
+        """
+        s = np.zeros((self.Height, self.Width), dtype=np.uint64)
+        m = np.zeros((self.Height, self.Width), dtype=np.uint16)
+        band = np.empty((self.frame_count, r1 - r0, c1 - c0), dtype=self.dtype)
+        rc = self._lib.ser_mean_max_band(
+            self._h,
+            s.ctypes.data_as(ctypes.c_void_p),
+            m.ctypes.data_as(ctypes.c_void_p),
+            r0, r1, c0, c1,
+            band.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"ser_mean_max_band failed ({rc})")
+        return s, m, band
 
     def close(self) -> None:
         if getattr(self, "_h", None) is not None:

@@ -139,20 +139,56 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     small_ops_host = feed in ("band", "host")
     set_small_ops_on_host(small_ops_host)  # this (reading) thread
 
+    pinned = False
     if feed in ("band", "host") and isinstance(vid, _SerVideo):
         # host feeds sweep the file at least twice (pass A + pass B); pin
         # its pages so a cache-pressured kernel doesn't make every pass a
         # throttled disk re-read (io/pagecache.py, best-effort)
         from ..io.pagecache import pin
 
-        pin(file)
+        pinned = pin(file)
 
+    # Fused single-sweep pass A ("host" feed): a provisional line fit on a
+    # sparse frame subsample locates the spectral band, and the native sweep
+    # extracts it WHILE computing mean/max — pass B then gathers from the
+    # compact band slab instead of the scan's memmap.  Worth it ONLY when
+    # the page cache cannot be trusted to hold the scan between passes
+    # (pin() failed on a big file): the memmap gather itself already touches
+    # just the band's pages, so with a warm pinned cache the extra slab is
+    # pure overhead.  Coverage is verified against the real (full-mean) fit
+    # before use; a miss falls back to the classic full-scan recon, so
+    # results are always identical.
+    fused_band = None  # (band_slab, x0, x1)
+    want_fused = (
+        os.environ.get("SOLEX_FUSEDBAND") == "1"
+        or (not pinned and total_bytes > 256 * 1024**2)
+    ) and os.environ.get("SOLEX_NO_FUSEDBAND") != "1"
     with timer.stage("mean/max"):
         if feed in ("band", "host") and isinstance(vid, _SerVideo):
-            from ..io.hostreduce import host_mean_max
+            from ..io.hostreduce import (
+                host_mean_max,
+                host_mean_max_band,
+                provisional_spectral_band,
+            )
 
             band_mode = True
-            mean_img, max_img = host_mean_max(vid._r)
+            r = vid._r
+            if feed == "host" and want_fused:
+                try:
+                    x0p, x1p = provisional_spectral_band(r, shifts)
+                    band_bytes = (
+                        (x1p - x0p) * r.ih * r.frame_count
+                        * r.header.dtype.itemsize
+                    )
+                    if band_bytes <= min(total_bytes // 3, 768 * 1024**2):
+                        mean_img, max_img, band_slab = host_mean_max_band(
+                            r, x0p, x1p
+                        )
+                        fused_band = (band_slab, x0p, x1p)
+                except Exception:
+                    fused_band = None
+            if fused_band is None:
+                mean_img, max_img = host_mean_max(vid._r)
         else:
             try:
                 raw_iter, rotate, upscale = raw_device_chunks(
@@ -194,9 +230,22 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         if feed == "host" and band_mode:
             import jax
 
-            from ..io.hostreduce import host_reconstruct
+            from ..io.hostreduce import (
+                band_covers,
+                host_reconstruct,
+                host_reconstruct_from_band,
+            )
 
-            disk_list = host_reconstruct(vid._r, lf.floor, lf.frac, shifts)
+            if fused_band is not None and band_covers(
+                fused_band[1], fused_band[2], lf.floor, lf.frac, shifts, vid.iw
+            ):
+                disk_list = host_reconstruct_from_band(
+                    vid._r, fused_band[0], fused_band[1],
+                    lf.floor, lf.frac, shifts,
+                )
+            else:
+                disk_list = host_reconstruct(vid._r, lf.floor, lf.frac, shifts)
+            fused_band = None  # release the slab
             if disk_list.nbytes <= 96 * 1024 * 1024 and mesh is None:
                 # start the (async) disk upload now so post-processing
                 # doesn't wait on it; oversized sweeps stay host-side and

@@ -61,6 +61,135 @@ def test_host_feed_mode_end_to_end(basic_scan, tmp_path):
     assert (diff > 0).mean() < 0.02
 
 
+@pytest.mark.parametrize("depth,wide", [(16, True), (16, False), (8, True)])
+@pytest.mark.parametrize("native", [True, False])
+def test_fused_mean_max_band(tmp_path, depth, wide, native, monkeypatch):
+    """One-sweep mean/max+band == separate host_mean_max + extract_band,
+    on both the native kernel and the numpy fallback."""
+    from solex_ser_recon_en_tpu.io import hostreduce, native as native_mod
+    from solex_ser_recon_en_tpu.io.hostreduce import (
+        extract_band,
+        host_mean_max,
+        host_mean_max_band,
+    )
+
+    if not native:
+        def boom(path):
+            raise RuntimeError("forced fallback")
+
+        monkeypatch.setattr(native_mod, "NativeSerReader", boom)
+
+    path = str(tmp_path / f"f{depth}{wide}{native}.ser")
+    scan = SyntheticScan(ih=96, iw=48, frames=37, depth=depth,
+                         line_poly=(22.0, 0.01, 0.0, 0.0), noise=0.004,
+                         seed=3)
+    scan.write(path, transpose_to_wide=wide)
+    r = SerReader(path)
+
+    mean0, max0 = host_mean_max(r)
+    x0, x1 = 14, 33
+    mean1, max1, band = host_mean_max_band(r, x0, x1)
+    np.testing.assert_array_equal(mean0, mean1)
+    np.testing.assert_array_equal(max0, max1)
+    want = np.concatenate(
+        [extract_band(r, x0, x1, s, min(10, r.frame_count - s))
+         for s in range(0, r.frame_count, 10)]
+    )
+    np.testing.assert_array_equal(band, want)
+
+
+@pytest.mark.parametrize("depth,wide", [(16, True), (16, False), (8, True)])
+def test_reconstruct_from_band_bit_identical(tmp_path, depth, wide):
+    from solex_ser_recon_en_tpu.io.hostreduce import (
+        band_covers,
+        host_mean_max_band,
+        host_reconstruct_from_band,
+    )
+
+    path = str(tmp_path / f"b{depth}{wide}.ser")
+    scan = SyntheticScan(ih=128, iw=64, frames=60, depth=depth,
+                         line_poly=(30.0, 0.02, -1e-4, 0.0), noise=0.003,
+                         seed=9)
+    scan.write(path, transpose_to_wide=wide)
+    r = SerReader(path)
+
+    curve = 30.0 + 0.02 * np.arange(r.ih) - 1e-4 * np.arange(r.ih) ** 2
+    floor = np.floor(curve).astype(np.int64)
+    frac = curve - floor
+    shifts = [10, 0, -3]
+
+    from solex_ser_recon_en_tpu.io.hostreduce import spectral_band
+
+    x0, x1 = spectral_band(floor, shifts, r.iw, margin=4)
+    assert band_covers(x0, x1, floor, frac, shifts, r.iw)
+    _, _, band = host_mean_max_band(r, x0, x1)
+    got = host_reconstruct_from_band(r, band, x0, floor, frac, shifts,
+                                     chunk_frames=17)
+    want = host_reconstruct(r, floor, frac, shifts, chunk_frames=17)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_provisional_band_covers_final_fit(basic_scan):
+    from solex_ser_recon_en_tpu.geometry import fit_spectral_line
+    from solex_ser_recon_en_tpu.io.hostreduce import (
+        band_covers,
+        host_mean_max,
+        provisional_spectral_band,
+    )
+
+    r = SerReader(basic_scan["path"])
+    shifts = [10, 0]
+    x0, x1 = provisional_spectral_band(r, shifts)
+    mean, mx = host_mean_max(r)
+    lf = fit_spectral_line(mean, mx)
+    assert band_covers(x0, x1, lf.floor, lf.frac, shifts, r.iw)
+
+
+def test_fused_host_feed_bit_identical_to_classic(basic_scan, tmp_path,
+                                                  monkeypatch):
+    """read_scan(feed='host') with the fused sweep == classic two-pass."""
+    def run(name, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        outdir = tmp_path / name
+        outdir.mkdir()
+        opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="host")
+        scan = read_scan(basic_scan["path"], opts)
+        for k in env:
+            monkeypatch.delenv(k)
+        return np.asarray(scan.disk_list)
+
+    d_fused = run("fused", {"SOLEX_FUSEDBAND": "1"})
+    d_classic = run("classic", {"SOLEX_NO_FUSEDBAND": "1"})
+    np.testing.assert_array_equal(d_fused, d_classic)
+
+
+def test_fused_band_miss_falls_back(basic_scan, tmp_path, monkeypatch):
+    """A wrong provisional band must not change the result — the coverage
+    check rejects it and the recon falls back to the full-scan gather."""
+    from solex_ser_recon_en_tpu.pipeline import run as run_mod
+    import solex_ser_recon_en_tpu.io.hostreduce as hr
+
+    monkeypatch.setattr(hr, "provisional_spectral_band",
+                        lambda r, shifts, **kw: (0, 8))
+    monkeypatch.setenv("SOLEX_FUSEDBAND", "1")
+    outdir = tmp_path / "miss"
+    outdir.mkdir()
+    opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                   output_dir=str(outdir), feed_mode="host")
+    scan = read_scan(basic_scan["path"], opts)
+
+    monkeypatch.setenv("SOLEX_NO_FUSEDBAND", "1")
+    outdir2 = tmp_path / "ref"
+    outdir2.mkdir()
+    opts2 = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                    output_dir=str(outdir2), feed_mode="host")
+    ref = read_scan(basic_scan["path"], opts2)
+    np.testing.assert_array_equal(np.asarray(scan.disk_list),
+                                  np.asarray(ref.disk_list))
+
+
 def test_host_feed_full_products(basic_scan, tmp_path):
     outdir = tmp_path / "p"
     outdir.mkdir()
