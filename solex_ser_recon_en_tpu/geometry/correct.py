@@ -36,6 +36,56 @@ class GeometryResult:
     ellipse_pts: np.ndarray = None
 
 
+def correction_geometry(
+    shape: Tuple[int, int],
+    phi: float,
+    ratio: float,
+    center: np.ndarray,
+    height: float,
+    log: Optional[Callable[[str], None]] = None,
+) -> Tuple[Circle, np.ndarray, int, int]:
+    """The pure-matrix half of correct_image: (circle, mat3, out_h, out_w).
+
+    All tiny float64 host math (3x3 matrices, 4 corners) — lets callers who
+    only need the corrected-frame geometry (the ellipse fit on a shift that
+    produces no output image, pipeline/run.py) skip the warp and its device
+    round trip entirely.  reference: ellipse_to_circle.py:94-111,119-145.
+    """
+    mat, theta = get_correction_matrix(phi, ratio)
+    mat3 = np.zeros((3, 3))
+    mat3[:2, :2] = mat
+    mat3[2, 2] = 1.0
+    h, w = shape
+    corners = np.array([[0, 0], [0, h], [w, 0], [w, h]], dtype=np.float64)
+    new_corners = (np.linalg.inv(mat) @ corners.T).T
+    new_h = float(np.max(new_corners[:, 1]) - np.min(new_corners[:, 1]))
+    new_w = float(np.max(new_corners[:, 0]) - np.min(new_corners[:, 0]))
+    tx, ty = float(np.min(new_corners[:, 0])), float(np.min(new_corners[:, 1]))
+    mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
+
+    new_center = (
+        np.linalg.inv(mat) @ np.asarray(center, dtype=np.float64).T
+    ).T - np.array([tx, ty])
+    new_radius = height * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
+    if log is not None:
+        np.set_printoptions(suppress=True)
+        log("Y/X ratio : " + "{:.3f}".format(ratio))
+        log("Tilt angle : " + "{:.3f}".format(math.degrees(phi)) + " degrees")
+        log("Linear transform correction matrix : \n" + str(mat))
+        log(
+            "Disk position, radius : "
+            + (
+                (str(new_center) + ", " + "{:.3f}".format(new_radius))
+                if height != -1.0
+                else "UNKNOWN"
+            )
+        )
+        log("Unrotation : " + "{:.3f}".format(math.degrees(theta)) + " degrees")
+        np.set_printoptions(suppress=False)
+    circle = (float(new_center[0]), float(new_center[1]), float(new_radius))
+    return circle, mat3, int(math.ceil(new_h)), int(math.ceil(new_w))
+
+
 def correct_image(
     image,
     phi: float,
@@ -56,19 +106,9 @@ def correct_image(
 
     Returns (uint16 image, circle, mat3).
     """
-    mat, theta = get_correction_matrix(phi, ratio)
-    mat3 = np.zeros((3, 3))
-    mat3[:2, :2] = mat
-    mat3[2, 2] = 1.0
-    h, w = image.shape
-    corners = np.array([[0, 0], [0, h], [w, 0], [w, h]], dtype=np.float64)
-    new_corners = (np.linalg.inv(mat) @ corners.T).T
-    new_h = float(np.max(new_corners[:, 1]) - np.min(new_corners[:, 1]))
-    new_w = float(np.max(new_corners[:, 0]) - np.min(new_corners[:, 0]))
-    tx, ty = float(np.min(new_corners[:, 0])), float(np.min(new_corners[:, 1]))
-    mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
-
-    out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
+    circle, mat3, out_h, out_w = correction_geometry(
+        image.shape, phi, ratio, center, height, log=log
+    )
     integer_input = np.issubdtype(np.dtype(image.dtype), np.integer)
     img_j = jnp.asarray(image).astype(jnp.float32)
     cval = float(np.asarray(image[0, 0]))
@@ -77,27 +117,6 @@ def correct_image(
         cval /= 65536.0
     warped = warp_projective(img_j, jnp.asarray(mat3), out_h, out_w, cval=cval)
     corrected = warp_to_u16(warped)  # device-resident; writers np.asarray it
-
-    new_center = (np.linalg.inv(mat) @ np.asarray(center, dtype=np.float64).T).T - np.array(
-        [tx, ty]
-    )
-    new_radius = height * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
-    if log is not None:
-        np.set_printoptions(suppress=True)
-        log("Y/X ratio : " + "{:.3f}".format(ratio))
-        log("Tilt angle : " + "{:.3f}".format(math.degrees(phi)) + " degrees")
-        log("Linear transform correction matrix : \n" + str(mat))
-        log(
-            "Disk position, radius : "
-            + (
-                (str(new_center) + ", " + "{:.3f}".format(new_radius))
-                if height != -1.0
-                else "UNKNOWN"
-            )
-        )
-        log("Unrotation : " + "{:.3f}".format(math.degrees(theta)) + " degrees")
-        np.set_printoptions(suppress=False)
-    circle = (float(new_center[0]), float(new_center[1]), float(new_radius))
     return corrected, circle, mat3
 
 
@@ -156,6 +175,7 @@ def correct_images_batched(
 def ellipse_to_circle(
     image_u16: np.ndarray,
     log: Optional[Callable[[str], None]] = None,
+    need_image: bool = True,
 ) -> GeometryResult:
     """Fit the limb ellipse on a disk image and circularise it.
 
@@ -163,28 +183,51 @@ def ellipse_to_circle(
     block-mean downscale and scaled back; the ellipse fit gives (phi, ratio);
     the warp circularises; borders come from transforming the kept edge
     points into the corrected frame.
+
+    ``need_image=False`` skips the warp (GeometryResult.image is None) —
+    the hidden ellipse-fit shift usually produces no output product
+    (Solex_recon.py:54-55,78), so only the tiny geometry is computed and a
+    host-resident disk never crosses the accelerator link at all.
     """
     factor = 4
-    # 4x block-mean downscale of image/65536 on device; only the small
-    # image comes back to host for the point-set stages
-    img_j = jnp.asarray(image_u16).astype(jnp.float32) / 65536.0
-    h, w = img_j.shape
+    h, w = image_u16.shape
     ph, pw = (-h) % factor, (-w) % factor
-    if ph or pw:
-        img_j = jnp.pad(img_j, ((0, ph), (0, pw)))
-    small = np.asarray(
-        img_j.reshape((h + ph) // factor, factor, (w + pw) // factor, factor).mean(
-            axis=(1, 3)
-        ),
-        dtype=np.float64,
-    )
+    if isinstance(image_u16, np.ndarray):
+        # host-resident disk (host feed): block-mean downscale in numpy —
+        # cheaper than shipping 8 MB over a slow link to downscale there
+        img = image_u16.astype(np.float64) / 65536.0
+        if ph or pw:
+            img = np.pad(img, ((0, ph), (0, pw)))
+        small = img.reshape(
+            (h + ph) // factor, factor, (w + pw) // factor, factor
+        ).mean(axis=(1, 3))
+    else:
+        # device-resident disk: downscale there; only the small image comes
+        # back to host for the point-set stages
+        img_j = image_u16.astype(jnp.float32) / 65536.0
+        if ph or pw:
+            img_j = jnp.pad(img_j, ((0, ph), (0, pw)))
+        small = np.asarray(
+            img_j.reshape(
+                (h + ph) // factor, factor, (w + pw) // factor, factor
+            ).mean(axis=(1, 3)),
+            dtype=np.float64,
+        )
     X, raw_X = get_edge_list(small)
     X = X * factor
     raw_X = raw_X * factor
     center_yx, height, phi, ratio, X_f, ell_pts = two_step(X)
     center = np.array([center_yx[1], center_yx[0]])  # (x, y)
 
-    fixed, circle, mat3 = correct_image(image_u16, phi, ratio, center, height, log=log)
+    if need_image:
+        fixed, circle, mat3 = correct_image(
+            image_u16, phi, ratio, center, height, log=log
+        )
+    else:
+        fixed = None
+        circle, mat3, _, _ = correction_geometry(
+            image_u16.shape, phi, ratio, center, height, log=log
+        )
 
     # transform kept edge points into the corrected frame for the borders
     pts = np.ones((X_f.shape[0], 3))

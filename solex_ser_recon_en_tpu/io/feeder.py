@@ -85,6 +85,99 @@ def cached_probe_rate():
     return None
 
 
+class FeedCollapse(RuntimeError):
+    """A monitored device feed's sustained rate collapsed mid-scan.
+
+    Token-bucket links pass the up-front probe on burst credit and then
+    collapse to a trickle once the bucket drains (docs/PERF.md); callers
+    catch this and restart the pass on the host path (pipeline/run.py)
+    instead of riding a dead link for the rest of a multi-GB scan.
+    ``rate`` is the measured sustained rate (bytes/s) — callers feed it to
+    ``note_collapse`` so later feed decisions in this process see the real
+    link rate instead of the burst-flattered probe.
+    """
+
+    def __init__(self, msg: str, rate: float = None):
+        super().__init__(msg)
+        self.rate = rate
+
+
+class FeedRateMonitor:
+    """Sustained-rate watchdog for a chunked host->device feed.
+
+    ``note(nbytes)`` after each dispatched chunk; once at least
+    ``min_sample_bytes`` have been pushed, the average loop rate (device
+    put backpressure makes the loop converge to the link rate) is checked
+    against ``min_rate`` — a collapse with substantial work remaining
+    raises FeedCollapse.  The remaining-work guard stops a near-complete
+    pass from being restarted for marginal benefit.
+
+    The default floor is HALF the rate the feed policy demanded to choose
+    the device path (pipeline/run.py picks "device" only at >= 200 MB/s):
+    sustaining under that means the up-front probe was flattered by at
+    least 2x of burst credit, and the host pass (GB/s page-cache sweeps)
+    wins with certainty.  Observed in the wild: a probe window read
+    >= 200 MB/s, the bucket drained, and five bench runs each dragged
+    2.4 GB at ~43 MB/s — 56 s of pass A that the host path does in 0.5 s.
+    """
+
+    def __init__(
+        self,
+        total_bytes: int,
+        min_rate: float = None,
+        min_sample_bytes: int = 192 * 1024 * 1024,
+        min_remaining_bytes: int = 384 * 1024 * 1024,
+        clock=None,
+    ):
+        import os
+        import time
+
+        self._total = int(total_bytes)
+        env = os.environ.get("SOLEX_FEED_MIN_RATE")
+        self._min_rate = float(env) if env else (
+            min_rate if min_rate is not None else 100e6
+        )
+        self._min_sample = int(min_sample_bytes)
+        self._min_remaining = int(min_remaining_bytes)
+        self._clock = clock or time.monotonic
+        self._bytes = 0
+        self._t0 = None
+
+    def note(self, nbytes: int) -> None:
+        if self._t0 is None:
+            self._t0 = self._clock()  # start at first chunk: excludes setup
+            return  # first chunk's bytes land before the clock starts
+        self._bytes += int(nbytes)
+        if self._bytes < self._min_sample:
+            return
+        dt = max(self._clock() - self._t0, 1e-9)
+        rate = self._bytes / dt
+        remaining = self._total - self._bytes
+        if rate < self._min_rate and remaining > self._min_remaining:
+            raise FeedCollapse(
+                f"sustained {rate / 1e6:.1f} MB/s after "
+                f"{self._bytes // 2**20} MB with {remaining // 2**20} MB "
+                f"to go (floor {self._min_rate / 1e6:.0f} MB/s)",
+                rate=rate,
+            )
+
+
+def note_collapse(rate: float) -> None:
+    """Record a measured mid-scan collapse as the probe reading.
+
+    The sustained rate a FeedRateMonitor measured over >= 192 MB is far
+    better evidence than the probe's 24 MB burst sample — cache it so every
+    subsequent feed decision in this process (bench re-runs, folder
+    batches) goes straight to the host path instead of re-living the
+    collapse once per file.
+    """
+    import time
+
+    global _PROBE_CACHE
+    if rate is not None:
+        _PROBE_CACHE = (float(rate), time.monotonic())
+
+
 def pad_to_bucket(arr: np.ndarray, chunk: int) -> np.ndarray:
     """Zero-pad a trailing chunk to the bucket shape so every scan with the
     same frame geometry reuses ONE compiled program regardless of length

@@ -53,7 +53,11 @@ class ScanResult:
     """Everything solex_read produces (reference: Solex_recon.py:49-83)."""
 
     disk_list: object                # (S, ih, F) uint16 — device (jax) array
-                                     # on the fused/band paths, np otherwise
+                                     # on the fused/band paths; on the host
+                                     # feed a LIST of per-shift (ih, F)
+                                     # arrays (device for requested shifts,
+                                     # host np for fit-only ones); np array
+                                     # otherwise
     shifts: List[int]                # augmented shift list
     shift_requested: List[int]
     backup_bounds: Tuple[int, int]
@@ -190,28 +194,69 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             if fused_band is None:
                 mean_img, max_img = host_mean_max(vid._r)
         else:
+            from ..io.feeder import FeedCollapse, FeedRateMonitor
+
+            # token-bucket links pass the up-front probe on burst credit and
+            # can collapse mid-scan; the monitor bails the device pass early
+            # and the except arm restarts it on the host path.  Only SER
+            # sources have a host pass to restart on, so only they watch.
+            class _NoMonitor:
+                def note(self, nbytes):
+                    pass
+
+            monitor = (
+                FeedRateMonitor(total_bytes)
+                if isinstance(vid, _SerVideo) else _NoMonitor()
+            )
             try:
-                raw_iter, rotate, upscale = raw_device_chunks(
-                    vid, options.frame_chunk, fshard
-                )
-            except TypeError:
-                raw_iter = None
-            if raw_iter is not None:
-                # fused raw-layout path: no normalisation pass over the slab
-                raw_proc = RawScanProcessor(
-                    vid.Height, vid.Width, rotate, upscale,
-                    frame_count=vid.frame_count, mesh=mesh,
-                )
-                for start, chunk in raw_iter:
-                    raw_proc.accumulate(start, chunk, keep=keep_resident)
-                mean_img, max_img = raw_proc.mean_max()
-            else:
-                acc = MeanMaxAccumulator()
-                for start, chunk in device_chunks(vid, options.frame_chunk, fshard):
-                    acc.update(chunk)
-                    if keep_resident:
-                        chunks.append((start, chunk))
-                mean_img, max_img = acc.result()
+                try:
+                    raw_iter, rotate, upscale = raw_device_chunks(
+                        vid, options.frame_chunk, fshard
+                    )
+                except TypeError:
+                    raw_iter = None
+                if raw_iter is not None:
+                    # fused raw-layout path: no normalisation pass over slab
+                    raw_proc = RawScanProcessor(
+                        vid.Height, vid.Width, rotate, upscale,
+                        frame_count=vid.frame_count, mesh=mesh,
+                    )
+                    for start, chunk in raw_iter:
+                        raw_proc.accumulate(start, chunk, keep=keep_resident)
+                        monitor.note(chunk.nbytes)
+                    mean_img, max_img = raw_proc.mean_max()
+                else:
+                    acc = MeanMaxAccumulator()
+                    for start, chunk in device_chunks(
+                        vid, options.frame_chunk, fshard
+                    ):
+                        acc.update(chunk)
+                        monitor.note(chunk.nbytes)
+                        if keep_resident:
+                            chunks.append((start, chunk))
+                    mean_img, max_img = acc.result()
+            except FeedCollapse as e:
+                if not isinstance(vid, _SerVideo):
+                    raise
+                print(f"WARNING: device feed collapsed mid-scan ({e}); "
+                      "restarting pass A on the host path")
+                log(f"Device feed collapsed mid-scan ({e}); host fallback")
+                from ..io.feeder import note_collapse
+                from ..io.hostreduce import host_mean_max
+                from ..io.pagecache import pin
+
+                # the measured sustained rate beats any probe burst sample:
+                # later files / re-runs in this process go host directly
+                note_collapse(getattr(e, "rate", None))
+
+                feed = "host"
+                band_mode = True
+                small_ops_host = True
+                set_small_ops_on_host(True)
+                pin(file)
+                raw_proc = None
+                chunks = []
+                mean_img, max_img = host_mean_max(vid._r)
 
     if options.save_fit:
         write_fits(output_path(basefich0 + "_mean.fits", options), mean_img, hdr)
@@ -246,11 +291,22 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             else:
                 disk_list = host_reconstruct(vid._r, lf.floor, lf.frac, shifts)
             fused_band = None  # release the slab
-            if disk_list.nbytes <= 96 * 1024 * 1024 and mesh is None:
-                # start the (async) disk upload now so post-processing
-                # doesn't wait on it; oversized sweeps stay host-side and
-                # upload per-shift on demand
-                disk_list = jax.device_put(disk_list)
+            if mesh is None:
+                # start (async) uploads now for the shifts whose disks the
+                # post-processing warps — overlapped with the remaining host
+                # work.  Shifts that yield no product (the hidden fit shift)
+                # stay host-side: the ellipse fit runs on a host downscale
+                # and their 8 MB never crosses the link.  Oversized sweeps
+                # stop uploading at the budget and go per-shift on demand.
+                budget = 96 * 1024 * 1024
+                per_shift = []
+                for i, s in enumerate(shifts):
+                    d = disk_list[i]
+                    if s in requested and d.nbytes <= budget:
+                        budget -= d.nbytes
+                        d = jax.device_put(d)
+                    per_shift.append(d)
+                disk_list = per_shift
         elif band_mode:
             import jax
 
@@ -316,9 +372,15 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         disk_list = jax.device_put(disk_list, replicated(mesh))
 
     if options.flip_x:
-        disk_list = disk_list[:, :, ::-1]
+        if isinstance(disk_list, list):
+            disk_list = [d[:, ::-1] for d in disk_list]
+        else:
+            disk_list = disk_list[:, :, ::-1]
 
-    hdr["NAXIS1"] = disk_list.shape[2]  # recon width (reference :65)
+    # recon width (reference :65)
+    hdr["NAXIS1"] = disk_list[0].shape[1] if isinstance(
+        disk_list, list
+    ) else disk_list.shape[2]
     if options.save_fit:
         for i, s in enumerate(shifts):
             if s in requested:
@@ -468,9 +530,22 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
         frame_circularized = None
         if options.ratio_fixe is None and options.slant_fix is None:
             # first pass: full ellipse fit on the high-contrast disk
+            plots_on = (
+                not options.clahe_only
+                and not options.protus_only
+                and not options._nolog
+            )
             try:
                 with timer.stage("ellipse fit"):
-                    geo = ellipse_to_circle(scan.disk_list[i], log=log)
+                    # the hidden fit shift usually yields no product: skip
+                    # its circularisation warp (and, on the host feed, the
+                    # whole disk upload) — only the geometry is needed,
+                    # unless the _ellipse_fit.png diagnostic will show the
+                    # corrected image
+                    geo = ellipse_to_circle(
+                        scan.disk_list[i], log=log,
+                        need_image=flag_requested or plots_on,
+                    )
             except Exception as e:
                 # reference surfaces this as a GUI error and asks for manual
                 # Y/X + tilt (README.md:110); headless we degrade to an

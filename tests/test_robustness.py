@@ -73,3 +73,86 @@ def test_ellipse_fit_exception_forces_degrade_path(basic_scan, tmp_path, monkeyp
     # still yield products under identity geometry
     assert sorted(s for s, _ in results) == [0, 10]
     assert opts.ratio_fixe == 1.0 and opts.slant_fix == 0.0
+
+
+def test_feed_rate_monitor_policy():
+    """Watchdog fires only after the sample window, only under the rate
+    floor, and only with substantial work remaining."""
+    import pytest
+
+    from solex_ser_recon_en_tpu.io.feeder import FeedCollapse, FeedRateMonitor
+
+    t = [0.0]
+    clock = lambda: t[0]
+    MB = 1024 * 1024
+
+    # healthy link: 100 MB/s sustained, never fires
+    m = FeedRateMonitor(4096 * MB, min_rate=30e6, min_sample_bytes=256 * MB,
+                        min_remaining_bytes=512 * MB, clock=clock)
+    for _ in range(40):
+        m.note(100 * MB)
+        t[0] += 1.0
+
+    # collapsed link: 5 MB/s, fires once past the sample window
+    m = FeedRateMonitor(4096 * MB, min_rate=30e6, min_sample_bytes=256 * MB,
+                        min_remaining_bytes=512 * MB, clock=clock)
+    m.note(100 * MB)  # first note starts the clock
+    with pytest.raises(FeedCollapse):
+        for _ in range(10):
+            m.note(100 * MB)
+            t[0] += 20.0  # 5 MB/s
+
+    # collapsed but the scan is small enough that remaining work never
+    # clears the guard: restarting wouldn't pay
+    m = FeedRateMonitor(700 * MB, min_rate=30e6, min_sample_bytes=256 * MB,
+                        min_remaining_bytes=512 * MB, clock=clock)
+    for _ in range(7):
+        m.note(100 * MB)
+        t[0] += 20.0
+
+
+def test_feed_collapse_falls_back_to_host(basic_scan, tmp_path, monkeypatch):
+    """A mid-scan device-feed collapse restarts pass A on the host path and
+    the scan still completes with identical disks."""
+    import solex_ser_recon_en_tpu.io.feeder as feeder
+    from solex_ser_recon_en_tpu.io.feeder import FeedCollapse
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    class Tripwire:
+        def __init__(self, total_bytes, **kw):
+            self.n = 0
+
+        def note(self, nbytes):
+            self.n += 1
+            if self.n >= 2:
+                raise FeedCollapse("synthetic collapse")
+
+    def run(name):
+        outdir = tmp_path / name
+        outdir.mkdir()
+        opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="device",
+                       frame_chunk=32)
+        return np.asarray(read_scan(basic_scan["path"], opts).disk_list)
+
+    d_device = run("normal")
+    monkeypatch.setattr(feeder, "FeedRateMonitor", Tripwire)
+    d_fallback = run("collapsed")
+    # host float64 recon vs device one-hot matmul: 1-LSB tolerance
+    diff = np.abs(d_device.astype(int) - d_fallback.astype(int))
+    assert diff.max() <= 1
+
+
+def test_note_collapse_poisons_probe_cache():
+    """A measured collapse becomes the cached probe reading, steering
+    subsequent feed decisions in this process to the host path."""
+    import solex_ser_recon_en_tpu.io.feeder as feeder
+
+    saved = feeder._PROBE_CACHE
+    try:
+        feeder.note_collapse(5e6)
+        assert feeder.cached_probe_rate() == 5e6
+        feeder.note_collapse(None)  # no measurement: keeps prior evidence
+        assert feeder.cached_probe_rate() == 5e6
+    finally:
+        feeder._PROBE_CACHE = saved
