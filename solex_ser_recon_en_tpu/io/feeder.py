@@ -112,13 +112,18 @@ class FeedRateMonitor:
     raises FeedCollapse.  The remaining-work guard stops a near-complete
     pass from being restarted for marginal benefit.
 
-    The default floor is HALF the rate the feed policy demanded to choose
-    the device path (pipeline/run.py picks "device" only at >= 200 MB/s):
-    sustaining under that means the up-front probe was flattered by at
-    least 2x of burst credit, and the host pass (GB/s page-cache sweeps)
-    wins with certainty.  Observed in the wild: a probe window read
-    >= 200 MB/s, the bucket drained, and five bench runs each dragged
-    2.4 GB at ~43 MB/s — 56 s of pass A that the host path does in 0.5 s.
+    Two tiers: the main floor (default 150 MB/s, hysteresis under the
+    200 MB/s the feed policy demanded to choose the device path) applies
+    after the full sample window; a quarter of the floor applies after a
+    quarter of the window, so an abysmal link is abandoned in ~5 s instead
+    of being ridden for the whole window (at 10 MB/s the 192 MB window
+    alone costs ~19 s).  Sustaining under the main floor means the up-front
+    probe was flattered by burst credit and the host pass (GB/s page-cache
+    sweeps) wins with certainty; normally-attached TPU hosts (>= 1 GB/s
+    DMA) never come near either floor.  Observed in the wild: a probe
+    window read >= 200 MB/s, the bucket drained, and five bench runs each
+    dragged 2.4 GB at ~43 MB/s — 56 s of pass A that the host path does in
+    0.5 s.
     """
 
     def __init__(
@@ -135,29 +140,57 @@ class FeedRateMonitor:
         self._total = int(total_bytes)
         env = os.environ.get("SOLEX_FEED_MIN_RATE")
         self._min_rate = float(env) if env else (
-            min_rate if min_rate is not None else 100e6
+            min_rate if min_rate is not None else 150e6
         )
         self._min_sample = int(min_sample_bytes)
         self._min_remaining = int(min_remaining_bytes)
         self._clock = clock or time.monotonic
         self._bytes = 0
         self._t0 = None
+        self._prev = None
+
+    def note_chunk(self, chunk) -> None:
+        """note() for a device array, measuring REAL transfer progress.
+
+        ``jax.device_put`` is asynchronous: a feed loop can enqueue the
+        whole scan in host time while the transfers crawl behind — a naive
+        per-iteration clock then reads host memmap speed and the watchdog
+        never fires (observed: a 19.5 MB/s link rode unmonitored for 123 s
+        because the sync point was after the loop).  Blocking on the
+        PREVIOUS chunk keeps a one-deep transfer pipeline (chunk k+1
+        uploads while k is awaited — no overlap lost, and staging memory
+        stays bounded at two chunks) and makes the loop rate the link rate.
+        """
+        prev, self._prev = self._prev, chunk
+        if prev is not None:
+            try:
+                prev.block_until_ready()
+            except AttributeError:
+                pass
+            self.note(int(prev.nbytes))
 
     def note(self, nbytes: int) -> None:
         if self._t0 is None:
             self._t0 = self._clock()  # start at first chunk: excludes setup
             return  # first chunk's bytes land before the clock starts
         self._bytes += int(nbytes)
-        if self._bytes < self._min_sample:
-            return
+        # fast tier: an abysmal link (well under the host path's certainty
+        # zone) should not be ridden for the full sample window — at
+        # 10 MB/s the 192 MB window alone costs ~19 s
+        if self._bytes >= self._min_sample // 4:
+            self._check(self._min_rate / 4)
+        if self._bytes >= self._min_sample:
+            self._check(self._min_rate)
+
+    def _check(self, floor: float) -> None:
         dt = max(self._clock() - self._t0, 1e-9)
         rate = self._bytes / dt
         remaining = self._total - self._bytes
-        if rate < self._min_rate and remaining > self._min_remaining:
+        if rate < floor and remaining > self._min_remaining:
             raise FeedCollapse(
                 f"sustained {rate / 1e6:.1f} MB/s after "
                 f"{self._bytes // 2**20} MB with {remaining // 2**20} MB "
-                f"to go (floor {self._min_rate / 1e6:.0f} MB/s)",
+                f"to go (floor {floor / 1e6:.0f} MB/s)",
                 rate=rate,
             )
 

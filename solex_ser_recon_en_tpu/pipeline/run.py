@@ -201,7 +201,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             # and the except arm restarts it on the host path.  Only SER
             # sources have a host pass to restart on, so only they watch.
             class _NoMonitor:
-                def note(self, nbytes):
+                def note_chunk(self, chunk):
                     pass
 
             monitor = (
@@ -223,7 +223,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                     )
                     for start, chunk in raw_iter:
                         raw_proc.accumulate(start, chunk, keep=keep_resident)
-                        monitor.note(chunk.nbytes)
+                        monitor.note_chunk(chunk)
                     mean_img, max_img = raw_proc.mean_max()
                 else:
                     acc = MeanMaxAccumulator()
@@ -231,7 +231,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                         vid, options.frame_chunk, fshard
                     ):
                         acc.update(chunk)
-                        monitor.note(chunk.nbytes)
+                        monitor.note_chunk(chunk)
                         if keep_resident:
                             chunks.append((start, chunk))
                     mean_img, max_img = acc.result()

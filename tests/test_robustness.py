@@ -103,12 +103,24 @@ def test_feed_rate_monitor_policy():
             t[0] += 20.0  # 5 MB/s
 
     # collapsed but the scan is small enough that remaining work never
-    # clears the guard: restarting wouldn't pay
+    # clears the guard: restarting wouldn't pay (10 MB/s sits between the
+    # fast-tier floor 7.5 MB/s and the main floor 30 MB/s)
     m = FeedRateMonitor(700 * MB, min_rate=30e6, min_sample_bytes=256 * MB,
                         min_remaining_bytes=512 * MB, clock=clock)
     for _ in range(7):
         m.note(100 * MB)
-        t[0] += 20.0
+        t[0] += 10.0
+
+    # abysmal link (below a quarter of the floor): fires after only a
+    # quarter of the sample window
+    m = FeedRateMonitor(4096 * MB, min_rate=30e6, min_sample_bytes=256 * MB,
+                        min_remaining_bytes=512 * MB, clock=clock)
+    m.note(32 * MB)  # starts the clock
+    with pytest.raises(FeedCollapse):
+        for i in range(20):
+            m.note(32 * MB)
+            t[0] += 32.0  # 1 MB/s
+    assert m._bytes <= 96 * MB  # well before the full 256 MB window
 
 
 def test_feed_collapse_falls_back_to_host(basic_scan, tmp_path, monkeypatch):
@@ -122,7 +134,7 @@ def test_feed_collapse_falls_back_to_host(basic_scan, tmp_path, monkeypatch):
         def __init__(self, total_bytes, **kw):
             self.n = 0
 
-        def note(self, nbytes):
+        def note_chunk(self, chunk):
             self.n += 1
             if self.n >= 2:
                 raise FeedCollapse("synthetic collapse")
