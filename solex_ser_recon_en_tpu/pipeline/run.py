@@ -257,6 +257,12 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 raw_proc = None
                 chunks = []
                 mean_img, max_img = host_mean_max(vid._r)
+        # sync inside the stage: the fit consumes these immediately, and an
+        # async tail would misattribute pass A time to the line fit (a no-op
+        # for the host paths' numpy arrays)
+        import jax
+
+        mean_img, max_img = jax.block_until_ready((mean_img, max_img))
 
     if options.save_fit:
         write_fits(output_path(basefich0 + "_mean.fits", options), mean_img, hdr)
@@ -362,6 +368,14 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 for start, chunk in device_chunks(vid, options.frame_chunk, fshard):
                     recon.update(start, chunk)
             disk_list = recon.result()
+        if not isinstance(disk_list, list):
+            # attribution sync (device/band feeds): the ellipse fit's
+            # downscale pull would otherwise absorb the recon's async tail.
+            # The host feed's per-shift list keeps its uploads async — the
+            # overlap with _raw.fits writes and the host-side fit is real.
+            import jax
+
+            disk_list = jax.block_until_ready(disk_list)
 
     if mesh is not None:
         # gather the disks once: (S, ih, F) is ~1000x smaller than the scan,
