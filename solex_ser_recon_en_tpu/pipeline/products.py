@@ -13,7 +13,19 @@ import numpy as np
 
 from ..config import Options, output_path
 from ..io.fits import write_fits
-from ..io.png import write_png
+from ..io.png import write_png, write_png_streaming
+
+
+def _save_png(path: str, img) -> None:
+    """PNG write that overlaps the device->host pull with the encode.
+
+    Device-resident products stream through io/png.py's banded writer (the
+    8.6 MB download is the products stage's longest serial piece on slow
+    links); host arrays take the classic cv2/PIL path."""
+    if hasattr(img, "copy_to_host_async"):
+        write_png_streaming(path, img)
+    else:
+        write_png(path, np.asarray(img))
 
 
 
@@ -162,19 +174,17 @@ def image_process(
 
     if save and not options._nolog:
         if options.clahe_only or not options.protus_only:
-            write_png(output_path(basefich + "_clahe.png", options), np.asarray(cc))
+            _save_png(output_path(basefich + "_clahe.png", options), cc)
         if options.protus_only or not options.clahe_only:
-            write_png(
-                output_path(basefich + "_protus.png", options), np.asarray(frame_protus)
+            _save_png(
+                output_path(basefich + "_protus.png", options), frame_protus
             )
         if not options.clahe_only and not options.protus_only:
-            write_png(
-                output_path(basefich + "_uncontrasted.png", options),
-                np.asarray(frame_raw),
+            _save_png(
+                output_path(basefich + "_uncontrasted.png", options), frame_raw
             )
-            write_png(
-                output_path(basefich + "_high_contrast.png", options),
-                np.asarray(frame_hc),
+            _save_png(
+                output_path(basefich + "_high_contrast.png", options), frame_hc
             )
     if options.flag_display:
         from ..utils.display import show_products

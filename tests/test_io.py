@@ -139,3 +139,33 @@ def test_pagecache_respects_disable_env(tmp_path, monkeypatch):
     f = tmp_path / "f.bin"
     f.write_bytes(b"x" * 4096)
     assert not pagecache.pin(str(f))
+
+
+def test_streaming_png_matches_cv2(tmp_path):
+    """The banded streaming PNG writer decodes bit-identically to the cv2
+    writer, for u16/u8 and device/host inputs, including a non-divisible
+    band split."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.io.png import (
+        read_image,
+        write_png,
+        write_png_streaming,
+    )
+
+    rng = np.random.default_rng(7)
+    for dtype, name in ((np.uint16, "u16"), (np.uint8, "u8")):
+        img = rng.integers(0, np.iinfo(dtype).max, (131, 77)).astype(dtype)
+        ref = str(tmp_path / f"ref_{name}.png")
+        write_png(ref, img)
+        for src, tag in ((img, "np"), (jnp.asarray(img), "jax")):
+            p = str(tmp_path / f"s_{name}_{tag}.png")
+            write_png_streaming(p, src, bands=8)
+            np.testing.assert_array_equal(read_image(p), read_image(ref))
+
+    # degenerate: more bands than rows
+    tiny = rng.integers(0, 65535, (3, 5)).astype(np.uint16)
+    p = str(tmp_path / "tiny.png")
+    write_png_streaming(p, tiny, bands=8)
+    np.testing.assert_array_equal(read_image(p), tiny)
