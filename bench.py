@@ -144,14 +144,27 @@ def run_paired(n_runs: int = N_RUNS, n_cpu: int = 3) -> dict:
     }
 
 
-def cpu_baseline_clean_seconds():
-    """Previously cached clean-window CPU measurement, for disclosure only
-    (vs_baseline uses the live weather-paired runs)."""
+def cpu_baseline_clean_seconds(session_best: float = None):
+    """Best CPU-replica measurement ever observed on this host, for
+    disclosure only (vs_baseline uses the live weather-paired runs).
+    Updated with this session's best so the record accumulates."""
+    prev = None
     try:
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["seconds"]
+            prev = json.load(f)["seconds"]
     except Exception:
-        return None
+        pass
+    best = min(x for x in (prev, session_best) if x is not None) if (
+        prev is not None or session_best is not None
+    ) else None
+    if best is not None and best != prev:
+        try:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"seconds": best, "frames": FRAMES,
+                           "host_memcpy_gbps": host_congestion_probe()}, f)
+        except OSError:
+            pass
+    return best
 
 
 def device_only_fps() -> float:
@@ -305,7 +318,7 @@ def main() -> None:
     ensure_scan()
     tpu = run_paired()
     dev_fps = device_only_fps()
-    clean = cpu_baseline_clean_seconds()
+    clean = cpu_baseline_clean_seconds(tpu["cpu_best_s"])
     result = {
         "metric": "e2e_2000frame_16bit_full_disk_scan",
         "value": round(tpu["e2e_s"], 4),

@@ -194,13 +194,16 @@ def ellipse_to_circle(
     ph, pw = (-h) % factor, (-w) % factor
     if isinstance(image_u16, np.ndarray):
         # host-resident disk (host feed): block-mean downscale in numpy —
-        # cheaper than shipping 8 MB over a slow link to downscale there
-        img = image_u16.astype(np.float64) / 65536.0
+        # cheaper than shipping 8 MB over a slow link to downscale there.
+        # Mean the uint16 directly (f64 accumulation) and scale the 16x
+        # smaller result: bit-identical to mean(img/65536) (the 2^-16 scale
+        # only shifts exponents) without a full-size float64 temporary
+        img = image_u16
         if ph or pw:
             img = np.pad(img, ((0, ph), (0, pw)))
         small = img.reshape(
             (h + ph) // factor, factor, (w + pw) // factor, factor
-        ).mean(axis=(1, 3))
+        ).mean(axis=(1, 3), dtype=np.float64) / 65536.0
     else:
         # device-resident disk: downscale there; only the small image comes
         # back to host for the point-set stages

@@ -21,14 +21,18 @@ from .ser import SerReader
 
 
 def _finalize_mean_max(
-    acc: np.ndarray, mx: np.ndarray, r: SerReader
+    acc: np.ndarray, mx: np.ndarray, r: SerReader, frames: int = None
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Raw-layout (sum, max) -> normalised-orientation (mean u16, max u16)."""
+    """Raw-layout (sum, max) -> normalised-orientation (mean u16, max u16).
+
+    ``frames`` overrides the divisor for subsampled accumulations
+    (provisional_spectral_band)."""
     if r.flag_rotate:
         acc = np.rot90(acc)
         mx = np.rot90(mx)
     scale = 256 if r.header.pixel_depth == 8 else 1
-    mean = ((acc.astype(np.float64) * scale) / r.frame_count).astype(np.uint16)
+    n = r.frame_count if frames is None else frames
+    mean = ((acc.astype(np.float64) * scale) / n).astype(np.uint16)
     mx16 = mx.astype(np.uint16)
     if r.header.pixel_depth == 8:
         mx16 = mx16 << 8
@@ -140,15 +144,8 @@ def provisional_spectral_band(
         acc += raw[0]
         np.maximum(mx, raw[0], out=mx)
         n += 1
-    if r.flag_rotate:
-        acc = np.rot90(acc)
-        mx = np.rot90(mx)
-    scale = 256 if r.header.pixel_depth == 8 else 1
-    mean = ((acc.astype(np.float64) * scale) / n).astype(np.uint16)
-    mx16 = mx.astype(np.uint16)
-    if r.header.pixel_depth == 8:
-        mx16 = mx16 << 8
-    lf = fit_spectral_line(mean, np.ascontiguousarray(mx16))
+    mean, mx16 = _finalize_mean_max(acc, mx, r, frames=n)
+    lf = fit_spectral_line(mean, mx16)
     return spectral_band(lf.floor, shifts, r.iw, margin=margin)
 
 

@@ -23,11 +23,20 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    so = os.path.join(_CACHE, "libser_io.so")
     src = os.path.abspath(_SRC)
     if not os.path.exists(src):
         return None
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    # the artifact name is keyed to the source content: dlopen caches
+    # loaded libraries BY PATH, so rebuilding over the same filename in a
+    # process that already loaded a stale copy would silently return the
+    # old handle; a content-keyed name also makes the mtime comparison
+    # (foolable by rsync -a / image layers) irrelevant
+    import hashlib
+
+    with open(src, "rb") as f:
+        key = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_CACHE, f"libser_io-{key}.so")
+    if os.path.exists(so):
         return so
     os.makedirs(_CACHE, exist_ok=True)
     # -march=native lets the autovectoriser use the full SIMD width for the
@@ -36,10 +45,23 @@ def _build() -> Optional[str]:
         cmd = ["g++", *flags, "-shared", "-fPIC", "-o", so, src]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            return so
+            break
         except Exception:
             continue
-    return None
+    else:
+        return None
+    # opportunistic cleanup of superseded builds (may be loaded elsewhere;
+    # unlink is safe on Linux, failures are fine)
+    try:
+        for name in os.listdir(_CACHE):
+            if name.startswith("libser_io") and name != os.path.basename(so):
+                try:
+                    os.remove(os.path.join(_CACHE, name))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return so
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -56,6 +78,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(so)
         except OSError:
+            return None
+        if not hasattr(lib, "ser_mean_max_band"):
+            # content-keyed artifacts always match their source's symbols;
+            # a miss means a corrupt/hand-placed file — fall back to the
+            # Python reader rather than bind a partial ABI
             return None
         lib.ser_open.restype = ctypes.c_int
         lib.ser_open.argtypes = [

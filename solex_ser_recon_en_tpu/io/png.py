@@ -35,7 +35,7 @@ def write_png(path: str, img: np.ndarray, compression: int = 0) -> None:
         mode = "I;16" if img.dtype == np.uint16 else "L"
         Image.fromarray(img, mode=mode).save(path)
         return
-    write_png_streaming(path, img)
+    write_png_streaming(path, img, compression=compression)
 
 
 def _png_chunk(f, tag: bytes, data: bytes) -> None:

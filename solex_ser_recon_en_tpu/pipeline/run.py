@@ -204,8 +204,12 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 def note_chunk(self, chunk):
                     pass
 
+            # the monitor counts actual raw chunk bytes, so its total must
+            # be raw file bytes too (total_bytes is normalized-u16
+            # accounting — 2x the truth for 8-bit scans, which would
+            # inflate the remaining-work guard)
             monitor = (
-                FeedRateMonitor(total_bytes)
+                FeedRateMonitor(vid._r.header.frame_bytes * vid.frame_count)
                 if isinstance(vid, _SerVideo) else _NoMonitor()
             )
             try:

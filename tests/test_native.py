@@ -84,3 +84,52 @@ def test_host_mean_max_normalisation(tmp_path, rng):
     want_max = np.rot90(frames.max(axis=0))
     np.testing.assert_array_equal(mean, want_mean)
     np.testing.assert_array_equal(mx, want_max)
+
+
+def test_stale_cached_so_never_shadows_new_source(tmp_path, monkeypatch):
+    """Cached artifacts from older source (rsync'd, image layers, clock
+    skew) must not shadow the current source: builds are keyed by source
+    content, so get_lib always binds a library with the full ABI, and
+    superseded artifacts are cleaned up."""
+    import os
+    import subprocess
+
+    import solex_ser_recon_en_tpu.io.native as native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    # stale .so exposing only the OLD symbols, under both legacy and
+    # keyed-style names, with mtimes far in the future
+    src = tmp_path / "old.cpp"
+    src.write_text(
+        'extern "C" {'
+        "int ser_mean_max(void*, unsigned long long*, unsigned short*)"
+        " { return -1; }"
+        "}"
+    )
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    stale = [cache / "libser_io.so", cache / "libser_io-deadbeef.so"]
+    subprocess.run(
+        ["g++", "-O0", "-shared", "-fPIC", "-o", str(stale[0]), str(src)],
+        check=True, capture_output=True,
+    )
+    import shutil
+
+    shutil.copy(stale[0], stale[1])
+    future = os.path.getmtime(os.path.abspath(native._SRC)) + 10**6
+    for p in stale:
+        os.utime(p, (future, future))
+
+    monkeypatch.setattr(native, "_CACHE", str(cache))
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    lib = native.get_lib()
+    assert lib is not None
+    assert hasattr(lib, "ser_mean_max_band")
+    # superseded artifacts were cleaned up
+    left = {p.name for p in cache.iterdir()}
+    assert "libser_io.so" not in left and "libser_io-deadbeef.so" not in left
