@@ -171,6 +171,11 @@ def run_app() -> int:
                 options.workDir = os.path.dirname(files[0]) + "/"
                 write_ini(options)
             handle_files(files, options)
+        elif options.continuous_detect_mode:
+            # live-preview watcher window (reference: SHG_MAIN.py:154-208)
+            from .continuous_window import continuous_ui
+
+            continuous_ui(options)
         else:
             handle_folder(options)
     write_ini(options)

@@ -111,6 +111,30 @@ def write_png_streaming(path: str, img, bands: int = 8,
         _png_chunk(f, b"IEND", b"")
 
 
+def png_bytes(img: np.ndarray, compression: int = 0) -> bytes:
+    """In-memory PNG of a host image (GUI previews — sg.Image data)."""
+    import io
+    import tempfile
+
+    img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        img = np.clip(img, 0, 65535).astype(np.uint16)
+    if _HAVE_CV2:
+        ok, buf = cv2.imencode(".png", img,
+                               [cv2.IMWRITE_PNG_COMPRESSION, compression])
+        if ok:
+            return buf.tobytes()
+    if _HAVE_PIL:
+        bio = io.BytesIO()
+        mode = "I;16" if img.dtype == np.uint16 else "L"
+        Image.fromarray(img, mode=mode).save(bio, format="PNG")
+        return bio.getvalue()
+    with tempfile.NamedTemporaryFile(suffix=".png") as tf:
+        write_png_streaming(tf.name, img, compression=compression)
+        with open(tf.name, "rb") as f:
+            return f.read()
+
+
 def read_image(path: str) -> np.ndarray:
     """Read PNG/TIF preserving bit depth, grayscale-converting if needed.
 

@@ -16,6 +16,7 @@ Usage: ``script([(event, {key: value, ...}), ...])`` then inject via
 from __future__ import annotations
 
 WIN_CLOSED = None
+TIMEOUT_EVENT = "__TIMEOUT__"
 
 _SCRIPT = []
 POPUPS = []
@@ -96,6 +97,7 @@ Tab = _factory("Tab")
 TabGroup = _factory("TabGroup")
 Push = _factory("Push")
 Canvas = _factory("Canvas")
+Image = _factory("Image")
 
 
 def Cancel(*args, **kw):
@@ -152,6 +154,9 @@ class Window:
             if e.Key is not None and e.typename in _VALUE_TYPES
         }
         return event, values
+
+    def finalize(self):
+        return self
 
     def close(self):
         self.closed = True

@@ -234,3 +234,52 @@ def test_clahe_window_full_session(tmp_path, monkeypatch):
     cfg = json.loads((tmp_path / "clahe_config.txt").read_text())
     assert cfg["tile_size"] == 3 and cfg["do_stretch"] is True
     assert cfg["language"] == "Deutsch"
+
+
+def test_continuous_window_processes_and_previews(tmp_path):
+    """The continuous-detect window (SHG_MAIN.py:154-208 equivalent)
+    processes a newly appearing scan, updates counters + the live CLAHE
+    preview, and exits on Stop."""
+    from solex_ser_recon_en_tpu.gui.continuous_window import continuous_ui
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    indir = tmp_path / "watch"
+    indir.mkdir()
+    scan = SyntheticScan(ih=128, iw=64, frames=60, depth=16,
+                         line_poly=(30.0, 0.02, -1e-4, 0.0), noise=0.003,
+                         seed=2)
+    scan.write(str(indir / "new.ser"), transpose_to_wide=True)
+
+    opts = Options(shift=[0], clahe_only=True, _nolog=False,
+                   ratio_fixe=1.0, slant_fix=0.0,
+                   input_dir=str(indir), output_dir=str(tmp_path / "out"))
+    (tmp_path / "out").mkdir()
+
+    stub.script([
+        (stub.TIMEOUT_EVENT, {}),  # poll 1: finds + processes new.ser
+        (stub.TIMEOUT_EVENT, {}),  # poll 2: nothing new
+        ("Stop", {}),
+    ])
+    n = continuous_ui(opts, poll_seconds=0.01)
+    assert n == 1
+    win = stub.WINDOWS[-1]
+    assert win.closed
+    assert any("Number of files processed: 1" in u
+               for u in win["auto_info"].label_updates)
+    # the preview image was pushed PNG bytes
+    img_updates = [kw for (a, kw) in win["_prev_img"].updates if "data" in kw]
+    assert img_updates and img_updates[-1]["data"][:4] == b"\x89PNG"
+    assert any(u.startswith("Last: ") for u in win["last"].label_updates)
+
+
+def test_continuous_window_empty_folder_stop(tmp_path):
+    from solex_ser_recon_en_tpu.gui.continuous_window import continuous_ui
+
+    indir = tmp_path / "empty"
+    indir.mkdir()
+    opts = Options(shift=[0], input_dir=str(indir),
+                   output_dir=str(tmp_path))
+    stub.script([(stub.TIMEOUT_EVENT, {}), ("Stop", {})])
+    assert continuous_ui(opts, poll_seconds=0.01) == 0
+    assert any("Looking for files" in u
+               for u in stub.WINDOWS[-1]["status_info"].label_updates)
