@@ -11,6 +11,7 @@ FreeSimpleGUI to use the GUI (``pip install FreeSimpleGUI``).
 from __future__ import annotations
 
 import os
+import sys
 import traceback
 from typing import List, Optional
 
@@ -41,9 +42,33 @@ def input_ui(options: Options) -> Optional[List[str]]:
     langs, lang_dicts = read_langs()
     lang = lang_dicts[langs.index(options.language)] if options.language in langs else {}
     v = default_form_values(options)
+    # localized popup texts (reference: UI_handler.py:171,143-144)
+    popup_messages = {
+        "no_file_error": "Error: file not entered! Please enter file(s)",
+        "no_folder_error": "Error: folder not entered! Please enter folder",
+    }
+    for k in popup_messages:
+        if k in lang:
+            popup_messages[k] = lang[k]
 
     def T(key: str) -> str:
         return tr(lang, key)
+
+    def _flag_data(d) -> bytes:
+        """PNG bytes of a language's flag icon (reference: get_img_data
+        over language_data/flag*.png, UI_handler.py:139-141)."""
+        from ..i18n import language_dirs
+
+        name = d.get("_flag_icon", "flagEN.png") if d else "flagEN.png"
+        for dirpath in language_dirs():
+            p = os.path.join(dirpath, name)
+            if os.path.exists(p):
+                try:
+                    with open(p, "rb") as f:
+                        return f.read()
+                except OSError:
+                    pass
+        return b""
 
     file_tab = [
         [sg.Text(T("File(s)"), key="File(s)"),
@@ -62,6 +87,7 @@ def input_ui(options: Options) -> Optional[List[str]]:
         [sg.Text(T("Solar disk reconstruction from SHG video files"), font="Any 14",
                  key="Solar disk reconstruction from SHG video files"),
          sg.Push(),
+         sg.Image(data=_flag_data(lang), key="_flag_icon"),
          sg.Combo(langs, key="lang_input", enable_events=True,
                   default_value=options.language, readonly=True)],
         [sg.TabGroup([[sg.Tab(T("File input mode"), file_tab, key="File input mode"),
@@ -108,7 +134,9 @@ def input_ui(options: Options) -> Optional[List[str]]:
          sg.Text(T("Ellipse fit shift [advanced]"), key="Ellipse fit shift [advanced]"),
          sg.InputText(default_text=v["ellipse_fit_shift"], size=(6, 1),
                       key="ellipse_fit_shift")],
-        [sg.Button(T("OK"), key="OK"), sg.Cancel(T("Cancel"), key="Cancel")],
+        [sg.Button(T("OK"), key="OK"), sg.Cancel(T("Cancel"), key="Cancel"),
+         sg.Push(),
+         sg.Button(T("Open output folder"), key="Open output folder")],
     ]
     window = sg.Window("SHG (TPU) ", layout, finalize=True)
     try:
@@ -119,6 +147,10 @@ def input_ui(options: Options) -> Optional[List[str]]:
             if event == "lang_input":
                 options.language = values["lang_input"]
                 lang = lang_dicts[langs.index(options.language)]
+                window["_flag_icon"].update(data=_flag_data(lang))
+                for k in popup_messages:
+                    if k in lang:
+                        popup_messages[k] = lang[k]
                 for k, val in lang.items():
                     if k in window.AllKeysDict and not k.startswith("_"):
                         try:
@@ -130,6 +162,18 @@ def input_ui(options: Options) -> Optional[List[str]]:
                                 pass
             if event == "-tab_group-":
                 options.selected_mode = values["-tab_group-"]
+            if event == "Open output folder":
+                # reference: UI_handler.py:259-272 (os.startfile is
+                # Windows-only; use the platform opener elsewhere)
+                x = str(values.get("output_dir", "")).strip()
+                if not x:
+                    x = (options.workDir
+                         if options.selected_mode == "File input mode"
+                         else str(values.get("input_dir", "")))
+                if x and os.path.isdir(x):
+                    _open_in_file_manager(x)
+                else:
+                    sg.popup_ok(popup_messages["no_folder_error"])
             if event == "Pixel offset live":
                 # launches the interactive analyser; its chosen shift feeds
                 # back into the pixel-offset field (reference
@@ -146,12 +190,44 @@ def input_ui(options: Options) -> Optional[List[str]]:
                     traceback.print_exc()
                     sg.popup_ok("ERROR: " + traceback.format_exc())
             if event == "OK":
-                try:
-                    return interpret_form_values(options, values)
-                except ValueError as e:
-                    sg.popup_ok(str(e))
+                # empty-input popups before interpretation (reference
+                # UI_handler.py:280-297), localized
+                if options.selected_mode == "File input mode" and str(
+                    values.get("-FILE-", "")
+                ).strip() in ("", options.workDir):
+                    sg.popup_ok(popup_messages["no_file_error"])
+                elif options.selected_mode == "Folder input mode" and not str(
+                    values.get("input_dir", "")
+                ).strip():
+                    sg.popup_ok(popup_messages["no_folder_error"])
+                else:
+                    try:
+                        return interpret_form_values(options, values)
+                    except ValueError as e:
+                        sg.popup_ok(str(e))
+            # transversalium controls track the checkbox (reference :309-311)
+            show_trans = bool(values.get("Correct transversalium lines", True))
+            for k in ("-trans_strength-",
+                      "Transversalium correction strength (pixels x 100) :",
+                      "Stubborn transversalium"):
+                window[k].update(visible=show_trans)
     finally:
         window.close()
+
+
+def _open_in_file_manager(path: str) -> None:  # pragma: no cover - spawns UI
+    import subprocess
+
+    real = os.path.realpath(path)
+    if hasattr(os, "startfile"):  # Windows (the reference's only path)
+        os.startfile(real)  # type: ignore[attr-defined]
+        return
+    opener = "open" if sys.platform == "darwin" else "xdg-open"
+    try:
+        subprocess.Popen([opener, real], stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    except OSError:
+        print(f"output folder: {real}")
 
 
 def run_app() -> int:

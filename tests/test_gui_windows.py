@@ -92,7 +92,9 @@ def test_main_window_validation_popup_then_cancel():
     from solex_ser_recon_en_tpu.gui.main_window import input_ui
 
     stub.script([
-        ("OK", {"_pixel_offset": "garbage"}),   # ValueError -> popup, loop
+        # a file is entered (the empty-file gate passes, UI_handler.py:283),
+        # then the garbage offset raises -> popup, loop continues
+        ("OK", {"_pixel_offset": "garbage", "-FILE-": "scan.ser"}),
         ("Cancel", {}),
     ])
     assert input_ui(Options()) is None
@@ -283,3 +285,49 @@ def test_continuous_window_empty_folder_stop(tmp_path):
     assert continuous_ui(opts, poll_seconds=0.01) == 0
     assert any("Looking for files" in u
                for u in stub.WINDOWS[-1]["status_info"].label_updates)
+
+
+def test_main_window_flag_icon_and_popups(tmp_path, monkeypatch):
+    """Language swap updates the flag icon; OK with empty file and Open
+    output folder with no folder pop the LOCALIZED error messages
+    (UI_handler.py:139-144,259-297)."""
+    import solex_ser_recon_en_tpu.gui.main_window as mw
+
+    opened = []
+    monkeypatch.setattr(mw, "_open_in_file_manager", opened.append)
+
+    opts = Options(workDir="")
+    stub.script([
+        ("lang_input", {"lang_input": "Français"}),
+        ("OK", {"-FILE-": ""}),                      # no file -> popup
+        ("Open output folder", {"output_dir": ""}),  # no folder -> popup
+        ("Open output folder", {"output_dir": str(tmp_path)}),
+        ("Cancel", {}),
+    ])
+    assert mw.input_ui(opts) is None
+
+    win = stub.WINDOWS[-1]
+    flag_updates = [kw for (a, kw) in win["_flag_icon"].updates if "data" in kw]
+    assert flag_updates and flag_updates[-1]["data"][:4] == b"\x89PNG"
+
+    import json
+    fr = json.load(open(
+        "solex_ser_recon_en_tpu/data/language/dict_lang_FR.txt",
+        encoding="utf-8"))
+    assert fr["no_file_error"] in stub.POPUPS
+    assert fr["no_folder_error"] in stub.POPUPS
+    assert opened == [str(tmp_path)]
+
+
+def test_main_window_transversalium_visibility():
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    stub.script([
+        ("Correct transversalium lines", {"Correct transversalium lines": False}),
+        ("Cancel", {}),
+    ])
+    assert input_ui(Options()) is None
+    win = stub.WINDOWS[-1]
+    vis = [kw["visible"] for (a, kw) in win["-trans_strength-"].updates
+           if "visible" in kw]
+    assert vis and vis[0] is False
