@@ -131,6 +131,21 @@ def analyse_spectrum(options: Options, file: Optional[str] = None):
                     window["-dispersion-"].update(f"{d:.6f}")
                     options.dispersion = d
                     refresh(values)
+            elif event == "-dispersion-" and analyser is not None:
+                # manual dispersion entry (reference: '-dispersion-_Enter',
+                # spectralAnalyserUI.py:225-238 — must be positive)
+                try:
+                    d = float(values["-dispersion-"])
+                    if d <= 0:
+                        raise ValueError("dispersion must be positive")
+                    analyser.dispersion = d
+                    options.dispersion = round(d, 6)
+                    if values["-anchor-"]:
+                        refresh(values)
+                    else:
+                        sg.popup_ok("Choose an anchor first!")
+                except ValueError:
+                    sg.popup_ok("Invalid dispersion")
             elif event in ("-target-", "GOTO") and analyser is not None:
                 aw = anchor_wavelength(values)
                 if aw is None or analyser.dispersion is None:

@@ -331,3 +331,27 @@ def test_main_window_transversalium_visibility():
     vis = [kw["visible"] for (a, kw) in win["-trans_strength-"].updates
            if "visible" in kw]
     assert vis and vis[0] is False
+
+
+def test_analyser_window_manual_dispersion(analyser_scan):
+    """Manual dispersion entry (reference '-dispersion-_Enter',
+    spectralAnalyserUI.py:225-238): a positive value is adopted, zero or
+    garbage pops 'Invalid dispersion'."""
+    from solex_ser_recon_en_tpu.analyser.atlas import anchor_table
+    from solex_ser_recon_en_tpu.gui.analyser_window import analyse_spectrum
+
+    a_waves, a_names, anchors = anchor_table()
+    halpha = anchors[int(np.argmin(np.abs(np.asarray(a_waves) - 6562.808)))]
+    stub.script([
+        ("Start analysis", {"-FILE2-": analyser_scan}),
+        ("-dispersion-", {"-dispersion-": "0.0550", "-anchor-": halpha}),
+        ("GOTO", {"-ashift-": "6563.2"}),
+        ("-dispersion-", {"-dispersion-": "-1"}),
+        ("-dispersion-", {"-dispersion-": "garbage"}),
+        ("Exit", {}),
+    ])
+    opts = Options()
+    shift = analyse_spectrum(opts, analyser_scan)
+    assert opts.dispersion == 0.055
+    assert shift == int((6563.2 - 6562.808) / 0.055)
+    assert stub.POPUPS.count("Invalid dispersion") == 2
