@@ -155,3 +155,20 @@ def test_cli_profile_flag(tmp_path, monkeypatch):
     import os
 
     assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+
+
+def test_cli_profile_writes_trace(basic_scan, tmp_path):
+    """--profile wraps the run in a jax.profiler trace (SURVEY §5.1)."""
+    import os
+
+    import shutil
+
+    from solex_ser_recon_en_tpu.cli.main import main
+
+    scan = str(tmp_path / "p.ser")  # products land next to the scan
+    shutil.copy(basic_scan["path"], scan)
+    trace = tmp_path / "trace"
+    rc = main(["--profile=" + str(trace), "-c", "-w0", scan])
+    assert rc == 0
+    found = [f for _, _, fs in os.walk(trace) for f in fs]
+    assert found, "no profiler trace files written"
