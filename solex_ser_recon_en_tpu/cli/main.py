@@ -96,11 +96,24 @@ def handle_files(
             probe_transfer_rate()
     except OSError:
         pass
+    # GUI batches get the reference's progress meter (Solex_recon.py:34-44);
+    # headless/CLI runs and single files print instead
+    def progress(i: int, msg: str) -> None:
+        if flag_command_line or len(tasks) <= 1:
+            return
+        try:
+            import FreeSimpleGUI as sg
+
+            sg.one_line_progress_meter("Progress Bar", i, len(tasks), "", msg)
+        except Exception:
+            pass
+
     done = 0
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = []
-        for file, opts in tasks:
+        for i, (file, opts) in enumerate(tasks):
             print(f"file {file} is processing")
+            progress(i, "Reading file...")
             timer = StageTimer()
             try:
                 scan = read_scan(file, opts, timer)
@@ -117,6 +130,7 @@ def handle_files(
             except Exception:
                 print("ERROR ENCOUNTERED")
                 traceback.print_exc()
+    progress(len(tasks), "Done.")
     return done
 
 

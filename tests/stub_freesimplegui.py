@@ -160,3 +160,11 @@ class Window:
 
     def close(self):
         self.closed = True
+
+
+METER_CALLS = []
+
+
+def one_line_progress_meter(title, i, n, *args):
+    METER_CALLS.append((title, i, n, args))
+    return True

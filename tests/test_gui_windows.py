@@ -355,3 +355,27 @@ def test_analyser_window_manual_dispersion(analyser_scan):
     assert opts.dispersion == 0.055
     assert shift == int((6563.2 - 6562.808) / 0.055)
     assert stub.POPUPS.count("Invalid dispersion") == 2
+
+
+def test_batch_progress_meter(basic_scan, tmp_path, monkeypatch):
+    """GUI multi-file batches drive the reference's progress meter
+    (Solex_recon.py:34-44); CLI runs do not."""
+    import shutil
+
+    from solex_ser_recon_en_tpu.cli.main import handle_files
+
+    stub.METER_CALLS.clear()
+    f1 = str(tmp_path / "a.ser")
+    f2 = str(tmp_path / "b.ser")
+    shutil.copy(basic_scan["path"], f1)
+    shutil.copy(basic_scan["path"], f2)
+    opts = Options(shift=[0], clahe_only=True, _nolog=True,
+                   ratio_fixe=1.0, slant_fix=0.0,
+                   output_dir=str(tmp_path))
+    assert handle_files([f1, f2], opts) == 2
+    assert stub.METER_CALLS[0][1:3] == (0, 2)
+    assert stub.METER_CALLS[-1][1:3] == (2, 2)
+
+    stub.METER_CALLS.clear()
+    assert handle_files([f1], opts, flag_command_line=True) == 1
+    assert stub.METER_CALLS == []
