@@ -185,3 +185,35 @@ def test_sweep_batched_warp_matches_single(scan_file, tmp_path):
                                    clahe_only=True, output_dir=str(out_s)))
         b = read_image(os.path.join(str(out_s), f"scan_shift={s}_clahe.png"))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("seed,squash,shear", [
+    (21, 1.15, 0.0),
+    (22, 0.92, 0.04),
+    (23, 1.05, -0.06),
+    (24, 1.0, 0.08),
+])
+def test_geometry_recovery_fuzz(tmp_path, seed, squash, shear):
+    """The full fit chain recovers randomized injected squash/shear: the
+    fitted Y/X ratio tracks the injected squash within 5% across shapes
+    (reference contract: ellipse_to_circle.py:294-342)."""
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+    from solex_ser_recon_en_tpu.pipeline.run import process_file
+
+    p = str(tmp_path / f"g{seed}.ser")
+    SyntheticScan(
+        ih=256, iw=96, frames=220, depth=16,
+        line_poly=(48.0, 0.01, -1e-5, 0.0),
+        squash_y=squash, shear=shear, disk_radius=88.0,
+        noise=0.002, seed=seed,
+    ).write(p, transpose_to_wide=True)
+    opts = Options(shift=[0], clahe_only=True, _nolog=True,
+                   output_dir=str(tmp_path))
+    results = process_file(p, opts)
+    assert len(results) == 1
+    # the fit ran (ratio/slant adopted) and the Y/X ratio tracks the
+    # injected squash.  A sheared circle is itself an ellipse, so shear
+    # couples into the fitted axis ratio (e.g. pure shear 0.08 -> ~0.925);
+    # the ratio-recovery tolerance widens with |shear|
+    assert opts.slant_fix is not None
+    assert opts.ratio_fixe == pytest.approx(squash, rel=0.05 + abs(shear))
