@@ -177,7 +177,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
 
             band_mode = True
             r = vid._r
-            if feed == "host" and want_fused:
+            if feed in ("host", "band") and want_fused:
                 try:
                     x0p, x1p = provisional_spectral_band(r, shifts)
                     band_bytes = (
@@ -339,10 +339,31 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
 
             from ..io.feeder import pad_to_bucket
 
+            # serve the transfer source from the fused sweep's slab when it
+            # covers the final band — the per-chunk extracts then never
+            # touch the (possibly evicted) scan again
+            slab = None
+            if fused_band is not None and (
+                fused_band[1] <= x0 and x1 <= fused_band[2]
+            ):
+                b, bx0, _ = fused_band
+                if r.flag_rotate:
+                    slab = b[:, x0 - bx0 : x1 - bx0, :]
+                else:
+                    slab = b[:, :, x0 - bx0 : x1 - bx0]
+
             def band_chunks():
                 for start in range(0, r.frame_count, chunk_n):
                     n = min(chunk_n, r.frame_count - start)
-                    band = pad_to_bucket(extract_band(r, x0, x1, start, n), chunk_n)
+                    if slab is not None:
+                        band = pad_to_bucket(
+                            np.ascontiguousarray(slab[start : start + n]),
+                            chunk_n,
+                        )
+                    else:
+                        band = pad_to_bucket(
+                            extract_band(r, x0, x1, start, n), chunk_n
+                        )
                     yield start, jax.device_put(band, fshard)
 
             # double-buffered: a background thread extracts + stages chunk
@@ -351,6 +372,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 prefetch_iter(band_chunks()), lf.floor, lf.frac, shifts,
                 vid.iw, x0, r.flag_rotate, r.header.pixel_depth == 8,
             )[:, :, : vid.frame_count]
+            fused_band = None  # release the slab
         elif raw_proc is not None:
             if keep_resident:
                 disk_list = raw_proc.reconstruct(lf.floor, lf.frac, shifts)

@@ -85,3 +85,28 @@ def test_band_mode_8bit_and_tall(tmp_path, rng):
     np.testing.assert_array_equal(s_dev.mean_img, s_band.mean_img)
     d = np.abs(s_dev.disk_list.astype(int) - s_band.disk_list.astype(int))
     assert d.max() <= 1
+
+
+def test_band_feed_from_fused_slab(basic_scan, tmp_path, monkeypatch):
+    """feed='band' with the fused sweep's slab as the transfer source is
+    bit-identical to extracting per chunk from the memmap."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    def run(name, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        outdir = tmp_path / name
+        outdir.mkdir()
+        opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="band")
+        scan = read_scan(basic_scan["path"], opts)
+        for k in env:
+            monkeypatch.delenv(k)
+        return np.asarray(scan.disk_list)
+
+    d_slab = run("slab", {"SOLEX_FUSEDBAND": "1"})
+    d_mmap = run("mmap", {"SOLEX_NO_FUSEDBAND": "1"})
+    np.testing.assert_array_equal(d_slab, d_mmap)
