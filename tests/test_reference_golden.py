@@ -411,3 +411,28 @@ def test_reference_flood_threshold_agrees(ref_modules, ref_geometry, rng):
     # same binarisation threshold -> same blob, up to blur f32 rounding
     agree = (ref_flood > 0) == (ours > 0)
     assert agree.mean() > 0.999
+
+
+def test_reference_clahe_apply_tool_agrees(ref_modules, tmp_path, rng):
+    """The standalone CLAHE tool vs the reference's own clahe_apply
+    (clahe_apply.py:243-256), across tile sizes and the stretch path."""
+    import importlib
+
+    ref_clahe_apply = importlib.import_module("clahe_apply")
+    from solex_ser_recon_en_tpu.cli.clahe_tool import apply_clahe
+    from solex_ser_recon_en_tpu.io.png import write_png
+
+    img = (rng.random((96, 128)) * 60000).astype(np.uint16)
+    p = str(tmp_path / "in.png")
+    write_png(p, img)
+
+    for tile, stretch in ((2, False), (1, True), (4, True)):
+        opts = {"tile_size": tile, "lo": 5, "hi": 95, "sat": 80,
+                "do_stretch": stretch}
+        want = ref_clahe_apply.apply_clahe(p, dict(opts), write_file=False)
+        got = np.asarray(apply_clahe(p, dict(opts), write_file=False))
+        # the stretch runs in f32 on device vs the reference's f64 numpy:
+        # same 1-LSB tolerance the recon golden tests use
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.001
