@@ -168,3 +168,37 @@ def test_note_collapse_poisons_probe_cache():
         assert feeder.cached_probe_rate() == 5e6
     finally:
         feeder._PROBE_CACHE = saved
+
+
+def test_edge_spectral_line_clips_like_reference(tmp_path):
+    """A line sitting at the spectral-window edge: gather indices clip to
+    [0, iw-2] (solex_util.py:117-118) and the pipeline completes for
+    shifts that push outside the window."""
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    p = str(tmp_path / "edge.ser")
+    SyntheticScan(ih=128, iw=48, frames=80, depth=16,
+                  line_poly=(2.5, 0.01, 0.0, 0.0),  # near column 0
+                  noise=0.003, seed=5).write(p, transpose_to_wide=True)
+    opts = Options(shift=[-10, 0, 40], clahe_only=True, _nolog=True,
+                   ratio_fixe=1.0, slant_fix=0.0, output_dir=str(tmp_path))
+    results = process_file(p, opts)
+    assert sorted(s for s, _ in results) == [-10, 0, 40]
+    # clipped shifts degenerate to edge columns, never crash or wrap
+    for _, (cc, _) in results:
+        assert np.asarray(cc).shape[0] > 0
+
+
+def test_tiny_scan_few_frames(tmp_path):
+    """A handful of frames still produces products (the disk is a sliver;
+    the ellipse fit degrades, the backup-bounds path completes)."""
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    p = str(tmp_path / "tiny.ser")
+    SyntheticScan(ih=96, iw=48, frames=5, depth=16,
+                  line_poly=(24.0, 0.0, 0.0, 0.0),
+                  noise=0.003, seed=6).write(p, transpose_to_wide=True)
+    opts = Options(shift=[0], clahe_only=True, _nolog=True,
+                   output_dir=str(tmp_path))
+    results = process_file(p, opts)
+    assert len(results) == 1
