@@ -154,9 +154,8 @@ def cpu_baseline_clean_seconds(session_best: float = None):
             prev = json.load(f)["seconds"]
     except Exception:
         pass
-    best = min(x for x in (prev, session_best) if x is not None) if (
-        prev is not None or session_best is not None
-    ) else None
+    candidates = [x for x in (prev, session_best) if x is not None]
+    best = min(candidates) if candidates else None
     if best is not None and best != prev:
         try:
             with open(BASELINE_CACHE, "w") as f:

@@ -177,10 +177,10 @@ class FeedRateMonitor:
         # fast tier: an abysmal link (well under the host path's certainty
         # zone) should not be ridden for the full sample window — at
         # 10 MB/s the 192 MB window alone costs ~19 s
-        if self._bytes >= self._min_sample // 4:
-            self._check(self._min_rate / 4)
         if self._bytes >= self._min_sample:
             self._check(self._min_rate)
+        elif self._bytes >= self._min_sample // 4:
+            self._check(self._min_rate / 4)
 
     def _check(self, floor: float) -> None:
         dt = max(self._clock() - self._t0, 1e-9)

@@ -48,6 +48,16 @@ from .vignette import remove_vignette
 _SWEEP_BATCHED = True
 
 
+class _NoFeedMonitor:
+    """Inert FeedRateMonitor stand-in for sources with no host fallback."""
+
+    def note_chunk(self, chunk):
+        pass
+
+
+_NO_MONITOR = _NoFeedMonitor()
+
+
 @dataclass
 class ScanResult:
     """Everything solex_read produces (reference: Solex_recon.py:49-83)."""
@@ -200,17 +210,13 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             # can collapse mid-scan; the monitor bails the device pass early
             # and the except arm restarts it on the host path.  Only SER
             # sources have a host pass to restart on, so only they watch.
-            class _NoMonitor:
-                def note_chunk(self, chunk):
-                    pass
-
-            # the monitor counts actual raw chunk bytes, so its total must
+            # The monitor counts actual raw chunk bytes, so its total must
             # be raw file bytes too (total_bytes is normalized-u16
             # accounting — 2x the truth for 8-bit scans, which would
-            # inflate the remaining-work guard)
+            # inflate the remaining-work guard).
             monitor = (
                 FeedRateMonitor(vid._r.header.frame_bytes * vid.frame_count)
-                if isinstance(vid, _SerVideo) else _NoMonitor()
+                if isinstance(vid, _SerVideo) else _NO_MONITOR
             )
             try:
                 try:
