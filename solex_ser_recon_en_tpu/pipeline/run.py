@@ -358,6 +358,17 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 else:
                     slab = b[:, :, x0 - bx0 : x1 - bx0]
 
+            # the band transfer (~100 MB) rides the same link the probe
+            # rated: watch it too, with the host float64 recon as fallback
+            from ..io.feeder import FeedCollapse, FeedRateMonitor
+
+            band_total = band_frame_bytes * r.frame_count
+            band_monitor = FeedRateMonitor(
+                band_total,
+                min_sample_bytes=max(band_total // 4, 8 * 1024 * 1024),
+                min_remaining_bytes=max(band_total // 4, 8 * 1024 * 1024),
+            )
+
             def band_chunks():
                 for start in range(0, r.frame_count, chunk_n):
                     n = min(chunk_n, r.frame_count - start)
@@ -370,14 +381,27 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                         band = pad_to_bucket(
                             extract_band(r, x0, x1, start, n), chunk_n
                         )
-                    yield start, jax.device_put(band, fshard)
+                    dev = jax.device_put(band, fshard)
+                    band_monitor.note_chunk(dev)
+                    yield start, dev
 
-            # double-buffered: a background thread extracts + stages chunk
-            # k+1 while the device matmuls chunk k
-            disk_list = reconstruct_band(
-                prefetch_iter(band_chunks()), lf.floor, lf.frac, shifts,
-                vid.iw, x0, r.flag_rotate, r.header.pixel_depth == 8,
-            )[:, :, : vid.frame_count]
+            try:
+                # double-buffered: a background thread extracts + stages
+                # chunk k+1 while the device matmuls chunk k
+                disk_list = reconstruct_band(
+                    prefetch_iter(band_chunks()), lf.floor, lf.frac, shifts,
+                    vid.iw, x0, r.flag_rotate, r.header.pixel_depth == 8,
+                )[:, :, : vid.frame_count]
+            except FeedCollapse as e:
+                print(f"WARNING: band feed collapsed mid-scan ({e}); "
+                      "reconstructing on the host path")
+                log(f"Band feed collapsed mid-scan ({e}); host recon")
+                from ..io.feeder import note_collapse
+                from ..io.hostreduce import host_reconstruct
+
+                note_collapse(getattr(e, "rate", None))
+                disk_list = host_reconstruct(r, lf.floor, lf.frac, shifts)
+                disk_list = jax.device_put(disk_list)
             fused_band = None  # release the slab
         elif raw_proc is not None:
             if keep_resident:

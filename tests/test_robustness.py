@@ -202,3 +202,36 @@ def test_tiny_scan_few_frames(tmp_path):
                    output_dir=str(tmp_path))
     results = process_file(p, opts)
     assert len(results) == 1
+
+
+def test_band_feed_collapse_falls_back_to_host_recon(basic_scan, tmp_path,
+                                                     monkeypatch):
+    """A collapse during the band transfer aborts the device recon and the
+    host float64 recon produces the disks instead."""
+    import solex_ser_recon_en_tpu.io.feeder as feeder
+    from solex_ser_recon_en_tpu.io.feeder import FeedCollapse
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    def run(name):
+        outdir = tmp_path / name
+        outdir.mkdir()
+        opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="band",
+                       frame_chunk=16)
+        return np.asarray(read_scan(basic_scan["path"], opts).disk_list)
+
+    d_band = run("normal")
+
+    class Tripwire:
+        def __init__(self, total_bytes, **kw):
+            self.n = 0
+
+        def note_chunk(self, chunk):
+            self.n += 1
+            if self.n >= 2:
+                raise FeedCollapse("synthetic band collapse")
+
+    monkeypatch.setattr(feeder, "FeedRateMonitor", Tripwire)
+    d_fallback = run("collapsed")
+    diff = np.abs(d_band.astype(int) - d_fallback.astype(int))
+    assert diff.max() <= 1
