@@ -190,6 +190,13 @@ def input_ui(options: Options) -> Optional[List[str]]:
                     traceback.print_exc()
                     sg.popup_ok("ERROR: " + traceback.format_exc())
             if event == "OK":
+                # the ACTUAL tab decides the mode (reference tab_group.Get(),
+                # UI_handler.py:281) — a stale selected_mode loaded from
+                # config must not override what the window shows; the window
+                # always opens on the File tab (README.md:47)
+                options.selected_mode = (
+                    values.get("-tab_group-") or "File input mode"
+                )
                 # empty-input popups before interpretation (reference
                 # UI_handler.py:280-297), localized
                 if options.selected_mode == "File input mode" and str(

@@ -379,3 +379,19 @@ def test_batch_progress_meter(basic_scan, tmp_path, monkeypatch):
     stub.METER_CALLS.clear()
     assert handle_files([f1], opts, flag_command_line=True) == 1
     assert stub.METER_CALLS == []
+
+
+def test_ok_uses_actual_tab_not_stale_config_mode(basic_scan, tmp_path):
+    """A selected_mode='Folder input mode' loaded from config must not
+    override the tab the window actually shows — the window opens on the
+    File tab and OK reads the real tab (UI_handler.py:281, README.md:47)."""
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    opts = Options()
+    opts.selected_mode = "Folder input mode"  # stale config state
+    stub.script([
+        ("OK", {"-FILE-": basic_scan["path"], "_pixel_offset": "0"}),
+    ])
+    files = input_ui(opts)
+    assert files == [basic_scan["path"]]
+    assert opts.selected_mode == "File input mode"
