@@ -81,9 +81,8 @@ def _protus_disc(img: np.ndarray, x0: int, y0: int, r: int, value: int = 80) -> 
 import jax
 
 
-@jax.jit
-def _products_core(fj: jnp.ndarray):
-    """One fused device program: CLAHE + percentiles + the three stretches.
+def _products_body(fj: jnp.ndarray):
+    """CLAHE + percentiles + the three stretches (traced helper).
 
     reference math: solex_util.py:532-541.
     """
@@ -105,11 +104,38 @@ def _products_core(fj: jnp.ndarray):
     return cl1, cc, frame_hc, frame_protus
 
 
-def products_core_batched(stack):
-    """(K, H, W) uint16 stack -> the four product stacks in ONE vmapped
-    device program (Doppler sweeps share geometry, so per-shift percentile
+_products_core = jax.jit(_products_body)
+
+
+@jax.jit
+def _products_core_gained(fj: jnp.ndarray, gain: jnp.ndarray):
+    """Transversalium row-gain multiply fused INTO the product program.
+
+    One device dispatch instead of two (apply_row_gain + products) — the
+    relay's per-dispatch latency is a real cost on this host.  The gain
+    step is bit-identical to ops/rowstats.apply_row_gain (float32 multiply,
+    clip, uint16 cast — reference solex_util.py:489,515-516); the returned
+    ``detrans`` lets callers that persist the intermediate reuse this
+    program's output instead of re-dispatching.
+    """
+    out = fj.astype(jnp.float32) * gain.astype(jnp.float32)[:, None]
+    detrans = jnp.clip(out, 0, 65535).astype(jnp.uint16)
+    return (detrans,) + _products_body(detrans)
+
+
+def products_core_batched(stack, gains=None):
+    """(K, H, W) uint16 stack -> the product stacks in ONE vmapped device
+    program (Doppler sweeps share geometry, so per-shift percentile
     + CLAHE + stretches batch cleanly; reference runs them sequentially
-    per shift, Solex_recon.py:105-133)."""
+    per shift, Solex_recon.py:105-133).
+
+    With ``gains`` (K, H) the transversalium row multiply is fused in and
+    the return gains a leading ``detrans`` stack (see _products_core_gained).
+    """
+    if gains is not None:
+        return jax.vmap(_products_core_gained)(
+            jnp.asarray(stack), jnp.asarray(gains, dtype=jnp.float32)
+        )
     return jax.vmap(_products_core)(jnp.asarray(stack))
 
 
@@ -121,6 +147,7 @@ def image_process(
     basefich: str = "",
     save: bool = True,
     core_out=None,
+    gain: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """CLAHE + stretches + protus + rotation + product files.
 
@@ -128,7 +155,9 @@ def image_process(
     after rotation, both uint16.  ``core_out`` lets a Doppler-sweep caller
     pass precomputed (cl1, cc, hc, protus) from ONE vmapped device program
     over the whole shift stack (pipeline/run.py) instead of K sequential
-    programs.
+    programs.  ``gain`` (H,) fuses the transversalium row multiply into the
+    product program (single_image_process's fast path) — ``frame`` is then
+    the PRE-transversalium image.
     """
     # device-resident until a consumer (file write / disc paint / display)
     # actually needs host bytes — per-product downloads dominate on
@@ -142,9 +171,14 @@ def image_process(
         # see docs/PARITY.md.
         fj = jnp.clip(fj, 0, 65535)
     fj = fj.astype(jnp.uint16)
-    cl1, cc, frame_hc, frame_protus = (
-        core_out if core_out is not None else _products_core(fj)
-    )
+    if gain is not None and core_out is None:
+        fj, cl1, cc, frame_hc, frame_protus = _products_core_gained(
+            fj, jnp.asarray(gain, dtype=jnp.float32)
+        )
+    else:
+        cl1, cc, frame_hc, frame_protus = (
+            core_out if core_out is not None else _products_core(fj)
+        )
     frame_raw = fj
 
     # the protus product is only materialised (disc paint costs a host

@@ -503,17 +503,49 @@ def single_image_process(
         tr_circle, tr_borders = _transversalium_geometry(
             circle, borders, backup_bounds, frame.shape[1]
         )
+        show_plot = (
+            save
+            and not options.clahe_only
+            and not options.protus_only
+            and not options._nolog
+        )
+        # Fast path: nothing consumes the detransversaliumed intermediate
+        # (no fits write, no crop, no stubborn filter), so the row-gain
+        # multiply fuses into the product program — one device dispatch
+        # instead of two.  Bit-identical only for integer inputs (the float
+        # de-vignette path casts before vs after the multiply), so gate on
+        # dtype.
+        import jax.numpy as _jnp
+
+        fuse = (
+            not options.stubborn_transversalium
+            and not (save and options.save_fit)
+            and options.fixed_width is None
+            and not options.crop_width_square
+            and _jnp.issubdtype(frame.dtype, _jnp.integer)
+        )
+        if fuse:
+            from .transversalium import transversalium_gain
+
+            c, _, _, _ = transversalium_gain(
+                frame, tr_circle, tr_borders, options.trans_strength
+            )
+            if show_plot:
+                save_transversalium_plot(
+                    output_path(
+                        basefich + "_transversalium_correction.png", options
+                    ),
+                    c,
+                )
+            return image_process(
+                frame, circle, options, hdr, basefich, save=save, gain=c
+            )
         detrans, c = correct_transversalium(
             frame, tr_circle, tr_borders,
             trans_strength=options.trans_strength,
             stubborn=options.stubborn_transversalium,
         )
-        if (
-            save
-            and not options.clahe_only
-            and not options.protus_only
-            and not options._nolog
-        ):
+        if show_plot:
             save_transversalium_plot(
                 output_path(basefich + "_transversalium_correction.png", options), c
             )
@@ -743,15 +775,23 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
             )
 
     if options.transversalium:
-        from .transversalium import correct_transversalium_batched
+        from .transversalium import transversalium_gains_batched
 
         tr_circle, tr_borders = _transversalium_geometry(
             circle, borders, scan.backup_bounds, stack.shape[2]
         )
-        detrans, gains = correct_transversalium_batched(
+        gains = transversalium_gains_batched(
             stack, tr_circle, tr_borders,
             trans_strength=options.trans_strength,
         )
+    else:
+        gains = None
+
+    # with gains, the row multiply is fused into the product program and its
+    # detransversaliumed output comes back as the leading stack
+    cores = products_core_batched(stack, gains)
+    if gains is not None:
+        detrans, cores = cores[0], cores[1:]
         show_plots = (
             not options.clahe_only
             and not options.protus_only
@@ -773,8 +813,6 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
                 )
     else:
         detrans = stack
-
-    cores = products_core_batched(detrans)
     results = []
     for k, (s, basefich, _) in enumerate(pending):
         out = image_process(

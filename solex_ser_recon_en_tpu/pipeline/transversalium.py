@@ -185,20 +185,19 @@ def stubborn_filter(
     return np.minimum(out, 65535).astype(np.uint16)
 
 
-def correct_transversalium_batched(
+def transversalium_gains_batched(
     stack,
     circle,
     borders,
     trans_strength: int = 301,
-):
-    """Doppler-sweep transversalium: ONE device program for all K shifts.
+) -> np.ndarray:
+    """Per-shift row-gain vectors (K, H) for a Doppler sweep.
 
     All sweep shifts share the correction geometry (circle/borders — the
     reference fits once at i=0 and reuses it, Solex_recon.py:105-133), so
-    the per-image row statistics and the final row multiplies vmap cleanly;
-    only the tiny (H,)-vector savgol/cumsum stays a host loop.
-
-    Returns (stack_out (K,H,W) uint16 device array, gains (K,H) float64).
+    the per-image row statistics run as ONE vmapped device program; only
+    the tiny (H,)-vector savgol/cumsum stays a host loop.  The caller fuses
+    the row multiply into its own program (products.products_core_batched).
     """
     import jax
 
@@ -216,10 +215,26 @@ def correct_transversalium_batched(
     y1, y2 = _row_band(circle, borders)
     y1 = max(y1, 0)
     y2 = min(y2, h)
-    gains = np.stack([
+    return np.stack([
         _gain_from_mean_r(mean_r_all[k], y1, y2, h, trans_strength)[0]
         for k in range(K)
     ])
+
+
+def correct_transversalium_batched(
+    stack,
+    circle,
+    borders,
+    trans_strength: int = 301,
+):
+    """Doppler-sweep transversalium applied: returns
+    (stack_out (K,H,W) uint16 device array, gains (K,H) float64)."""
+    import jax
+
+    stack_j = jnp.asarray(stack)
+    gains = transversalium_gains_batched(
+        stack_j, circle, borders, trans_strength
+    )
     out = jax.vmap(apply_row_gain)(stack_j, jnp.asarray(gains, dtype=jnp.float32))
     return out, gains
 
