@@ -217,3 +217,22 @@ def test_geometry_recovery_fuzz(tmp_path, seed, squash, shear):
     # the ratio-recovery tolerance widens with |shear|
     assert opts.slant_fix is not None
     assert opts.ratio_fixe == pytest.approx(squash, rel=0.05 + abs(shear))
+
+
+def test_fused_gain_path_bit_identical(scan_file, tmp_path):
+    """The transversalium row-gain fused into the product program
+    (save_fit=False fast path) must produce the exact same CLAHE product
+    as the unfused apply-then-products path (save_fit=True forces it)."""
+    path, scan = scan_file
+    out_a = tmp_path / "fused"
+    out_b = tmp_path / "unfused"
+    out_a.mkdir()
+    out_b.mkdir()
+    res_a = process_file(path, Options(shift=[0], clahe_only=True,
+                                       output_dir=str(out_a)))
+    res_b = process_file(path, Options(shift=[0], clahe_only=True,
+                                       save_fit=True, output_dir=str(out_b)))
+    assert len(res_a) == len(res_b) == 1
+    a = read_image(str(out_a / "scan_shift=0_clahe.png"))
+    b = read_image(str(out_b / "scan_shift=0_clahe.png"))
+    np.testing.assert_array_equal(a, b)
