@@ -18,9 +18,11 @@ import numpy as np
 
 
 @jax.jit
-def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
-    """frames (F, ih, iw) u16, ind_l (S, ih) i32, left_w (ih,) f32
-    -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F))."""
+def shg_forward_xla(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
+    """Pure-XLA step: separate reductions + one-hot MXU recon.
+
+    HBM-bound (the recon materialises an f32 slab for the matmul) but
+    shift-count independent — the fastest path for large Doppler sweeps."""
     from ..ops.recon import _recon_onehot
 
     s = jnp.sum(frames.astype(jnp.int32), axis=0)
@@ -28,6 +30,23 @@ def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
     mx = jnp.max(frames, axis=0)
     disks = _recon_onehot(frames, ind_l, left_w, iw=frames.shape[2])
     return mean, mx, disks
+
+
+def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
+    """frames (F, ih, iw) u16, ind_l (S, ih) i32, left_w (ih,) f32
+    -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F)).
+
+    Kernel selection (measured on v5e, 2000x2048x300 slab, honest
+    host-checksum sync): the fused single-HBM-pass Pallas kernel
+    (ops/fused_pallas.py) wins for small shift sets (26.2 vs 31.4 ms at
+    S=2) but its VPU mask-reduce scales with S while the XLA one-hot
+    matmul is HBM-bound and S-independent (35.0 vs 31.9 ms at S=7) —
+    crossover around S=5."""
+    if jax.default_backend() == "tpu" and ind_l.shape[0] <= 4:
+        from ..ops.fused_pallas import shg_fused_pallas
+
+        return shg_fused_pallas(frames, ind_l, left_w)
+    return shg_forward_xla(frames, ind_l, left_w)
 
 
 def example_inputs(

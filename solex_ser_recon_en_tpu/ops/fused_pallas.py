@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fused single-pass mean + max + multi-shift recon.
+
+The device-resident pipeline step (models/shg.py:shg_forward) is
+HBM-bandwidth bound: XLA runs the mean/max reductions and the one-hot
+matmul reconstruction as separate passes over the frame slab, and the
+matmul path additionally materialises a float32 copy of the whole slab
+for the MXU — ~4-7x the slab's bytes in HBM traffic.
+
+This kernel reads each frame tile from HBM exactly ONCE and computes all
+three results from the VMEM-resident tile:
+
+    grid (ny, nf), f fastest:
+      frames_ref (FB, YB, iw) u16   one HBM read per tile
+      sum_ref    (YB, iw) i32       revisited across f steps (accumulator)
+      max_ref    (YB, iw) i32       revisited across f steps
+      disks_ref  (S, FB, YB) u16    disjoint per (f, y) tile
+
+Per-shift extraction uses an iota-compare mask + lane reduction on the
+VPU (two non-zero columns per row — reference hot loop semantics,
+solex_util.py:113-134); the (S, YB) index block is tiny and VMEM-resident.
+Accumulators are int32: 65535 * F_max(32767) < 2^31.
+
+Numerics match ops/reduce (int sums) and ops/recon (f32 lerp, clip, u16
+cast) exactly: the masked lane-reduce only adds exact +0.0 terms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .recon import build_shift_indices
+
+
+def _kernel(frames_ref, ind_ref, w_ref, sum_ref, max_ref, disks_ref,
+            comb_ref):
+    f_step = pl.program_id(1)
+    fi = frames_ref[:].astype(jnp.int32)          # (FB, YB, iw)
+    tile_sum = jnp.sum(fi, axis=0)                # (YB, iw)
+    tile_max = jnp.max(fi, axis=0)
+
+    @pl.when(f_step == 0)
+    def _():
+        sum_ref[:] = tile_sum
+        max_ref[:] = tile_max
+        # weighted shift masks depend only on the y tile: build once per
+        # y sweep, reuse across all frame steps from VMEM scratch.
+        # One mask per shift — w at the left column, 1-w at the right —
+        # so extraction is a single multiply+lane-reduce per shift.
+        yb, iw = tile_sum.shape
+        S = ind_ref.shape[0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (yb, iw), 1)
+        w = w_ref[0, :][:, None]                  # (YB, 1)
+        for s in range(S):
+            idx = ind_ref[s, :][:, None]          # (YB, 1)
+            comb_ref[s, :, :] = jnp.where(cols == idx, w, 0.0) + jnp.where(
+                cols == idx + 1, 1.0 - w, 0.0
+            )
+
+    @pl.when(f_step != 0)
+    def _():
+        sum_ref[:] = sum_ref[:] + tile_sum
+        max_ref[:] = jnp.maximum(max_ref[:], tile_max)
+
+    ff = fi.astype(jnp.float32)
+    S = ind_ref.shape[0]
+    for s in range(S):
+        val = jnp.sum(ff * comb_ref[s, :, :][None, :, :], axis=2)  # (FB, YB)
+        disks_ref[s, :, :] = (
+            jnp.clip(val, 0, 65535).astype(jnp.int32).astype(jnp.uint16)
+        )
+
+
+@partial(jax.jit, static_argnames=("fb", "yb"))
+def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
+    F, ih, iw = frames.shape
+    S = ind_l.shape[0]
+    nf = pl.cdiv(F, fb)
+    ny = pl.cdiv(ih, yb)
+    pad_f = nf * fb - F
+    pad_y = ny * yb - ih
+    if pad_f or pad_y:
+        # zero padding is invisible: padded frames only add exact zeros to
+        # the sum, cannot win the max (data is unsigned), and their disk
+        # columns are sliced off below; padded rows are sliced off whole
+        frames = jnp.pad(frames, ((0, pad_f), (0, pad_y), (0, 0)))
+        ind_l = jnp.pad(ind_l, ((0, 0), (0, pad_y)))
+        left_w2 = jnp.pad(left_w2, ((0, 0), (0, pad_y)))
+    sum_i32, max_i32, disks = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ny * yb, iw), jnp.int32),
+            jax.ShapeDtypeStruct((ny * yb, iw), jnp.int32),
+            jax.ShapeDtypeStruct((S, nf * fb, ny * yb), jnp.uint16),
+        ),
+        grid=(ny, nf),
+        interpret=jax.default_backend() != "tpu",  # CPU tests interpret
+        in_specs=[
+            pl.BlockSpec((fb, yb, iw), lambda y, f: (f, y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, yb), lambda y, f: (0, y),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, yb), lambda y, f: (0, y),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((yb, iw), lambda y, f: (y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, iw), lambda y, f: (y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, fb, yb), lambda y, f: (0, f, y),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((S, yb, iw), jnp.float32)],
+    )(frames, ind_l, left_w2)
+    mean = (sum_i32[:ih] // F).astype(jnp.uint16)
+    mx = max_i32[:ih].astype(jnp.uint16)
+    disks = jnp.transpose(disks, (0, 2, 1))[:, :ih, :F]
+    return mean, mx, disks
+
+
+def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128):
+    """Fused mean/max/recon step; same contract as models.shg.shg_forward.
+
+    frames (F, ih, iw) u16, ind_l (S, ih) i32, left_w (ih,) f32
+    -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F)).
+    """
+    ih = frames.shape[1]
+    yb = min(yb, ((ih + 15) // 16) * 16)  # u16 sublane tile is 16
+    return _shg_fused(
+        jnp.asarray(frames),
+        jnp.asarray(ind_l),
+        jnp.asarray(np.asarray(left_w, dtype=np.float32))[None, :],
+        fb,
+        yb,
+    )
+
+
+def shg_fused_from_fit(frames, fit_floor, fit_frac, shifts,
+                       fb: int = 16, yb: int = 128):
+    """Convenience wrapper taking the spectral-line fit directly."""
+    iw = frames.shape[2]
+    ind_l, left_w = build_shift_indices(fit_floor, fit_frac, shifts, iw)
+    return shg_fused_pallas(frames, ind_l, left_w, fb=fb, yb=yb)

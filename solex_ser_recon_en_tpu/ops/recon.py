@@ -117,8 +117,11 @@ def reconstruct(
     left_w = jnp.asarray(left_w)
     frames = jnp.asarray(frames)
     if kernel == "auto":
-        # measured on v5e (2000x2048x300, S=3): onehot 19.5 ms, pallas
-        # 27.4 ms, gather 27.1 ms — the MXU one-hot matmul wins
+        # onehot is the fastest recon-only kernel on TPU (HBM-bound,
+        # S-independent).  When mean/max are needed too, the fused
+        # single-pass Pallas step (ops/fused_pallas.py, selected by
+        # models.shg.shg_forward) beats running this after a separate
+        # reduction for S <= 4.
         kernel = "onehot" if jax.default_backend() == "tpu" else "gather"
     if kernel == "gather":
         return _recon_gather(frames, ind_l, left_w, out_u16=out_u16)
