@@ -131,11 +131,16 @@ def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128):
     -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F)).
     """
     ih = frames.shape[1]
-    yb = min(yb, ((ih + 15) // 16) * 16)  # u16 sublane tile is 16
+    # Mosaic lane rule: every block's lane dim must be divisible by 128 or
+    # equal the (padded) array dim — yb is the lane dim of the index/weight
+    # blocks, so it must be a multiple of 128 or cover all rows in one
+    # block (u16 sublane tile is 16).
+    if ih <= yb or (jax.default_backend() == "tpu" and yb % 128):
+        yb = ((ih + 15) // 16) * 16
     return _shg_fused(
         jnp.asarray(frames),
         jnp.asarray(ind_l),
-        jnp.asarray(np.asarray(left_w, dtype=np.float32))[None, :],
+        jnp.asarray(left_w).astype(jnp.float32)[None, :],
         fb,
         yb,
     )
