@@ -196,7 +196,12 @@ def device_only_fps() -> float:
         if time.monotonic() - t_up > 45 and loaded >= 256:
             break
     n = loaded
-    frames = jnp.concatenate(parts, axis=0)
+    if n < min(r.frame_count, 2000):
+        # congestion-truncated upload: bucket the frame count so repeat
+        # runs hit one of a few cached XLA/Pallas program shapes instead
+        # of paying a fresh relay compile per arbitrary length
+        n = max(256, (n // 256) * 256)
+    frames = jnp.concatenate(parts, axis=0)[:n]
     frames = normalize_frames(frames, r.flag_rotate, r.header.pixel_depth == 8)
     frames.block_until_ready()
     curve = r.iw / 2 + 0.001 * np.arange(r.ih)
