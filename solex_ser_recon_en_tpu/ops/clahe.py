@@ -24,13 +24,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
-def _tile_histograms(tiles: jax.Array, hist_size: int) -> jax.Array:
+def _tile_histograms_sort(tiles: jax.Array, hist_size: int) -> jax.Array:
     """tiles (T, n) int32 values -> (T, hist_size) int32 counts.
 
     Sort + searchsorted instead of scatter-add: TPU has no fast scatter,
-    but sorts and vectorised binary searches map well onto the VPU.
+    but sorts and vectorised binary searches map onto the VPU.
     cumcount[v] = #vals <= v, hist = diff(cumcount).
     """
 
@@ -41,6 +43,90 @@ def _tile_histograms(tiles: jax.Array, hist_size: int) -> jax.Array:
         return jnp.diff(cum, prepend=0).astype(jnp.int32)
 
     return jax.vmap(one)(tiles)
+
+
+_HIST_CHUNK = 4096
+
+
+def _make_hist_kernel(nc: int):
+    def _hist_kernel(tiles_ref, out_ref):
+        """One chunk of values -> accumulate the (256, 256) 2-level histogram.
+
+        hist[hi, lo] = #values with value>>8 == hi and value&255 == lo: the
+        outer product of the two byte one-hots, i.e. ONE MXU contraction
+        A^T B with A = onehot(hi), B = onehot(lo) — no scatter, no sort.
+        bf16 operands are exact for 0/1 and f32 accumulation is exact below
+        2^24 counts.  Padding slots hold -1: -1>>8 == -1 matches no bin.
+        """
+        i = pl.program_id(0)
+        vals = tiles_ref[0]                     # (8, CH/8)
+        L = vals.shape[1]
+        bins = jax.lax.broadcasted_iota(jnp.int32, (L, 256), 1)
+        acc = jnp.zeros((256, 256), jnp.float32)
+        for r in range(vals.shape[0]):          # Mosaic: 1 contracting dim
+            row = vals[r, :][:, None]           # (L, 1)
+            A = (jnp.right_shift(row, 8) == bins).astype(jnp.bfloat16)
+            B = (jnp.bitwise_and(row, 255) == bins).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                A, B,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                   # (256, 256)
+
+        @pl.when(i % nc == 0)
+        def _():
+            out_ref[0] = acc
+
+        @pl.when(i % nc != 0)
+        def _():
+            out_ref[0] = out_ref[0] + acc
+
+    return _hist_kernel
+
+
+def _tile_histograms_mxu(tiles: jax.Array, hist_size: int) -> jax.Array:
+    """Exact u16 histograms via the two-level one-hot MXU matmul (Pallas).
+
+    Replaces the per-tile sort on v5e for CLAHE-sized tiles; counts are
+    exact while tile_area < 2^24 (f32 integer range) — callers gate on
+    that.  hist_size 256 works through the same kernel (hi byte is always
+    0, row 0 of the 2-level table holds the whole histogram).
+    """
+    T, n = tiles.shape
+    ch = _HIST_CHUNK
+    nc = pl.cdiv(n, ch)
+    if nc * ch != n:
+        tiles = jnp.pad(tiles, ((0, 0), (0, nc * ch - n)), constant_values=-1)
+    # (T*nc, 8, ch/8): sublane/lane dims satisfy the Mosaic (8, 128k) tile
+    # rule; grid walks chunks consecutively within each tile so the output
+    # block (index t = i // nc) accumulates in VMEM
+    chunks = tiles.reshape(T * nc, 8, ch // 8)
+    out = pl.pallas_call(
+        _make_hist_kernel(nc),
+        out_shape=jax.ShapeDtypeStruct((T, 256, 256), jnp.float32),
+        grid=(T * nc,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, 8, ch // 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 256, 256), lambda i: (i // nc, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(chunks)
+    flat = out.reshape(T, 65536).astype(jnp.int32)
+    return flat[:, :hist_size]
+
+
+def _tile_histograms(tiles: jax.Array, hist_size: int) -> jax.Array:
+    if (
+        jax.default_backend() == "tpu"
+        and hist_size in (256, 65536)
+        and tiles.shape[1] < (1 << 24)
+    ):
+        return _tile_histograms_mxu(tiles, hist_size)
+    return _tile_histograms_sort(tiles, hist_size)
 
 
 def _clip_redistribute(hist: jax.Array, clip: jax.Array, hist_size: int) -> jax.Array:

@@ -43,3 +43,21 @@ def test_clahe_nondivisible_size(rng):
 def test_clahe_rejects_bad_dtype():
     with pytest.raises(TypeError):
         clahe(np.zeros((8, 8), dtype=np.float32))
+
+
+def test_mxu_histogram_exact(rng):
+    """The two-level one-hot MXU histogram (Pallas) is count-exact vs the
+    sort-based path, including padding slots and both hist sizes."""
+    import jax.numpy as jnp
+
+    from solex_ser_recon_en_tpu.ops.clahe import (
+        _tile_histograms_mxu,
+        _tile_histograms_sort,
+    )
+
+    for hist_size, hi in ((65536, 65536), (256, 256)):
+        tiles = rng.integers(0, hi, (3, 5000), dtype=np.int64).astype(np.int32)
+        a = np.asarray(_tile_histograms_mxu(jnp.asarray(tiles), hist_size))
+        b = np.asarray(_tile_histograms_sort(jnp.asarray(tiles), hist_size))
+        np.testing.assert_array_equal(a, b)
+        assert a.sum(axis=1).tolist() == [5000, 5000, 5000]
