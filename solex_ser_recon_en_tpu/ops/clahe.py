@@ -142,8 +142,49 @@ def _clip_redistribute(hist: jax.Array, clip: jax.Array, hist_size: int) -> jax.
     return h + bonus.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "hist_size", "clip_limit"))
-def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int, hist_size: int):
+def percentile_from_hist(hist: jax.Array, n: int, q_pct: float) -> jax.Array:
+    """jnp.percentile(values.astype(f32), q_pct), computed from the exact
+    value histogram instead of a sort.
+
+    Valid because the values are integer bin indices (u8/u16 images cast
+    to f32 exactly): the k-th order statistic is the smallest bin whose
+    cumulative count reaches k+1.  The q->index arithmetic mirrors
+    jax._src.numpy.reductions._quantile (method='linear') operation for
+    operation in float32; the order statistics are exact, and the final
+    lerp agrees with jnp.percentile to a few ULP (this path's fused
+    mul+add is often exactly rounded while jnp's separate f32 products
+    each round — tests/test_clahe.py asserts ≤8 ULP agreement; the
+    product stage's stretch scales are insensitive at that magnitude).
+    """
+    # mirror jnp.percentile exactly: true_divide on the raw python float
+    # keeps numpy's weak-type folding (f32(33.3)/f32(100) differs from it
+    # in the last bits)
+    q = jnp.true_divide(q_pct, 100)
+    nf = jnp.float32(n)
+    qn = q * (nf - 1)
+    low = jnp.clip(jnp.floor(qn), 0, nf - 1)
+    high = jnp.clip(jnp.ceil(qn), 0, nf - 1)
+    high_w = qn - jnp.floor(qn)
+    low_w = 1.0 - high_w
+    cum = jnp.cumsum(hist.astype(jnp.int64 if n >= (1 << 31) else jnp.int32))
+    k = jnp.stack([low, high]).astype(cum.dtype) + 1
+    s = jnp.searchsorted(cum, k, side="left").astype(jnp.float32)
+    return s[0] * low_w + s[1] * high_w
+
+
+def value_histogram(img: jax.Array, hist_size: int) -> jax.Array:
+    """Exact (hist_size,) histogram of a full u8/u16 image (one tile)."""
+    flat = img.astype(jnp.int32).reshape(1, -1)
+    return _tile_histograms(flat, hist_size)[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "hist_size", "clip_limit",
+                     "return_full_hist"),
+)
+def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int,
+           hist_size: int, return_full_hist: bool = False):
     h, w = img.shape
     pad_r = (-w) % tiles_x
     pad_b = (-h) % tiles_y
@@ -161,6 +202,12 @@ def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int, hist_s
         .reshape(tiles_y * tiles_x, tile_area)
     )
     hist = _tile_histograms(tiles, hist_size)
+    # unpadded grids: the exact full-image histogram is the tile sum, free
+    # for callers that also need image percentiles (pipeline/products.py);
+    # reflect padding would double-count edge pixels, so None then
+    full_hist = (
+        jnp.sum(hist, axis=0) if (pad_r == 0 and pad_b == 0) else None
+    ) if return_full_hist else None
     if clip > 0:
         hist = _clip_redistribute(hist, jnp.int32(clip), hist_size)
     cdf = jnp.cumsum(hist, axis=-1)
@@ -197,7 +244,10 @@ def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int, hist_s
         + tile_lookup(ty2, tx1) * wx1 * (1 - wy1)
         + tile_lookup(ty2, tx2) * (1 - wx1) * (1 - wy1)
     )
-    return jnp.clip(jnp.round(res), 0, hist_size - 1)
+    out = jnp.clip(jnp.round(res), 0, hist_size - 1)
+    if return_full_hist:
+        return out, full_hist
+    return out
 
 
 def clahe(img, clip_limit: float = 0.8, tiles=(2, 2)) -> jax.Array:

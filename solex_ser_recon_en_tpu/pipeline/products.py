@@ -84,14 +84,22 @@ import jax
 def _products_body(fj: jnp.ndarray):
     """CLAHE + percentiles + the three stretches (traced helper).
 
-    reference math: solex_util.py:532-541.
+    reference math: solex_util.py:532-541.  The percentiles come from
+    exact value histograms (bit-identical to jnp.percentile for integer
+    images — ops/clahe.py:percentile_from_hist) instead of full sorts;
+    the input image's histogram falls out of CLAHE's tile histograms for
+    free on unpadded grids.
     """
-    from ..ops.clahe import _clahe
+    from ..ops.clahe import _clahe, percentile_from_hist, value_histogram
 
-    cl1 = _clahe(fj, 0.8, 2, 2, 65536).astype(jnp.uint16)
-    f32 = fj.astype(jnp.float32).ravel()
-    bright = jnp.maximum(jnp.percentile(f32, 99.9999), 1.0)
-    dark_clahe = jnp.percentile(cl1.astype(jnp.float32).ravel(), 10.0)
+    cl1, img_hist = _clahe(fj, 0.8, 2, 2, 65536, return_full_hist=True)
+    cl1 = cl1.astype(jnp.uint16)
+    if img_hist is None:  # odd-sized image: reflect padding taints the sum
+        img_hist = value_histogram(fj, 65536)
+    bright = jnp.maximum(
+        percentile_from_hist(img_hist, fj.size, 99.9999), 1.0
+    )
+    dark_clahe = percentile_from_hist(value_histogram(cl1, 65536), cl1.size, 10.0)
     bright_clahe = jnp.maximum(jnp.max(cl1).astype(jnp.float32), dark_clahe + 1.0)
 
     def stretch(img, lo, hi):

@@ -61,3 +61,26 @@ def test_mxu_histogram_exact(rng):
         b = np.asarray(_tile_histograms_sort(jnp.asarray(tiles), hist_size))
         np.testing.assert_array_equal(a, b)
         assert a.sum(axis=1).tolist() == [5000, 5000, 5000]
+
+
+def test_percentile_from_hist(rng):
+    """percentile_from_hist matches jnp.percentile for integer images to
+    a few ULP of the final lerp (the order statistics are exact; the two
+    paths round the mul+add chain differently) across sizes, values, and
+    the q values the product stage uses."""
+    import jax.numpy as jnp
+
+    from solex_ser_recon_en_tpu.ops.clahe import (
+        percentile_from_hist,
+        value_histogram,
+    )
+
+    for n, hi in ((4096, 65536), (4355400, 65536), (999, 256), (37, 65536)):
+        vals = rng.integers(0, hi, n, dtype=np.int64).astype(np.uint16)
+        img = jnp.asarray(vals.reshape(1, -1))
+        hist = value_histogram(img, 65536)
+        for q in (99.9999, 10.0, 0.0, 100.0, 50.0, 33.3):
+            ref = float(jnp.percentile(img.astype(jnp.float32).ravel(), q))
+            got = float(percentile_from_hist(hist, n, q))
+            ulp = float(np.spacing(np.float32(max(abs(ref), 1.0))))
+            assert abs(ref - got) <= 8 * ulp, (n, q, ref, got, ulp)
