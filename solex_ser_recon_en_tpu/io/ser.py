@@ -113,6 +113,16 @@ class SerReader:
         # truncated captures are common; the reference would read garbage).
         payload = os.path.getsize(path) - HEADER_SIZE
         self.frame_count = int(min(h.frame_count, payload // h.frame_bytes))
+        if self.frame_count <= 0:
+            # a corrupt header (absurd dims swallow the payload) or an
+            # empty capture; failing here lets the per-file precheck skip
+            # it cleanly (reference: SHG_MAIN.py:104-129 semantics) instead
+            # of a divide-by-zero deep in the pipeline
+            raise ValueError(
+                f"SER file holds no complete frame "
+                f"({h.width}x{h.height}x{h.pixel_depth}bit, "
+                f"payload {max(payload, 0)} bytes)"
+            )
         self.flag_rotate = h.width > h.height
         self.ih = int(max(h.width, h.height))
         self.iw = int(min(h.width, h.height))

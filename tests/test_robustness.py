@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from solex_ser_recon_en_tpu.config import Options
 from solex_ser_recon_en_tpu.io.ser import write_ser
@@ -235,3 +236,58 @@ def test_band_feed_collapse_falls_back_to_host_recon(basic_scan, tmp_path,
     d_fallback = run("collapsed")
     diff = np.abs(d_band.astype(int) - d_fallback.astype(int))
     assert diff.max() <= 1
+
+
+def test_malformed_ser_rejected_cleanly(tmp_path):
+    """Corrupt headers fail at open with a clear ValueError (so the
+    folder/batch precheck skips the file) rather than crashing deep in
+    the pipeline.  reference: SHG_MAIN.py:104-129 per-file validation."""
+    import struct
+
+    from solex_ser_recon_en_tpu.io.ser import SerReader
+
+    def mkhdr(width, height, depth, count):
+        h = bytearray(178)
+        h[0:14] = b"LUCAM-RECORDER"
+        struct.pack_into("<I", h, 26, width)
+        struct.pack_into("<I", h, 30, height)
+        struct.pack_into("<I", h, 34, depth)
+        struct.pack_into("<I", h, 38, count)
+        return bytes(h)
+
+    cases = {
+        "garbage.ser": np.random.default_rng(0).integers(
+            0, 256, 400, dtype=np.uint8
+        ).tobytes(),
+        "huge_dims.ser": mkhdr(10**9, 10**9, 16, 100),
+        "zero_frames.ser": mkhdr(64, 32, 16, 0),
+        "empty.ser": b"",
+    }
+    for name, data in cases.items():
+        p = tmp_path / name
+        p.write_bytes(data)
+        with pytest.raises(ValueError):
+            SerReader(str(p))
+
+
+def test_eight_bit_ser_end_to_end(tmp_path):
+    """An 8-bit SER runs the whole pipeline (x256 upscale path,
+    video_reader.py:121-122) and yields a sane CLAHE product."""
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.io import read_image
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+    from solex_ser_recon_en_tpu.pipeline.run import process_file
+
+    path = str(tmp_path / "eight.ser")
+    SyntheticScan(
+        ih=128, iw=48, frames=100, depth=8,
+        line_poly=(24.0, 0.01, -1e-5, 0.0), noise=0.002, seed=5,
+    ).write(path, transpose_to_wide=True)
+    results = process_file(
+        path, Options(shift=[0], clahe_only=True, output_dir=str(tmp_path))
+    )
+    assert len(results) == 1
+    img = read_image(str(tmp_path / "eight_shift=0_clahe.png"))
+    assert img.shape[0] == 128  # warp adjusts width to the fitted geometry
+    assert img.dtype == np.uint16
+    assert img.max() > 1000  # upscale + stretch reached 16-bit range
