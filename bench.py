@@ -208,16 +208,14 @@ def device_only_fps() -> float:
     floor = np.floor(curve).astype(np.int64)
     ind_l, left_w = build_shift_indices(floor, curve - floor, [10, 0], r.iw)
     ind_l, left_w = jax.device_put(ind_l), jax.device_put(left_w)
-    import jax.numpy as _jnp
-
     # On the relay backend block_until_ready can acknowledge at dispatch,
     # not completion (observed: 2.4 GB reductions "completing" in 0.03 ms).
     # A host read of a value data-dependent on every rep cannot lie, so
     # chain each rep's outputs into one scalar and pull it.
     def checksum(out):
         return (
-            _jnp.sum(out[2].astype(_jnp.uint32))
-            + _jnp.sum(out[0].astype(_jnp.uint32))
+            jnp.sum(out[2].astype(jnp.uint32))
+            + jnp.sum(out[0].astype(jnp.uint32))
         )
 
     float(checksum(shg_forward(frames, ind_l, left_w)))  # compile + warm

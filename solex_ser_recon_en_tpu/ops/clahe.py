@@ -166,7 +166,10 @@ def percentile_from_hist(hist: jax.Array, n: int, q_pct: float) -> jax.Array:
     high = jnp.clip(jnp.ceil(qn), 0, nf - 1)
     high_w = qn - jnp.floor(qn)
     low_w = 1.0 - high_w
-    cum = jnp.cumsum(hist.astype(jnp.int64 if n >= (1 << 31) else jnp.int32))
+    if n >= (1 << 31):  # int32 cumsum would wrap (and x64 is disabled,
+        # so an int64 "upgrade" would silently truncate — refuse instead)
+        raise ValueError(f"percentile_from_hist: n={n} exceeds int32 counts")
+    cum = jnp.cumsum(hist.astype(jnp.int32))
     k = jnp.stack([low, high]).astype(cum.dtype) + 1
     s = jnp.searchsorted(cum, k, side="left").astype(jnp.float32)
     return s[0] * low_w + s[1] * high_w

@@ -515,14 +515,12 @@ def single_image_process(
         # instead of two.  Bit-identical only for integer inputs (the float
         # de-vignette path casts before vs after the multiply), so gate on
         # dtype.
-        import jax.numpy as _jnp
-
         fuse = (
             not options.stubborn_transversalium
             and not (save and options.save_fit)
             and options.fixed_width is None
             and not options.crop_width_square
-            and _jnp.issubdtype(frame.dtype, _jnp.integer)
+            and np.issubdtype(frame.dtype, np.integer)
         )
         if fuse:
             from .transversalium import transversalium_gain
@@ -530,24 +528,19 @@ def single_image_process(
             c, _, _, _ = transversalium_gain(
                 frame, tr_circle, tr_borders, options.trans_strength
             )
-            if show_plot:
-                save_transversalium_plot(
-                    output_path(
-                        basefich + "_transversalium_correction.png", options
-                    ),
-                    c,
-                )
-            return image_process(
-                frame, circle, options, hdr, basefich, save=save, gain=c
+        else:
+            detrans, c = correct_transversalium(
+                frame, tr_circle, tr_borders,
+                trans_strength=options.trans_strength,
+                stubborn=options.stubborn_transversalium,
             )
-        detrans, c = correct_transversalium(
-            frame, tr_circle, tr_borders,
-            trans_strength=options.trans_strength,
-            stubborn=options.stubborn_transversalium,
-        )
         if show_plot:
             save_transversalium_plot(
                 output_path(basefich + "_transversalium_correction.png", options), c
+            )
+        if fuse:
+            return image_process(
+                frame, circle, options, hdr, basefich, save=save, gain=c
             )
     else:
         detrans = frame
