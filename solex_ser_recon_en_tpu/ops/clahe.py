@@ -217,7 +217,6 @@ def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int,
     luts = jnp.clip(
         jnp.round(cdf.astype(jnp.float32) * lut_scale), 0, hist_size - 1
     ).astype(jnp.int32)  # (T, hist_size)
-    luts_flat = luts.reshape(-1)
 
     # bilinear interpolation of tile LUTs over the ORIGINAL grid
     x = jnp.arange(w, dtype=jnp.float32)
@@ -235,9 +234,19 @@ def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int,
 
     v = img.astype(jnp.int32)
 
+    # ONE per-pixel gather fetches every tile's LUT value for v (a
+    # (hist_size, T) packed row), then the four bilinear taps become cheap
+    # per-pixel selects — gathers are the expensive op on TPU, selects are
+    # VPU noise.  Values and weight arithmetic are unchanged (bit-exact).
+    T = tiles_y * tiles_x
+    G = luts.T[v]                                # (h, w, T)
+
     def tile_lookup(ty, tx):
-        base = (ty[:, None] * tiles_x + tx[None, :]) * hist_size
-        return luts_flat[base + v].astype(jnp.float32)
+        slot = ty[:, None] * tiles_x + tx[None, :]        # (h, w)
+        out = jnp.zeros(v.shape, jnp.int32)
+        for t in range(T):
+            out = jnp.where(slot == t, G[..., t], out)
+        return out.astype(jnp.float32)
 
     wx1 = (1.0 - xa)[None, :]
     wy1 = (1.0 - ya)[:, None]
