@@ -149,13 +149,16 @@ def percentile_from_hist(hist: jax.Array, n: int, q_pct: float) -> jax.Array:
     Valid because the values are integer bin indices (u8/u16 images cast
     to f32 exactly): the k-th order statistic is the smallest bin whose
     cumulative count reaches k+1.  The q->index arithmetic mirrors
-    jax._src.numpy.reductions._quantile (method='linear') operation for
-    operation in float32; the order statistics are exact, and the final
+    jax._src.numpy.reductions._quantile (method='linear') step for step
+    in float32; the order statistics are exact, and the final
     lerp agrees with jnp.percentile to a few ULP (this path's fused
     mul+add is often exactly rounded while jnp's separate f32 products
     each round — tests/test_clahe.py asserts ≤8 ULP agreement; the
     product stage's stretch scales are insensitive at that magnitude).
     """
+    if n >= (1 << 31):  # int32 cumsum would wrap (and x64 is disabled,
+        # so an int64 "upgrade" would silently truncate — refuse instead)
+        raise ValueError(f"percentile_from_hist: n={n} exceeds int32 counts")
     # mirror jnp.percentile exactly: true_divide on the raw python float
     # keeps numpy's weak-type folding (f32(33.3)/f32(100) differs from it
     # in the last bits)
@@ -166,9 +169,6 @@ def percentile_from_hist(hist: jax.Array, n: int, q_pct: float) -> jax.Array:
     high = jnp.clip(jnp.ceil(qn), 0, nf - 1)
     high_w = qn - jnp.floor(qn)
     low_w = 1.0 - high_w
-    if n >= (1 << 31):  # int32 cumsum would wrap (and x64 is disabled,
-        # so an int64 "upgrade" would silently truncate — refuse instead)
-        raise ValueError(f"percentile_from_hist: n={n} exceeds int32 counts")
     cum = jnp.cumsum(hist.astype(jnp.int32))
     k = jnp.stack([low, high]).astype(cum.dtype) + 1
     s = jnp.searchsorted(cum, k, side="left").astype(jnp.float32)
