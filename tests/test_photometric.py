@@ -165,3 +165,30 @@ def test_image_process_rotation():
     opts = Options(img_rotate=90, _nolog=True)
     cc, protus = image_process(img, circle, opts, save=False)
     assert cc.shape == (img.shape[1], img.shape[0])
+
+
+def test_products_core_odd_size_matches_percentile(rng):
+    """Odd-sized images take the padding fallback (CLAHE's reflect padding
+    taints the tile-histogram sum, so the product core computes a direct
+    value histogram); the stretch scales must still equal the
+    jnp.percentile-based reference math (solex_util.py:534-541)."""
+    import jax.numpy as jnp
+
+    from solex_ser_recon_en_tpu.pipeline.products import _products_core
+
+    img = rng.integers(0, 60000, (129, 131), dtype=np.uint16)  # odd dims
+    cl1, cc, hc, protus = [np.asarray(x) for x in _products_core(jnp.asarray(img))]
+
+    f32 = jnp.asarray(img).astype(jnp.float32).ravel()
+    bright = max(float(jnp.percentile(f32, 99.9999)), 1.0)
+    hc_ref = np.clip(
+        65535.0 * (img.astype(np.float32) - 0.25 * bright) / (0.75 * bright),
+        0, 65535,
+    ).astype(np.uint16)
+    # scales agree to a few ULP -> at most 1 output level at boundaries
+    diff = np.abs(hc.astype(np.int64) - hc_ref.astype(np.int64))
+    assert diff.max() <= 1
+    protus_ref = np.clip(
+        65535.0 * img.astype(np.float32) / max(bright * 0.18, 1.0), 0, 65535
+    ).astype(np.uint16)
+    assert np.abs(protus.astype(np.int64) - protus_ref.astype(np.int64)).max() <= 1
