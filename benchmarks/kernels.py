@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Honest device-kernel shootout on synthetic resident data.
+
+Times every hot kernel with a data-dependent host-read sync (a checksum
+pulled to the host after the timed reps) — `block_until_ready` alone can
+acknowledge at dispatch on relay-attached backends and is never trusted
+here (docs/PERF.md "Measurement integrity").
+
+    python benchmarks/kernels.py [--frames 2000] [--ih 2048] [--iw 300]
+
+All data is generated ON DEVICE, so the script measures kernels, not the
+host link.  Representative v5e results live in docs/PERF.md.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--ih", type=int, default=2048)
+    ap.add_argument("--iw", type=int, default=300)
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from solex_ser_recon_en_tpu.models.shg import shg_forward_xla
+    from solex_ser_recon_en_tpu.ops.fused_pallas import shg_fused_pallas
+    from solex_ser_recon_en_tpu.ops.recon import (
+        _recon_gather,
+        _recon_onehot,
+        build_shift_indices,
+    )
+
+    F, ih, iw = args.frames, args.ih, args.iw
+    print(f"backend={jax.default_backend()}  slab=({F}, {ih}, {iw}) u16 "
+          f"{F * ih * iw * 2 / 1e9:.2f} GB")
+    slab = jax.random.randint(
+        jax.random.PRNGKey(0), (F, ih, iw), 0, 65536, jnp.int32
+    ).astype(jnp.uint16)
+    float(jnp.sum(slab.astype(jnp.uint32)))  # force materialisation
+
+    curve = iw / 2 + 0.001 * np.arange(ih)
+    fl = np.floor(curve)
+    ind_l, left_w = build_shift_indices(fl, curve - fl, [10, 0], iw)
+    ind_l, left_w = jax.device_put(ind_l), jax.device_put(left_w)
+
+    def bench(tag, make):
+        try:
+            float(make())  # compile + warm
+        except Exception as e:  # pragma: no cover - report and continue
+            print(f"{tag:42s} FAILED: {str(e)[:120]}")
+            return
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(args.reps):
+            c = make()
+            acc = c if acc is None else acc + c
+        float(acc)  # true completion of every rep
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"{tag:42s} {dt * 1e3:8.1f} ms   {F / dt:9.0f} frames/s")
+
+    def ck(out):
+        return jnp.sum(out[2].astype(jnp.uint32)) + jnp.sum(
+            out[0].astype(jnp.uint32)
+        )
+
+    bench("fused pallas step (mean+max+recon, S=2)",
+          lambda: ck(shg_fused_pallas(slab, ind_l, left_w)))
+    bench("XLA step (reductions + one-hot matmul)",
+          lambda: ck(shg_forward_xla(slab, ind_l, left_w)))
+    bench("recon only: one-hot MXU matmul",
+          lambda: jnp.sum(_recon_onehot(slab, ind_l, left_w, iw=iw)
+                          .astype(jnp.uint32)))
+    bench("recon only: take_along_axis gather",
+          lambda: jnp.sum(_recon_gather(slab, ind_l, left_w)
+                          .astype(jnp.uint32)))
+
+    # post-processing kernels on a warped-disk-sized image
+    from solex_ser_recon_en_tpu.ops.clahe import _clahe
+    from solex_ser_recon_en_tpu.ops.warp import warp_projective, warp_to_u16
+    from solex_ser_recon_en_tpu.pipeline.products import _products_core_gained
+
+    H, W = ih + 26, F + 100
+    img = jax.random.randint(
+        jax.random.PRNGKey(1), (H, W), 0, 60000, jnp.int32
+    ).astype(jnp.uint16)
+    float(jnp.sum(img.astype(jnp.uint32)))
+    gain = jnp.ones((H,), jnp.float32)
+    mat3 = jnp.asarray(
+        np.array([[0.99, 0.02, -3.0], [0.015, 1.04, -8.0], [0, 0, 1.0]])
+    )
+    imgf = img.astype(jnp.float32) / 65536.0
+
+    bench(f"CLAHE 2x2 u16 ({H}x{W})",
+          lambda: jnp.sum(_clahe(img, 0.8, 2, 2, 65536).astype(jnp.float32)))
+    bench("fused product core (gain+CLAHE+stretches)",
+          lambda: jnp.sum(_products_core_gained(img, gain)[2]
+                          .astype(jnp.uint32)))
+    bench("projective warp (bilinear, skimage-exact)",
+          lambda: jnp.sum(warp_to_u16(
+              warp_projective(imgf, mat3, H, W, cval=0.1)
+          ).astype(jnp.uint32)))
+
+
+if __name__ == "__main__":
+    main()
