@@ -36,6 +36,20 @@ def usage() -> str:
     )
 
 
+MAX_SHIFTS = 10_000  # every shift materialises an (ih, F) disk
+
+
+def _bounded(shifts: "range | List[int]") -> List[int]:
+    # the reference materialises any range unchecked (CLI_handler.py:69-71);
+    # a typo'd bound like 0:99999999 would OOM building 1e8 disks, so fail
+    # fast with a clear message instead
+    if len(shifts) > MAX_SHIFTS:
+        raise ValueError(
+            f"shift spec yields {len(shifts)} shifts (max {MAX_SHIFTS})"
+        )
+    return list(shifts)
+
+
 def parse_shift_spec(spec: str) -> List[int]:
     """``a,b,c`` | ``x:y`` | ``x:y:w`` -> list of pixel shifts.
 
@@ -43,11 +57,13 @@ def parse_shift_spec(spec: str) -> List[int]:
     """
     parts = spec.split(":")
     if len(parts) == 1:
-        return [int(x.strip()) for x in spec.split(",")]
+        return _bounded([int(x.strip()) for x in spec.split(",")])
     if len(parts) == 2:
-        return list(range(int(parts[0].strip()), int(parts[1].strip()) + 1))
+        return _bounded(
+            range(int(parts[0].strip()), int(parts[1].strip()) + 1)
+        )
     if len(parts) == 3:
-        return list(
+        return _bounded(
             range(
                 int(parts[0].strip()),
                 int(parts[1].strip()) + 1,

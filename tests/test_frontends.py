@@ -172,3 +172,30 @@ def test_cli_profile_writes_trace(basic_scan, tmp_path):
     assert rc == 0
     found = [f for _, _, fs in os.walk(trace) for f in fs]
     assert found, "no profiler trace files written"
+
+
+def test_shift_spec_fuzz_and_bound():
+    """parse_shift_spec never crashes with anything but ValueError, and a
+    typo'd huge range fails fast instead of materialising 1e8 shifts."""
+    import random
+    import string
+
+    import pytest
+
+    from solex_ser_recon_en_tpu.cli.flags import parse_shift_spec
+
+    with pytest.raises(ValueError):
+        parse_shift_spec("0:99999999")
+    assert parse_shift_spec("-5:5:5") == [-5, 0, 5]
+
+    rng = random.Random(0)
+    chars = string.digits + ":,-+ab. "
+    for _ in range(2000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 10)))
+        try:
+            out = parse_shift_spec(s)
+        except ValueError:
+            continue
+        assert isinstance(out, list)
+        assert all(isinstance(x, int) for x in out)
+        assert len(out) <= 10_000
