@@ -199,3 +199,24 @@ def test_shift_spec_fuzz_and_bound():
         assert isinstance(out, list)
         assert all(isinstance(x, int) for x in out)
         assert len(out) <= 10_000
+
+
+def test_read_ini_corrupt_config_falls_back(tmp_path):
+    """Corrupt/garbage SHG_config.txt yields default Options, like the
+    reference's read_ini (SHG_MAIN.py:75-85)."""
+    from solex_ser_recon_en_tpu.cli.main import read_ini
+    from solex_ser_recon_en_tpu.config import Options
+
+    defaults = Options()
+    for name, data in {
+        "garbage.txt": b"\x00\xffnot json{{{",
+        "empty.txt": b"",
+        "null.txt": b"null",
+        "missing.txt": None,
+    }.items():
+        p = tmp_path / name
+        if data is not None:
+            p.write_bytes(data)
+        o = read_ini(str(p))
+        assert o.shift == defaults.shift
+        assert o.trans_strength == defaults.trans_strength
