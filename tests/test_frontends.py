@@ -220,3 +220,22 @@ def test_read_ini_corrupt_config_falls_back(tmp_path):
         o = read_ini(str(p))
         assert o.shift == defaults.shift
         assert o.trans_strength == defaults.trans_strength
+
+
+def test_every_module_imports():
+    """Every module in the package imports cleanly (GUI modules are gated
+    on FreeSimpleGUI's absence, native on the toolchain)."""
+    import importlib
+    import pkgutil
+
+    import solex_ser_recon_en_tpu as pkg
+
+    failed = []
+    for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        if m.name.endswith("__main__"):
+            continue  # runs the CLI on import by design
+        try:
+            importlib.import_module(m.name)
+        except Exception as e:  # pragma: no cover - the assert reports
+            failed.append((m.name, repr(e)))
+    assert not failed, failed
