@@ -108,7 +108,10 @@ def input_ui(options: Options) -> Optional[List[str]]:
          sg.Text(T("Fixed image width (blank for none)"),
                  key="Fixed image width (blank for none)"),
          sg.InputText(default_text=v["_fixed_width"], size=(8, 1), key="_fixed_width")],
-        [sg.Checkbox(T("Mirror X"), default=v["Mirror X"], key="Mirror X"),
+        # Mirror X is deliberately NOT remembered (reference
+        # UI_handler.py:204 hardcodes default=False; README.md: "The
+        # choice of Mirror X is deliberately not remembered")
+        [sg.Checkbox(T("Mirror X"), default=False, key="Mirror X"),
          sg.Text(T("Rotate png images:"), key="Rotate png images:"),
          sg.Combo([0, 90, 180, 270], default_value=v["img_rotate"], key="img_rotate",
                   readonly=True)],

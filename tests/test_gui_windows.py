@@ -395,3 +395,17 @@ def test_ok_uses_actual_tab_not_stale_config_mode(basic_scan, tmp_path):
     files = input_ui(opts)
     assert files == [basic_scan["path"]]
     assert opts.selected_mode == "File input mode"
+
+
+def test_mirror_x_not_remembered():
+    """The Mirror X checkbox always opens unchecked, even when the current
+    options have flip_x=True (reference UI_handler.py:204 + README: "The
+    choice of Mirror X is deliberately not remembered")."""
+    from solex_ser_recon_en_tpu.gui.main_window import input_ui
+
+    stub.script([("Cancel", {})])
+    opts = Options(flip_x=True)
+    input_ui(opts)
+    win = stub.WINDOWS[-1]
+    cb = [e for e in win.elements if e.Key == "Mirror X"][0]
+    assert cb.value is False
