@@ -14,7 +14,7 @@ from typing import Callable, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.warp import warp_projective, warp_to_u16
+from ..ops.warp import warp_projective, warp_projective_u16, warp_to_u16
 from .edges import get_edge_list
 from .ellipse import get_correction_matrix, two_step
 
@@ -110,12 +110,19 @@ def correct_image(
         image.shape, phi, ratio, center, height, log=log
     )
     integer_input = np.issubdtype(np.dtype(image.dtype), np.integer)
-    img_j = jnp.asarray(image).astype(jnp.float32)
     cval = float(np.asarray(image[0, 0]))
     if integer_input:
-        img_j = img_j / 65536.0
-        cval /= 65536.0
-    warped = warp_projective(img_j, jnp.asarray(mat3), out_h, out_w, cval=cval)
+        # uint16 sources take the packed-pair warp: half the gathers,
+        # bit-identical output (ops/warp.py:warp_projective_u16)
+        warped = warp_projective_u16(
+            jnp.asarray(image).astype(jnp.uint16), jnp.asarray(mat3),
+            out_h, out_w, cval=cval / 65536.0,
+        )
+    else:
+        warped = warp_projective(
+            jnp.asarray(image).astype(jnp.float32), jnp.asarray(mat3),
+            out_h, out_w, cval=cval,
+        )
     corrected = warp_to_u16(warped)  # device-resident; writers np.asarray it
     return corrected, circle, mat3
 
@@ -149,12 +156,16 @@ def correct_images_batched(
     mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
     out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
 
-    dj = jnp.asarray(disks).astype(jnp.float32) / 65536.0
+    dj = jnp.asarray(disks).astype(jnp.uint16)
     m3 = jnp.asarray(mat3)
 
     def one(img):
+        # packed-pair u16 warp (disks are always uint16 here)
         return warp_to_u16(
-            warp_projective(img, m3, out_h, out_w, cval=img[0, 0])
+            warp_projective_u16(
+                img, m3, out_h, out_w,
+                cval=img[0, 0].astype(jnp.float32) / 65536.0,
+            )
         )
 
     warped = jax.vmap(one)(dj)

@@ -77,6 +77,71 @@ def warp_projective(
     return out
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def warp_projective_u16(
+    image_u16: jax.Array,
+    mat3: jax.Array,
+    out_h: int,
+    out_w: int,
+    cval: jax.Array | float = 0.0,
+) -> jax.Array:
+    """warp_projective for uint16 sources, bit-identical and ~2x faster.
+
+    Every pipeline warp input lives on the u16/65536 grid, so each pair of
+    horizontally adjacent pixels packs into one uint32 (lo | hi<<16) and
+    ONE gather returns BOTH x-taps of a row — two gathers total instead of
+    four (gathers dominate this op on TPU).  The lerp arithmetic is the
+    float path's exactly: v/65536 is a power-of-two scale, so unpack-then-
+    scale reproduces image.astype(f32)/65536 bit-for-bit.  ``cval`` is in
+    the scaled [0, 1) domain like warp_projective's.
+    """
+    h, w_in = image_u16.shape
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    m = mat3.astype(jnp.float32)
+    sx = m[0, 0] * gx + m[0, 1] * gy + m[0, 2]
+    sy = m[1, 0] * gx + m[1, 1] * gy + m[1, 2]
+    w = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
+    sx = sx / w
+    sy = sy / w
+
+    cval = jnp.float32(cval)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    dx = sx - x0
+    dy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = image_u16.astype(jnp.uint32).reshape(-1)
+    flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.uint32)])
+    packed = flat[:-1] | (flat[1:] << 16)        # (h*w,) both x-taps per cell
+
+    bx = jnp.clip(x0i, 0, w_in - 1)
+    g0 = packed[jnp.clip(y0i, 0, h - 1) * w_in + bx]
+    g1 = packed[jnp.clip(y0i + 1, 0, h - 1) * w_in + bx]
+    scale = jnp.float32(1.0 / 65536.0)
+
+    def sample(g, a, b):
+        yi = y0i + a
+        xi = x0i + b
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w_in)
+        # which packed half holds this tap: 0 normally; x0i=-1 puts the
+        # right tap in the lo half of the clipped base cell
+        rel = xi - bx
+        v = jnp.where(rel == 0, g & 0xFFFF, g >> 16).astype(jnp.float32)
+        return jnp.where(valid, v * scale, cval)
+
+    out = (
+        sample(g0, 0, 0) * (1 - dy) * (1 - dx)
+        + sample(g0, 0, 1) * (1 - dy) * dx
+        + sample(g1, 1, 0) * dy * (1 - dx)
+        + sample(g1, 1, 1) * dy * dx
+    )
+    return out
+
+
 def warp_to_u16(warped01: jax.Array) -> jax.Array:
     """float [0,1) image -> uint16 like the reference's ``(2**16 * img)``
     cast (ellipse_to_circle.py:115-118), but clipped instead of wrapped —

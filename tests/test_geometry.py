@@ -133,3 +133,31 @@ def test_ellipse_to_circle_on_synthetic_disk():
     # borders bound the disk
     assert res.borders[0] < res.circle[0] < res.borders[2]
     assert res.borders[1] < res.circle[1] < res.borders[3]
+
+
+def test_warp_u16_bit_identical_to_float_path(rng):
+    """The packed-pair uint16 warp reproduces the float-path warp
+    bit-for-bit, including boundary taps (x0 = -1 / w-1 cells)."""
+    import jax.numpy as jnp
+
+    from solex_ser_recon_en_tpu.ops.warp import (
+        warp_projective,
+        warp_projective_u16,
+    )
+
+    img = rng.integers(0, 65536, (64, 48), dtype=np.uint16)
+    mats = [
+        np.array([[0.97, 0.05, -3.2], [0.04, 1.06, -2.5], [0, 0, 1.0]]),
+        np.array([[1.0, 0.0, -5.0], [0.0, 1.0, -5.0], [0, 0, 1.0]]),  # edges
+        np.array([[1.1, -0.08, 2.0], [-0.06, 0.93, 4.0], [0, 0, 1.0]]),
+    ]
+    for m in mats:
+        cv = float(img[0, 0]) / 65536.0
+        a = np.asarray(warp_projective(
+            jnp.asarray(img).astype(jnp.float32) / 65536.0,
+            jnp.asarray(m), 70, 55, cval=cv,
+        ))
+        b = np.asarray(warp_projective_u16(
+            jnp.asarray(img), jnp.asarray(m), 70, 55, cval=cv,
+        ))
+        np.testing.assert_array_equal(a, b)
