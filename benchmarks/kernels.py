@@ -105,9 +105,15 @@ def main() -> None:
     bench("fused product core (gain+CLAHE+stretches)",
           lambda: jnp.sum(_products_core_gained(img, gain)[2]
                           .astype(jnp.uint32)))
-    bench("projective warp (bilinear, skimage-exact)",
+    bench("warp: float 4-tap gathers",
           lambda: jnp.sum(warp_to_u16(
               warp_projective(imgf, mat3, H, W, cval=0.1)
+          ).astype(jnp.uint32)))
+    from solex_ser_recon_en_tpu.ops.warp import warp_projective_u16
+
+    bench("warp: packed-pair u16 (pipeline path)",
+          lambda: jnp.sum(warp_to_u16(
+              warp_projective_u16(img, mat3, H, W, cval=0.1)
           ).astype(jnp.uint32)))
 
 
