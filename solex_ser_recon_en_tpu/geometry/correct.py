@@ -212,9 +212,14 @@ def ellipse_to_circle(
         img = image_u16
         if ph or pw:
             img = np.pad(img, ((0, ph), (0, pw)))
+        # exact u32 block sums then one power-of-two scale: bit-identical
+        # to the f64 block mean (block sums < 2^24 are f64-exact; /16 and
+        # /65536 are exact exponent shifts) at integer-sum speed
         small = img.reshape(
             (h + ph) // factor, factor, (w + pw) // factor, factor
-        ).mean(axis=(1, 3), dtype=np.float64) / 65536.0
+        ).sum(axis=(1, 3), dtype=np.uint32).astype(np.float64) / (
+            factor * factor * 65536.0
+        )
     else:
         # device-resident disk: downscale there; only the small image comes
         # back to host for the point-set stages
