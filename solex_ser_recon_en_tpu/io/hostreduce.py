@@ -167,6 +167,7 @@ def host_reconstruct_from_band(
     fit_frac: np.ndarray,
     shifts,
     chunk_frames: int = 512,
+    progress=None,
 ) -> np.ndarray:
     """host_reconstruct, gathering from a pre-extracted spectral band slab.
 
@@ -218,6 +219,8 @@ def host_reconstruct_from_band(
             if upscale:
                 vals[:n] *= 256.0
             out[si, :, start : start + n] = vals[:n].T
+        if progress is not None:
+            progress(out, start + n)
     return out
 
 
@@ -227,6 +230,7 @@ def host_reconstruct(
     fit_frac: np.ndarray,
     shifts,
     chunk_frames: int = 512,
+    progress=None,
 ) -> np.ndarray:
     """Multi-shift disk reconstruction on the host, float64, reference-exact.
 
@@ -286,6 +290,8 @@ def host_reconstruct(
             if upscale:
                 vals[:n] *= 256.0
             out[si, :, start : start + n] = vals[:n].T  # truncating u16 store
+        if progress is not None:
+            progress(out, start + n)
     return out
 
 

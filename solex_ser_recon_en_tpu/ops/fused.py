@@ -140,23 +140,29 @@ class RawScanProcessor:
             mx = (mx.astype(np.uint16)) << 8
         return mean, np.ascontiguousarray(mx)
 
-    def reconstruct(self, fit_floor, fit_frac, shifts: List[int]) -> jax.Array:
+    def reconstruct(self, fit_floor, fit_frac, shifts: List[int],
+                    progress=None) -> jax.Array:
         if not self._chunks:
             raise ValueError("no resident chunks to reconstruct from")
         self._chunks.sort(key=lambda p: p[0])
-        return self.reconstruct_streaming(self._chunks, fit_floor, fit_frac, shifts)
+        return self.reconstruct_streaming(
+            self._chunks, fit_floor, fit_frac, shifts, progress=progress
+        )
 
     def reconstruct_streaming(
-        self, chunks, fit_floor, fit_frac, shifts: List[int]
+        self, chunks, fit_floor, fit_frac, shifts: List[int], progress=None
     ) -> jax.Array:
-        """Pass B over an iterator of (start, raw device chunk)."""
+        """Pass B over an iterator of (start, raw device chunk);
+        ``progress(part, start)`` is the live-view hook."""
         Wt = build_raw_weights(
             fit_floor, fit_frac, shifts, self.iw, self.rotate, self.upscale
         )
-        parts = [
-            (start, _recon_raw(c, Wt, self.rotate, self.upscale))
-            for start, c in chunks
-        ]
+        parts = []
+        for start, c in chunks:
+            part = _recon_raw(c, Wt, self.rotate, self.upscale)
+            parts.append((start, part))
+            if progress is not None:
+                progress(part, start)
         parts.sort(key=lambda p: p[0])
         # stays on device: downstream stages (ellipse fit downscale, warp,
         # transversalium, products) are device-side; hosts download only
@@ -176,6 +182,7 @@ def reconstruct_band(
     x0: int,
     rotate: bool,
     upscale: bool,
+    progress=None,
 ) -> jax.Array:
     """Pass B over *band* chunks: raw slabs restricted to spectral columns
     [x0, x0+bw) (io/hostreduce.spectral_band) — the minimum-bytes feed for
@@ -200,6 +207,9 @@ def reconstruct_band(
             if rotate:
                 W = W[::-1]
             Wt = jnp.asarray(np.ascontiguousarray(W))
-        parts.append((start, _recon_raw(chunk, Wt, rotate, upscale)))
+        part = _recon_raw(chunk, Wt, rotate, upscale)
+        parts.append((start, part))
+        if progress is not None:
+            progress(part, start)
     parts.sort(key=lambda p: p[0])
     return jnp.concatenate([p for _, p in parts], axis=2)

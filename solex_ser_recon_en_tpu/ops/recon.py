@@ -147,11 +147,13 @@ class StreamingRecon:
     devices.
     """
 
-    def __init__(self, shifts, fit_floor, fit_frac, kernel="auto"):
+    def __init__(self, shifts, fit_floor, fit_frac, kernel="auto",
+                 progress=None):
         self.shifts = list(shifts)
         self.fit_floor = fit_floor
         self.fit_frac = fit_frac
         self.kernel = kernel
+        self.progress = progress  # live-view hook: progress(part, start)
         self._parts = []  # (start, device array) — downloaded once at result()
 
     def update(self, start: int, chunk) -> None:
@@ -159,6 +161,8 @@ class StreamingRecon:
             chunk, self.fit_floor, self.fit_frac, self.shifts, kernel=self.kernel
         )
         self._parts.append((start, part))
+        if self.progress is not None:
+            self.progress(part, start)
 
     def result(self) -> np.ndarray:
         self._parts.sort(key=lambda p: p[0])

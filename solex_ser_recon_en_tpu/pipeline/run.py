@@ -48,6 +48,26 @@ from .vignette import remove_vignette
 _SWEEP_BATCHED = True
 
 
+def _live_view(shifts, options):
+    """Per-chunk live display of the shift-0 disk build-up.
+
+    reference: solex_util.py:136-143 shows the growing disk every 10
+    frames; the TPU pipeline reconstructs in chunks, so the natural
+    granularity here is one refresh per chunk (deviation documented in
+    docs/PARITY.md).  Headless environments no-op inside utils.display.
+    """
+    if not options.flag_display:
+        return None
+    from ..utils.display import show
+
+    zi = shifts.index(0)
+
+    def cb(arr, _pos):
+        show("disk", np.asarray(arr)[zi])
+
+    return cb
+
+
 class _NoFeedMonitor:
     """Inert FeedRateMonitor stand-in for sources with no host fallback."""
 
@@ -297,15 +317,18 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 host_reconstruct_from_band,
             )
 
+            live = _live_view(shifts, options)
             if fused_band is not None and band_covers(
                 fused_band[1], fused_band[2], lf.floor, lf.frac, shifts, vid.iw
             ):
                 disk_list = host_reconstruct_from_band(
                     vid._r, fused_band[0], fused_band[1],
-                    lf.floor, lf.frac, shifts,
+                    lf.floor, lf.frac, shifts, progress=live,
                 )
             else:
-                disk_list = host_reconstruct(vid._r, lf.floor, lf.frac, shifts)
+                disk_list = host_reconstruct(
+                    vid._r, lf.floor, lf.frac, shifts, progress=live
+                )
             fused_band = None  # release the slab
             if mesh is None:
                 # start (async) uploads now for the shifts whose disks the
@@ -391,6 +414,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 disk_list = reconstruct_band(
                     prefetch_iter(band_chunks()), lf.floor, lf.frac, shifts,
                     vid.iw, x0, r.flag_rotate, r.header.pixel_depth == 8,
+                    progress=_live_view(shifts, options),
                 )[:, :, : vid.frame_count]
             except FeedCollapse as e:
                 print(f"WARNING: band feed collapsed mid-scan ({e}); "
@@ -404,18 +428,22 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 disk_list = jax.device_put(disk_list)
             fused_band = None  # release the slab
         elif raw_proc is not None:
+            live = _live_view(shifts, options)
             if keep_resident:
-                disk_list = raw_proc.reconstruct(lf.floor, lf.frac, shifts)
+                disk_list = raw_proc.reconstruct(
+                    lf.floor, lf.frac, shifts, progress=live
+                )
             else:
                 raw_iter, _, _ = raw_device_chunks(
                     vid, options.frame_chunk, fshard
                 )
                 disk_list = raw_proc.reconstruct_streaming(
-                    raw_iter, lf.floor, lf.frac, shifts
+                    raw_iter, lf.floor, lf.frac, shifts, progress=live
                 )
         else:
             recon = StreamingRecon(
-                shifts, lf.floor, lf.frac, kernel=options.recon_kernel
+                shifts, lf.floor, lf.frac, kernel=options.recon_kernel,
+                progress=_live_view(shifts, options),
             )
             if keep_resident:
                 for start, chunk in chunks:

@@ -236,3 +236,23 @@ def test_fused_gain_path_bit_identical(scan_file, tmp_path):
     a = read_image(str(out_a / "scan_shift=0_clahe.png"))
     b = read_image(str(out_b / "scan_shift=0_clahe.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_live_view_progress_hook(scan_file, tmp_path, monkeypatch):
+    """-d (Show graphics) drives the per-chunk live-view hook during the
+    reconstruction with growing frame coverage (reference live display,
+    solex_util.py:136-143; per-chunk granularity here)."""
+    import solex_ser_recon_en_tpu.utils.display as display
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    path, scan = scan_file
+    seen = []
+    monkeypatch.setattr(display, "show", lambda name, img, wait_ms=1:
+                        seen.append((name, np.asarray(img).shape)))
+    # small chunks force multiple progress callbacks
+    opts = Options(shift=[0], clahe_only=True, flag_display=True,
+                   frame_chunk=64, output_dir=str(tmp_path), _nolog=True)
+    res = read_scan(path, opts)
+    assert len(seen) >= 1
+    assert all(name == "disk" for name, _ in seen)
+    assert all(len(shape) == 2 for _, shape in seen)
