@@ -221,6 +221,71 @@ int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
   return ser_mean_max_band(handle, sum_out, max_out, 0, 0, 0, 0, nullptr);
 }
 
+// Pass B: multi-shift disk reconstruction gathers, float64, bit-exact to
+// the reference's hot loop (solex_util.py:113-134) and to the numpy path
+// in io/hostreduce.py: per output pixel
+//   v = src[flat_l[si][y]] * w_l[y] + src[flat_l[si][y]+right_off] * w_r[y]
+// (two IEEE multiplies then one add, matching numpy's multiply/multiply/add
+// sequence), optionally *256 for 8-bit sources (exact power of two), then
+// a truncating uint16 store (C cast == numpy's C-style float64->uint16
+// assignment for in-range values; v <= 65535 by construction since
+// w_l + w_r == 1).
+//
+// Layout: src points at `frame_count` frames of `frame_stride` BYTES each
+// (the mmap payload, or a compact band slab); flat_l is (S, ih) int64
+// ELEMENT indices into a frame viewed flat (rotation pre-encoded by the
+// caller); out points at the (S, ih, F_total) uint16 disk cube at column
+// `0` of THIS call's frame range — out[si][y][fr] lives at
+// out[(si*ih + y) * out_stride + fr], so chunked calls pass
+// out_base + start and keep out_stride = F_total.
+//
+// This replaces numpy's per-shift np.take pair (4 temporaries, 2 gather
+// passes + 3 arithmetic passes over chunk*ih doubles) with one fused
+// sweep: ~2x less host memory traffic, the throttled resource here.
+int ser_recon_f64(const uint8_t* src, int64_t frame_stride,
+                  uint32_t frame_count, int is_u16, int upscale,
+                  const int64_t* flat_l, int64_t right_off,
+                  const double* w_l, const double* w_r, uint32_t S,
+                  uint32_t ih, uint16_t* out, int64_t out_stride,
+                  int do_prefetch) {
+  if (!src || !flat_l || !w_l || !w_r || !out) return -1;
+  const uint32_t prefetch_win = 256;
+  for (uint32_t fr = 0; fr < frame_count; ++fr) {
+    if (do_prefetch && fr % prefetch_win == 0 &&
+        fr + prefetch_win < frame_count) {
+      const uint8_t* p = src + static_cast<int64_t>(fr + prefetch_win) *
+                                   frame_stride;
+      uintptr_t addr = reinterpret_cast<uintptr_t>(p);
+      uintptr_t page = addr & ~static_cast<uintptr_t>(4095);
+      madvise(reinterpret_cast<void*>(page),
+              static_cast<size_t>(frame_stride) * prefetch_win +
+                  (addr - page),
+              MADV_WILLNEED);
+    }
+    const uint8_t* fp = src + static_cast<int64_t>(fr) * frame_stride;
+    for (uint32_t si = 0; si < S; ++si) {
+      const int64_t* fl = flat_l + static_cast<int64_t>(si) * ih;
+      uint16_t* o = out + static_cast<int64_t>(si) * ih * out_stride + fr;
+      if (is_u16) {
+        const uint16_t* p = reinterpret_cast<const uint16_t*>(fp);
+        for (uint32_t y = 0; y < ih; ++y) {
+          double v = static_cast<double>(p[fl[y]]) * w_l[y] +
+                     static_cast<double>(p[fl[y] + right_off]) * w_r[y];
+          o[static_cast<int64_t>(y) * out_stride] = static_cast<uint16_t>(v);
+        }
+      } else {
+        for (uint32_t y = 0; y < ih; ++y) {
+          double v = static_cast<double>(fp[fl[y]]) * w_l[y] +
+                     static_cast<double>(fp[fl[y] + right_off]) * w_r[y];
+          if (upscale) v *= 256.0;
+          o[static_cast<int64_t>(y) * out_stride] = static_cast<uint16_t>(v);
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 // Zero-copy pointer to frame payload (valid until ser_close).
 const uint8_t* ser_data(void* handle) {
   SerFile* f = static_cast<SerFile*>(handle);

@@ -220,7 +220,7 @@ def host_reconstruct_from_band(
                 vals[:n] *= 256.0
             out[si, :, start : start + n] = vals[:n].T
         if progress is not None:
-            progress(out, start + n)
+            progress(out[:, :, start : start + n], start)
     return out
 
 
@@ -291,7 +291,7 @@ def host_reconstruct(
                 vals[:n] *= 256.0
             out[si, :, start : start + n] = vals[:n].T  # truncating u16 store
         if progress is not None:
-            progress(out, start + n)
+            progress(out[:, :, start : start + n], start)
     return out
 
 

@@ -51,12 +51,21 @@ def _build() -> Optional[str]:
     else:
         return None
     # opportunistic cleanup of superseded builds (may be loaded elsewhere;
-    # unlink is safe on Linux, failures are fine)
+    # unlink is safe on Linux, failures are fine).  Only artifacts older
+    # than a grace period are removed: a concurrent process running an
+    # older checkout may be between its os.path.exists(so) check and
+    # ctypes.CDLL(so) — deleting its fresh artifact in that window would
+    # silently drop it to the slow Python reader.
     try:
+        import time
+
+        cutoff = time.time() - 7 * 24 * 3600
         for name in os.listdir(_CACHE):
             if name.startswith("libser_io") and name != os.path.basename(so):
+                p = os.path.join(_CACHE, name)
                 try:
-                    os.remove(os.path.join(_CACHE, name))
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
                 except OSError:
                     pass
     except OSError:
@@ -121,8 +130,84 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32,
             ctypes.c_void_p,
         ]
+        lib.ser_recon_f64.restype = ctypes.c_int
+        lib.ser_recon_f64.argtypes = [
+            ctypes.c_void_p,   # src
+            ctypes.c_int64,    # frame_stride (bytes)
+            ctypes.c_uint32,   # frame_count
+            ctypes.c_int,      # is_u16
+            ctypes.c_int,      # upscale
+            ctypes.c_void_p,   # flat_l (S, ih) int64
+            ctypes.c_int64,    # right_off (elements)
+            ctypes.c_void_p,   # w_l (ih,) f64
+            ctypes.c_void_p,   # w_r (ih,) f64
+            ctypes.c_uint32,   # S
+            ctypes.c_uint32,   # ih
+            ctypes.c_void_p,   # out (S, ih, F_total) u16, at this chunk's col
+            ctypes.c_int64,    # out_stride (elements, = F_total)
+            ctypes.c_int,      # do_prefetch
+        ]
         _lib = lib
         return _lib
+
+
+def native_recon_chunk(
+    src: np.ndarray,
+    flat_l: np.ndarray,
+    right_off: int,
+    w_l: np.ndarray,
+    w_r: np.ndarray,
+    upscale: bool,
+    out: np.ndarray,
+    start: int,
+    do_prefetch: bool = False,
+) -> bool:
+    """Fused pass-B gather loop over one chunk of frames (native).
+
+    ``src``: (n, ...) frames, contiguous per frame (memmap slice or band
+    slab), u8/u16; ``flat_l``: (S, ih) int64 flattened per-frame element
+    indices; ``out``: the full (S, ih, F_total) uint16 disk cube —
+    columns [start, start+n) are written.  Returns False when the native
+    library is unavailable (caller falls back to the numpy loop).
+    Bit-exact to io/hostreduce.py's numpy path (see native/ser_io.cpp).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ser_recon_f64"):
+        return False
+    n = src.shape[0]
+    S, ih = flat_l.shape
+    F_total = out.shape[2]
+    assert out.dtype == np.uint16 and out.flags.c_contiguous
+    frame_stride = src.strides[0]
+    # per-frame contiguity: gather indices address the frame viewed flat
+    assert src.strides[-1] == src.itemsize
+    base = src.ctypes.data if src.flags.c_contiguous or src.ndim == 1 else None
+    if base is None:
+        # memmap slices along axis 0 stay contiguous; anything else bails
+        if not src[0].flags.c_contiguous:
+            return False
+        base = src.ctypes.data
+    flat_l = np.ascontiguousarray(flat_l, dtype=np.int64)
+    w_l = np.ascontiguousarray(w_l, dtype=np.float64)
+    w_r = np.ascontiguousarray(w_r, dtype=np.float64)
+    out_ptr = out.ctypes.data + start * out.itemsize
+    rc = lib.ser_recon_f64(
+        ctypes.c_void_p(base),
+        ctypes.c_int64(frame_stride),
+        ctypes.c_uint32(n),
+        ctypes.c_int(1 if src.itemsize == 2 else 0),
+        ctypes.c_int(1 if upscale else 0),
+        flat_l.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(right_off),
+        w_l.ctypes.data_as(ctypes.c_void_p),
+        w_r.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_uint32(S),
+        ctypes.c_uint32(ih),
+        ctypes.c_void_p(out_ptr),
+        ctypes.c_int64(F_total),
+        ctypes.c_int(1 if do_prefetch else 0),
+    )
+    return rc == 0
 
 
 class NativeSerReader:

@@ -234,19 +234,31 @@ def _clahe(img: jax.Array, clip_limit: float, tiles_x: int, tiles_y: int,
 
     v = img.astype(jnp.int32)
 
-    # ONE per-pixel gather fetches every tile's LUT value for v (a
-    # (hist_size, T) packed row), then the four bilinear taps become cheap
-    # per-pixel selects — gathers are the expensive op on TPU, selects are
-    # VPU noise.  Values and weight arithmetic are unchanged (bit-exact).
     T = tiles_y * tiles_x
-    G = luts.T[v]                                # (h, w, T)
+    if T <= 8:
+        # ONE per-pixel gather fetches every tile's LUT value for v (a
+        # (hist_size, T) packed row), then the four bilinear taps become
+        # cheap per-pixel selects — gathers are the expensive op on TPU,
+        # selects are VPU noise.  Values and weight arithmetic are
+        # unchanged (bit-exact).  Only viable for small grids: the packed
+        # gather materialises (h, w, T) and the select sweep unrolls T
+        # times, so large tile counts (standalone CLAHE tool allows up to
+        # tiles=(16,16)) would blow memory/trace size — those take the
+        # flat-gather path below (4 gathers regardless of T).
+        G = luts.T[v]                            # (h, w, T)
 
-    def tile_lookup(ty, tx):
-        slot = ty[:, None] * tiles_x + tx[None, :]        # (h, w)
-        out = jnp.zeros(v.shape, jnp.int32)
-        for t in range(T):
-            out = jnp.where(slot == t, G[..., t], out)
-        return out.astype(jnp.float32)
+        def tile_lookup(ty, tx):
+            slot = ty[:, None] * tiles_x + tx[None, :]    # (h, w)
+            out = jnp.zeros(v.shape, jnp.int32)
+            for t in range(T):
+                out = jnp.where(slot == t, G[..., t], out)
+            return out.astype(jnp.float32)
+    else:
+        luts_flat = luts.reshape(-1)             # (T * hist_size,)
+
+        def tile_lookup(ty, tx):
+            slot = ty[:, None] * tiles_x + tx[None, :]    # (h, w)
+            return luts_flat[slot * hist_size + v].astype(jnp.float32)
 
     wx1 = (1.0 - xa)[None, :]
     wy1 = (1.0 - ya)[:, None]

@@ -61,9 +61,26 @@ def _live_view(shifts, options):
     from ..utils.display import show
 
     zi = shifts.index(0)
+    # Chunked recon paths hand the callback only the CURRENT chunk
+    # (S, ih, chunk_n) at its start offset; accumulate into a host-side
+    # canvas so the window shows the growing disk, not an isolated strip.
+    # The canvas persists across calls (one per scan — _live_view is
+    # constructed per read_scan invocation).
+    state = {"canvas": None}
 
-    def cb(arr, _pos):
-        show("disk", np.asarray(arr)[zi])
+    def cb(arr, start):
+        a = np.asarray(arr[zi])         # download one shift's plane only
+        end = start + a.shape[1]
+        c = state["canvas"]
+        if c is None or c.shape[0] != a.shape[0]:
+            c = np.zeros((a.shape[0], end), a.dtype)
+        elif c.shape[1] < end:
+            c = np.concatenate(
+                [c, np.zeros((c.shape[0], end - c.shape[1]), c.dtype)], axis=1
+            )
+        c[:, start:end] = a
+        state["canvas"] = c
+        show("disk", c)
 
     return cb
 

@@ -18,6 +18,17 @@ def _cv2_gui():
     global _available
     if _available is not None:
         return _available
+    import os
+    import sys
+
+    # cv2's Qt backend ABORTS the process (uncatchable SIGABRT) when no
+    # display server is reachable, so the probe below must never run
+    # headless — check for a display first
+    if sys.platform.startswith("linux") and not (
+        os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+    ):
+        _available = False
+        return _available
     try:
         import cv2
 

@@ -40,6 +40,19 @@ def test_clahe_nondivisible_size(rng):
     assert diff.max() <= 1
 
 
+def test_clahe_large_tile_grid_flat_gather(rng):
+    """Tile grids past the packed-gather cutoff (T > 8) take the flat
+    per-tap gather path; the standalone CLAHE tool exposes user-configured
+    tile sizes, so a 16x16 grid must stay cheap AND cv2-accurate (the
+    packed path would materialise an (h, w, 256) intermediate here)."""
+    img = rng.integers(0, 256, size=(128, 160), dtype=np.uint8)
+    ref = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(16, 16)).apply(img)
+    ours = np.asarray(clahe(img, clip_limit=2.0, tiles=(16, 16)))
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
 def test_clahe_rejects_bad_dtype():
     with pytest.raises(TypeError):
         clahe(np.zeros((8, 8), dtype=np.float32))

@@ -118,11 +118,16 @@ def test_stale_cached_so_never_shadows_new_source(tmp_path, monkeypatch):
         check=True, capture_output=True,
     )
     import shutil
+    import time
 
     shutil.copy(stale[0], stale[1])
+    # one artifact well past the cleanup grace period, one recent (a
+    # concurrent process on an older checkout may be about to dlopen it —
+    # recent artifacts must survive the sweep)
+    old = time.time() - 30 * 24 * 3600
+    os.utime(stale[0], (old, old))
     future = os.path.getmtime(os.path.abspath(native._SRC)) + 10**6
-    for p in stale:
-        os.utime(p, (future, future))
+    os.utime(stale[1], (future, future))
 
     monkeypatch.setattr(native, "_CACHE", str(cache))
     monkeypatch.setattr(native, "_tried", False)
@@ -130,6 +135,8 @@ def test_stale_cached_so_never_shadows_new_source(tmp_path, monkeypatch):
     lib = native.get_lib()
     assert lib is not None
     assert hasattr(lib, "ser_mean_max_band")
-    # superseded artifacts were cleaned up
+    # superseded artifacts past the grace period were cleaned up; recent
+    # ones were left alone, and neither shadowed the content-keyed build
     left = {p.name for p in cache.iterdir()}
-    assert "libser_io.so" not in left and "libser_io-deadbeef.so" not in left
+    assert "libser_io.so" not in left
+    assert "libser_io-deadbeef.so" in left

@@ -256,3 +256,9 @@ def test_live_view_progress_hook(scan_file, tmp_path, monkeypatch):
     assert len(seen) >= 1
     assert all(name == "disk" for name, _ in seen)
     assert all(len(shape) == 2 for _, shape in seen)
+    # the live view accumulates chunks into one canvas: the displayed disk
+    # must grow monotonically and end covering the whole scan (not an
+    # isolated per-chunk strip)
+    widths = [shape[1] for _, shape in seen]
+    assert widths == sorted(widths)
+    assert widths[-1] >= scan.frames
