@@ -20,6 +20,22 @@ import numpy as np
 from .ser import SerReader
 
 
+def _native_recon_enabled() -> bool:
+    """Whether pass B should try the native fused gather loop.
+
+    Shares the library-wide SOLEX_NO_NATIVE escape hatch; the per-chunk
+    call itself degrades to the numpy loop when the library is missing.
+    """
+    import os
+
+    if os.environ.get("SOLEX_NO_NATIVE") == "1":
+        return False
+    from .native import get_lib
+
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "ser_recon_f64")
+
+
 def _finalize_mean_max(
     acc: np.ndarray, mx: np.ndarray, r: SerReader, frames: int = None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -203,13 +219,25 @@ def host_reconstruct_from_band(
         flat_l = rows[None, :] * bw + il64
         right_off = 1
 
+    use_native = _native_recon_enabled()
     left = np.empty((chunk_frames, ih), dtype=band.dtype)
     right = np.empty_like(left)
     vals = np.empty((chunk_frames, ih), dtype=np.float64)
     tmp = np.empty_like(vals)
     for start in range(0, F, chunk_frames):
         n = min(chunk_frames, F - start)
-        raw2 = band[start : start + n].reshape(n, -1)
+        chunk = band[start : start + n]
+        if use_native:
+            from .native import native_recon_chunk
+
+            use_native = native_recon_chunk(
+                chunk, flat_l, right_off, w_l, w_r, upscale, out, start
+            )
+            if use_native:
+                if progress is not None:
+                    progress(out[:, :, start : start + n], start)
+                continue
+        raw2 = chunk.reshape(n, -1)
         for si in range(S):
             np.take(raw2, flat_l[si], axis=1, out=left[:n])
             np.take(raw2, flat_l[si] + right_off, axis=1, out=right[:n])
@@ -272,6 +300,7 @@ def host_reconstruct(
     # all per-chunk temporaries are preallocated and reused: on hosts whose
     # anonymous-memory allocation is token-bucket throttled, per-chunk fresh
     # buffers (not the math) dominate the pass — see docs/PERF.md
+    use_native = _native_recon_enabled()
     left = np.empty((chunk_frames, ih), dtype=r.header.dtype)
     right = np.empty_like(left)
     vals = np.empty((chunk_frames, ih), dtype=np.float64)
@@ -279,6 +308,18 @@ def host_reconstruct(
     for start in range(0, F, chunk_frames):
         n = min(chunk_frames, F - start)
         raw = r.raw_frames(start, n)             # memmap view, zero-copy
+        if use_native:
+            from .native import native_recon_chunk
+
+            # fused native gather straight off the memmap page cache —
+            # one sweep instead of numpy's 2 gather + 3 arithmetic passes
+            use_native = native_recon_chunk(
+                raw, flat_l, right_off, w_l, w_r, upscale, out, start
+            )
+            if use_native:
+                if progress is not None:
+                    progress(out[:, :, start : start + n], start)
+                continue
         raw2 = raw.reshape(n, -1)
         for si in range(S):
             np.take(raw2, flat_l[si], axis=1, out=left[:n])

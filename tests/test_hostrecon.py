@@ -129,6 +129,54 @@ def test_reconstruct_from_band_bit_identical(tmp_path, depth, wide):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("depth,wide", [(16, True), (16, False), (8, True)])
+def test_native_recon_bit_identical_to_numpy(tmp_path, depth, wide,
+                                             monkeypatch):
+    """The native fused pass-B gather (ser_recon_f64) must be BIT-IDENTICAL
+    to the numpy host path — same f64 multiply/multiply/add order, same
+    truncating u16 store — on both orientations, both depths, and both the
+    full-scan memmap and the compact band slab sources."""
+    from solex_ser_recon_en_tpu.io import hostreduce
+    from solex_ser_recon_en_tpu.io.native import get_lib
+    from solex_ser_recon_en_tpu.io.hostreduce import (
+        band_covers,
+        host_mean_max_band,
+        host_reconstruct_from_band,
+        spectral_band,
+    )
+
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    path = str(tmp_path / f"n{depth}{wide}.ser")
+    scan = SyntheticScan(ih=128, iw=64, frames=61, depth=depth,
+                         line_poly=(30.0, 0.02, -1e-4, 0.0), noise=0.003,
+                         seed=21)
+    scan.write(path, transpose_to_wide=wide)
+    r = SerReader(path)
+    curve = 30.0 + 0.02 * np.arange(r.ih) - 1e-4 * np.arange(r.ih) ** 2
+    floor = np.floor(curve).astype(np.int64)
+    frac = curve - floor
+    shifts = [10, 0, -3]
+
+    native = host_reconstruct(r, floor, frac, shifts, chunk_frames=17)
+    monkeypatch.setenv("SOLEX_NO_NATIVE", "1")
+    numpy_ = host_reconstruct(r, floor, frac, shifts, chunk_frames=17)
+    np.testing.assert_array_equal(native, numpy_)
+
+    monkeypatch.delenv("SOLEX_NO_NATIVE")
+    x0, x1 = spectral_band(floor, shifts, r.iw, margin=4)
+    assert band_covers(x0, x1, floor, frac, shifts, r.iw)
+    _, _, band = host_mean_max_band(r, x0, x1)
+    nb = host_reconstruct_from_band(r, band, x0, floor, frac, shifts,
+                                    chunk_frames=17)
+    monkeypatch.setenv("SOLEX_NO_NATIVE", "1")
+    pb = host_reconstruct_from_band(r, band, x0, floor, frac, shifts,
+                                    chunk_frames=17)
+    np.testing.assert_array_equal(nb, pb)
+    np.testing.assert_array_equal(nb, numpy_)
+
+
 def test_provisional_band_covers_final_fit(basic_scan):
     from solex_ser_recon_en_tpu.geometry import fit_spectral_line
     from solex_ser_recon_en_tpu.io.hostreduce import (
