@@ -274,43 +274,85 @@ def _ensure_mixed_batch(folder: str, n_files: int = 50) -> None:
         pass  # SER-only corpus when no AVI encoder exists
 
 
-def run_config(n: int) -> dict:
+def run_config(n: int, paired: bool = True) -> dict:
     """Extended BASELINE.md configs (2-5); invoked as `bench.py --config N`
-    and folded into the default output as ``extra_configs``."""
+    and folded into the default output as ``extra_configs``.
+
+    Same protocol as config 1: one UNTIMED warmup run (per-config XLA
+    program shapes compile fresh — transversalium/crop/sweep programs are
+    not config 1's), then a timed run with its per-stage table, paired
+    with a LIVE run of the CPU-replica doing the same per-config work
+    (same FITS/PNG writes, transversalium, protus paint, crop, sweep),
+    so every config carries its own ``vs_baseline`` in the same weather.
+    The replica still omits the ellipse fit + warp — paired speedups are
+    lower bounds.
+    """
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.pipeline.run import process_file
     from solex_ser_recon_en_tpu.cli.main import handle_folder
+    from solex_ser_recon_en_tpu.utils.cpu_reference import cpu_pipeline
+    from solex_ser_recon_en_tpu.utils.timer import StageTimer
 
     outdir = os.path.join(BENCH_DIR, f"out_c{n}")
-    shutil.rmtree(outdir, ignore_errors=True)
-    os.makedirs(outdir, exist_ok=True)
+    cpudir = os.path.join(BENCH_DIR, f"out_c{n}_cpu")
+
+    def fresh_dirs():
+        for d in (outdir, cpudir):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+
+    def run_once(make_opts) -> tuple:
+        timer = StageTimer()
+        t0 = time.perf_counter()
+        process_file(SCAN, make_opts(), timer)
+        return time.perf_counter() - t0, timer.times
+
+    def paired_result(metric, make_opts, cpu_kwargs) -> dict:
+        fresh_dirs()
+        warm_s, _ = run_once(make_opts)      # per-config program compiles
+        fresh_dirs()
+        dt, stages = run_once(make_opts)
+        out = {
+            "metric": metric, "value": round(dt, 2), "unit": "s",
+            "warmup_s": round(warm_s, 2),
+            "stages_ms": {k: round(v * 1e3, 1) for k, v in stages.items()},
+        }
+        if paired:
+            cpu_s = cpu_pipeline(SCAN, save_dir=cpudir, **cpu_kwargs)
+            out["cpu_reference_s"] = round(cpu_s, 2)
+            out["vs_baseline"] = round(cpu_s / dt, 2)
+        return out
 
     if n == 2:  # 16-bit + transversalium + all five FITS products
-        opts = Options(shift=[0], save_fit=True, transversalium=True,
-                       output_dir=outdir)
-        t0 = time.perf_counter()
-        process_file(SCAN, opts)
-        return {"metric": "config2_all_fits_outputs",
-                "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+        return paired_result(
+            "config2_all_fits_outputs",
+            lambda: Options(shift=[0], save_fit=True, transversalium=True,
+                            output_dir=outdir),
+            dict(shifts=[0], transversalium=True, save_fits=True,
+                 protus=True),
+        )
     if n == 3:  # Doppler sweep
-        opts = Options(shift=list(range(-10, 11, 5)), clahe_only=True,
-                       output_dir=outdir)
-        t0 = time.perf_counter()
-        process_file(SCAN, opts)
-        return {"metric": "config3_doppler_sweep_5_shifts",
-                "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+        sweep = list(range(-10, 11, 5))
+        return paired_result(
+            "config3_doppler_sweep_5_shifts",
+            lambda: Options(shift=list(sweep), clahe_only=True,
+                            output_dir=outdir),
+            dict(shifts=sweep, clahe_only=True),
+        )
     if n == 4:  # protus mode
-        opts = Options(shift=[0], transversalium=False, flip_x=True,
-                       fixed_width=1800, img_rotate=90, disk_display=True,
-                       output_dir=outdir)
-        t0 = time.perf_counter()
-        process_file(SCAN, opts)
-        return {"metric": "config4_protus_mode",
-                "value": round(time.perf_counter() - t0, 2), "unit": "s"}
+        return paired_result(
+            "config4_protus_mode",
+            lambda: Options(shift=[0], transversalium=False, flip_x=True,
+                            fixed_width=1800, img_rotate=90,
+                            disk_display=True, output_dir=outdir),
+            dict(shifts=[0], protus=True, flip_x=True, fixed_width=1800,
+                 img_rotate=90),
+        )
     if n == 5:  # folder batch over 50 mixed SER+AVI scans (BASELINE spec)
         folder = os.path.join(BENCH_DIR, "batch50")
         _ensure_mixed_batch(folder, 50)
         files = sorted(os.listdir(folder))
+        fresh_dirs()
         opts = Options(shift=[0], clahe_only=True, input_dir=folder,
                        output_dir=outdir)
         t0 = time.perf_counter()
@@ -318,10 +360,32 @@ def run_config(n: int) -> dict:
         dt = time.perf_counter() - t0
         # throughput over files actually processed, not directory entries
         total_frames = _BATCH_FRAMES * done
-        return {"metric": "config5_folder_batch_50_mixed",
-                "value": round(dt, 2), "unit": "s", "files": done,
-                "files_in_folder": len(files),
-                "aggregate_frames_per_s": round(total_frames / dt, 1)}
+        out = {"metric": "config5_folder_batch_50_mixed",
+               "value": round(dt, 2), "unit": "s", "files": done,
+               "files_in_folder": len(files),
+               "aggregate_frames_per_s": round(total_frames / dt, 1)}
+        if paired:
+            # live paired CPU replica over the same corpus (the reference's
+            # Pool(4) degenerates to sequential on this 1-core host)
+            from solex_ser_recon_en_tpu.utils.cpu_reference import (
+                cpu_pipeline as _cp,
+            )
+            t0 = time.perf_counter()
+            cpu_done = 0
+            for f in files:
+                try:
+                    _cp(os.path.join(folder, f), [0], clahe_only=True,
+                        save_dir=cpudir)
+                    cpu_done += 1
+                except Exception:
+                    pass
+            cpu_dt = time.perf_counter() - t0
+            if cpu_done:
+                # normalise to per-file cost in case of skips
+                cpu_total = cpu_dt * (done / cpu_done)
+                out["cpu_reference_s"] = round(cpu_total, 2)
+                out["vs_baseline"] = round(cpu_total / dt, 2)
+        return out
     raise SystemExit(f"unknown config {n}")
 
 

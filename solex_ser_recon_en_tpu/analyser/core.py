@@ -183,7 +183,23 @@ class SpectralAnalyser:
         self.frames = vid.read_all()
         self.ih, self.iw = vid.ih, vid.iw
         self.header = make_header(self.iw, self.ih)
-        mean_img, max_img = mean_max(self.frames)
+        # One feed decision per session (the pipeline's feed policy,
+        # io/feeder.py): on a fast link the slab is uploaded ONCE and every
+        # preview/GOTO/save reuses the device copy; on a slow link nothing
+        # is uploaded and the recon runs as host f64 gathers — the
+        # reference re-reads the whole video per refresh instead
+        # (spectralAnalyserUI.py:340-362).
+        self._frames_dev = None
+        self.transfer_count = 0  # session slab uploads (tests assert <= 1)
+        self._recon_mode = self._pick_recon_mode()
+        if self._recon_mode == "device":
+            mean_img, max_img = mean_max(self._device_frames())
+        else:
+            # bit-exact host mean/max (uint64 sum, reference truncation)
+            f = self.frames
+            acc = f.astype(np.uint64).sum(axis=0)
+            mean_img = (acc / f.shape[0]).astype(np.uint16)
+            max_img = f.max(axis=0)
         self.mean_img = mean_img
         lf = fit_spectral_line(mean_img, max_img)
         self.linefit = lf
@@ -200,13 +216,7 @@ class SpectralAnalyser:
 
         circle, borders = NO_CIRCLE, [0, 0, 0, 0]
         if self.options.ratio_fixe is None and self.options.slant_fix is None:
-            disks = np.asarray(
-                reconstruct(
-                    self.frames, lf.floor, lf.frac,
-                    [self.options.ellipse_fit_shift],
-                )
-            )
-            disk = disks[0][:, ::-1] if self.options.flip_x else disks[0]
+            disk = self._recon_at(self.options.ellipse_fit_shift)
             geo = ellipse_to_circle(disk)
             circle, borders = geo.circle, geo.borders
             self.options.ratio_fixe = geo.ratio
@@ -248,11 +258,63 @@ class SpectralAnalyser:
             raise ValueError("find_dispersion first")
         return anchor_wavelength + shift * self.dispersion
 
+    # -- recon source (one slab transfer per session) -------------------
+    def _pick_recon_mode(self) -> str:
+        """'device' (one cached HBM upload) or 'host' (f64 gathers, zero
+        upload) — decided once per session from the feed policy."""
+        fm = getattr(self.options, "feed_mode", "auto")
+        if fm == "host":
+            return "host"
+        if fm in ("device", "band"):
+            return "device"
+        nbytes = self.frames.nbytes
+        if nbytes <= 64 * 1024 * 1024:
+            return "device"  # small slab: upload cost is trivial either way
+        from ..io.feeder import cached_probe_rate, probe_transfer_rate
+
+        rate = cached_probe_rate()
+        if rate is None:
+            rate = probe_transfer_rate()
+        return "device" if nbytes / max(rate, 1.0) <= 2.0 else "host"
+
+    def _device_frames(self):
+        if self._frames_dev is None:
+            self._frames_dev = jax.device_put(self.frames)
+            self.transfer_count += 1
+        return self._frames_dev
+
+    def _host_recon(self, shifts) -> np.ndarray:
+        """Host f64 multi-shift recon over the in-RAM slab — the
+        io/hostreduce.py math (reference solex_util.py:113-134 exact) on
+        already-normalised frames."""
+        from ..ops.recon import build_shift_indices
+
+        ind_l, _ = build_shift_indices(
+            self.linefit.floor, self.linefit.frac, list(shifts), self.iw
+        )
+        w_l = 1.0 - np.asarray(self.linefit.frac, dtype=np.float64)
+        w_r = np.asarray(self.linefit.frac, dtype=np.float64)
+        rows = np.arange(self.ih)
+        F = self.frames.shape[0]
+        out = np.empty((len(shifts), self.ih, F), np.uint16)
+        for si in range(len(shifts)):
+            left = self.frames[:, rows, ind_l[si]]         # (F, ih)
+            right = self.frames[:, rows, ind_l[si] + 1]
+            vals = left * w_l + right * w_r                # float64
+            out[si] = vals.T                               # truncating u16
+        return out
+
     # -- preview / save (reference :340-362, :374-388) ------------------
     def _recon_at(self, shift: int) -> np.ndarray:
-        disks = np.asarray(
-            reconstruct(self.frames, self.linefit.floor, self.linefit.frac, [shift])
-        )
+        if self._recon_mode == "host":
+            disks = self._host_recon([shift])
+        else:
+            disks = np.asarray(
+                reconstruct(
+                    self._device_frames(),
+                    self.linefit.floor, self.linefit.frac, [shift],
+                )
+            )
         return disks[0][:, ::-1] if self.options.flip_x else disks[0]
 
     def preview(self, shift: int):

@@ -16,16 +16,22 @@ from ..io.fits import write_fits
 from ..io.png import write_png, write_png_streaming
 
 
-def _save_png(path: str, img) -> None:
-    """PNG write that overlaps the device->host pull with the encode.
-
-    Device-resident products stream through io/png.py's banded writer (the
-    8.6 MB download is the products stage's longest serial piece on slow
-    links); host arrays take the classic cv2/PIL path."""
+def _save_png_sync(path: str, img) -> None:
     if hasattr(img, "copy_to_host_async"):
         write_png_streaming(path, img)
     else:
         write_png(path, np.asarray(img))
+
+
+def _save_png(path: str, img) -> None:
+    """PNG write, queued on the writer pool (io/writers.py) so the four
+    product PNGs overlap each other's pulls/encodes; each write still
+    overlaps its own device->host pull with the encode via io/png.py's
+    banded streaming writer.  pipeline/run.py joins the pool before
+    returning."""
+    from ..io.writers import submit
+
+    submit(_save_png_sync, path, img)
 
 
 
@@ -203,15 +209,21 @@ def image_process(
         x0, y0 = int(circle[0]), int(circle[1])
         r = int(circle[2]) + options.delta_radius
         if r > 0:
-            frame_protus = jnp.asarray(
-                _protus_disc(np.asarray(frame_protus), x0, y0, r)
-            )
+            # the disc is painted on host (cv2); KEEP it host-side — the
+            # image's only remaining consumers (rot90 + PNG encode/display)
+            # run fine on numpy, so re-uploading just to rot90 on device
+            # and download again would cost two extra link trips
+            frame_protus = _protus_disc(np.asarray(frame_protus), x0, y0, r)
 
     k = options.img_rotate // 90
     if k:
         frame_raw = jnp.rot90(frame_raw, k, axes=(0, 1))
         frame_hc = jnp.rot90(frame_hc, k, axes=(0, 1))
-        frame_protus = jnp.rot90(frame_protus, k, axes=(0, 1))
+        frame_protus = (
+            np.rot90(frame_protus, k)
+            if isinstance(frame_protus, np.ndarray)
+            else jnp.rot90(frame_protus, k, axes=(0, 1))
+        )
         cc = jnp.rot90(cc, k, axes=(0, 1))
 
     if save and not options._nolog:
@@ -236,7 +248,12 @@ def image_process(
             tempo_ms=options.tempo,
         )
     if save and options.save_fit:
-        write_fits(output_path(basefich + "_clahe.fits", options), np.asarray(cl1), header)
+        from ..io.writers import submit
+
+        submit(
+            write_fits, output_path(basefich + "_clahe.fits", options),
+            cl1, header,
+        )
     # device arrays pass through — callers pull host bytes on demand, so a
     # clahe_only run never pays the protus download
     return cc, frame_protus

@@ -312,7 +312,12 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         mean_img, max_img = jax.block_until_ready((mean_img, max_img))
 
     if options.save_fit:
-        write_fits(output_path(basefich0 + "_mean.fits", options), mean_img, hdr)
+        from ..io.writers import submit as submit_write
+
+        submit_write(
+            write_fits, output_path(basefich0 + "_mean.fits", options),
+            mean_img, hdr,
+        )
 
     with timer.stage("line fit"):
         lf = fit_spectral_line(mean_img, max_img)
@@ -320,8 +325,12 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     log("Spectral line polynomial fit: " + str(lf.poly))
 
     if not options.clahe_only and not options.protus_only and not options._nolog:
-        save_spectral_line_plot(
-            output_path(basefich0 + "_spectral_line_data.png", options), mean_img, lf
+        from ..io.writers import submit as submit_write
+
+        submit_write(
+            save_spectral_line_plot,
+            output_path(basefich0 + "_spectral_line_data.png", options),
+            mean_img, lf,
         )
 
     with timer.stage("recon"):
@@ -497,10 +506,15 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         disk_list, list
     ) else disk_list.shape[2]
     if options.save_fit:
+        from ..io.writers import submit as submit_write
+
         for i, s in enumerate(shifts):
             if s in requested:
                 base = basefich0 + f"_shift={s}"
-                write_fits(output_path(base + "_raw.fits", options), disk_list[i], hdr)
+                submit_write(
+                    write_fits, output_path(base + "_raw.fits", options),
+                    disk_list[i], hdr,
+                )
 
     return ScanResult(
         disk_list=disk_list,
@@ -539,9 +553,12 @@ def single_image_process(
 
     reference: Solex_recon.py:136-174.
     """
+    from ..io.writers import submit as submit_write
+
     if save and options.save_fit:
-        write_fits(
-            output_path(basefich + "_circular.fits", options), np.asarray(frame), hdr
+        submit_write(
+            write_fits,
+            output_path(basefich + "_circular.fits", options), frame, hdr,
         )
 
     if options.transversalium:
@@ -580,8 +597,10 @@ def single_image_process(
                 stubborn=options.stubborn_transversalium,
             )
         if show_plot:
-            save_transversalium_plot(
-                output_path(basefich + "_transversalium_correction.png", options), c
+            submit_write(
+                save_transversalium_plot,
+                output_path(basefich + "_transversalium_correction.png", options),
+                c,
             )
         if fuse:
             return image_process(
@@ -591,10 +610,10 @@ def single_image_process(
         detrans = frame
 
     if save and options.save_fit and options.transversalium:
-        write_fits(
+        submit_write(
+            write_fits,
             output_path(basefich + "_detransversaliumed.fits", options),
-            np.asarray(detrans),
-            hdr,
+            detrans, hdr,
         )
 
     if options.fixed_width is not None or options.crop_width_square:
@@ -716,7 +735,10 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
                     and not options.protus_only
                     and not options._nolog
                 ):
-                    save_ellipse_fit_plot(
+                    from ..io.writers import submit as submit_write
+
+                    submit_write(
+                        save_ellipse_fit_plot,
                         output_path(basefich + "_ellipse_fit.png", options),
                         scan.disk_list[i],
                         geo,
@@ -782,6 +804,12 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
             results.extend(
                 _finish_sweep(pending_sweep, scan, options, circle, borders, log)
             )
+    # join the overlapped product-file writes: on return every file exists
+    # (and worker errors surface here, attributed to this scan)
+    from ..io.writers import barrier as write_barrier
+
+    with timer.stage("products"):
+        write_barrier()
     return results
 
 
@@ -804,10 +832,13 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
         stack = jnp.clip(stack, 0, 65535)
     stack = stack.astype(jnp.uint16)
 
+    from ..io.writers import submit as submit_write
+
     if options.save_fit:
         host_stack = np.asarray(stack)  # one bulk pull for all K writes
         for k, (_, basefich, _) in enumerate(pending):
-            write_fits(
+            submit_write(
+                write_fits,
                 output_path(basefich + "_circular.fits", options),
                 host_stack[k], scan.header,
             )
@@ -838,14 +869,16 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
         host_detrans = np.asarray(detrans) if options.save_fit else None
         for k, (_, basefich, _) in enumerate(pending):
             if show_plots:
-                save_transversalium_plot(
+                submit_write(
+                    save_transversalium_plot,
                     output_path(
                         basefich + "_transversalium_correction.png", options
                     ),
                     gains[k],
                 )
             if host_detrans is not None:
-                write_fits(
+                submit_write(
+                    write_fits,
                     output_path(basefich + "_detransversaliumed.fits", options),
                     host_detrans[k], scan.header,
                 )
@@ -870,5 +903,12 @@ def process_file(file: str, options: Options, timer: Optional[StageTimer] = None
     multiple files must pass per-file copies (SHG_MAIN.py:129 semantics).
     """
     timer = timer or StageTimer()
-    scan = read_scan(file, options, timer)
-    return process_scan(scan, options, timer)
+    from ..io.writers import barrier as write_barrier
+
+    try:
+        scan = read_scan(file, options, timer)
+        return process_scan(scan, options, timer)
+    finally:
+        # process_scan already joined on success; this covers error paths
+        # so a failing scan never leaks queued writes into the next file
+        write_barrier()

@@ -57,8 +57,49 @@ class _StreamingReader:
         return img
 
 
+class _AviStreamingReader:
+    """cv2.VideoCapture-backed replica source (video_reader.py:68-80,
+    111-113): grayscale-converted, forced 8-bit, upscaled x256."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise ValueError(f"cannot open AVI {path}")
+        w = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.frame_count = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._rotate = w > h
+        self.ih, self.iw = max(w, h), min(w, h)
+        self._idx = 0
+
+    def has_frames(self) -> bool:
+        return self._idx < self.frame_count
+
+    def next_frame(self) -> np.ndarray:
+        import cv2
+
+        ok, img = self._cap.read()
+        self._idx += 1
+        if not ok:
+            self._idx = self.frame_count
+            raise ValueError("short AVI read")
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        if self._rotate:
+            img = np.rot90(img)
+        return np.asarray(img, dtype="uint16") * 256
+
+
+def _make_reader(path: str):
+    if path.lower().endswith(".avi"):
+        return _AviStreamingReader(path)
+    return _StreamingReader(path)
+
+
 def cpu_mean_max(path: str):
-    rdr = _StreamingReader(path)
+    rdr = _make_reader(path)
     acc = np.zeros((rdr.ih, rdr.iw), dtype="uint64")
     mx = np.zeros((rdr.ih, rdr.iw), dtype="uint16")
     while rdr.has_frames():
@@ -93,7 +134,7 @@ def cpu_line_fit(mean_img: np.ndarray, max_img: np.ndarray):
 
 def cpu_recon(path: str, fit: np.ndarray, shifts: List[int]):
     """The reference hot loop (solex_util.py:113-144)."""
-    rdr = _StreamingReader(path)
+    rdr = _make_reader(path)
     ih, iw = rdr.ih, rdr.iw
     disks = [np.zeros((ih, rdr.frame_count), dtype="uint16") for _ in shifts]
     cols = []
@@ -115,7 +156,7 @@ def cpu_recon(path: str, fit: np.ndarray, shifts: List[int]):
     return disks
 
 
-def cpu_products(disk: np.ndarray):
+def cpu_products(disk: np.ndarray, protus: bool = False):
     import cv2
 
     cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(disk)
@@ -124,15 +165,157 @@ def cpu_products(disk: np.ndarray):
     bright_c = np.max(cl1)
     cc = (65535.0 * (cl1 - dark_c) / max(bright_c - dark_c, 1)).clip(0, 65535)
     hc = (65535.0 * (disk - bright * 0.25) / max(bright * 0.75, 1)).clip(0, 65535)
+    if protus:
+        # protus stretch (solex_util.py:541) + disc fill (:542-547); the
+        # disc is painted at the frame centre here (the replica has no
+        # ellipse fit), same rasterisation cost
+        fp = (65535.0 * disk / max(bright * 0.18, 1)).clip(0, 65535)
+        fp = fp.astype(np.uint16)
+        h, w = fp.shape
+        cv2.circle(fp, (w // 2, h // 2), int(0.4 * min(h, w)), 80, -1)
+        return cc.astype(np.uint16), hc.astype(np.uint16), fp
     return cc.astype(np.uint16), hc.astype(np.uint16)
 
 
-def cpu_pipeline(path: str, shifts: List[int]) -> float:
-    """Run the replica end-to-end; returns elapsed seconds."""
+def cpu_detect_bounds(max_img: np.ndarray):
+    """detect_bord's vertical band (solex_util.py:165-172) — the
+    transversalium backup bounds (Solex_recon.py:145-146)."""
+    import cv2
+
+    blur = cv2.blur(max_img, ksize=(5, 5))
+    ymean = np.mean(blur, axis=1)
+    th = np.median(ymean) / 5
+    where = ymean > th
+    y1 = int(np.argmax(where))
+    y2 = int(max_img.shape[0] - 1 - np.argmax(where[::-1]))
+    return y1 + 20, y2 - 20
+
+
+def cpu_transversalium(disk: np.ndarray, y1: int, y2: int,
+                       trans_strength: int = 301) -> np.ndarray:
+    """correct_transversalium2 replica (solex_util.py:383-516): a Python
+    per-row loop over the band computing the MAD-outlier-rejected mean of
+    the row-pair log ratio (the reference's cost structure), then savgol
+    detrend, cumulative sum, Tukey taper and the per-row multiply."""
+    from scipy.signal import savgol_filter
+
+    from ..pipeline.transversalium import tukey_taper
+
+    h, w = disk.shape
+    y1 = max(y1, 1)
+    y2 = min(y2, h)
+    f = np.maximum(disk.astype(np.float64), 1.0)
+    mean_r = np.zeros(h)
+    for y in range(y1 + 1, y2):         # reference loops rows in Python
+        rat = np.log(f[y] / f[y - 1])
+        med = np.median(rat)
+        d = np.abs(rat - med)
+        mdev = np.median(d)
+        s = d / mdev if mdev else np.zeros_like(d)
+        kept = rat[s < 2.0]
+        mean_r[y] = kept.mean() if kept.size else 0.0
+
+    band = np.zeros(y2 - y1)
+    band[1:] = mean_r[y1 + 1 : y2]
+    n = len(band)
+    if n < 7:
+        return disk
+    window = min(trans_strength, n // 2 * 2 - 1)
+    trend = savgol_filter(band, window, 3)
+    det = band - trend
+    det -= det.mean()
+    corr = np.exp(-np.cumsum(det))
+    corr_t = 1.0 + (corr - 1.0) * tukey_taper(n)
+    c = np.ones(h)
+    c[y1:y2] = corr_t
+    return np.clip(disk.astype(np.float64) * c[:, None], 0, 65535).astype(
+        np.uint16
+    )
+
+
+def cpu_crop_width(disk: np.ndarray, fixed_width: int) -> np.ndarray:
+    """Fixed-width crop/pad around the frame centre (Solex_recon.py:155-171
+    cost replica — no fitted circle here, so centre = w/2)."""
+    h, w = disk.shape
+    nw2 = fixed_width // 2
+    cx = w // 2
+    out = np.full((h, fixed_width), disk[0, 0], dtype=disk.dtype)
+    lo, hi = max(0, cx - nw2), min(cx + nw2, w)
+    out[:, : hi - lo] = disk[:, lo:hi]
+    return out
+
+
+def cpu_pipeline(
+    path: str,
+    shifts: List[int],
+    *,
+    transversalium: bool = False,
+    save_dir: str = None,
+    save_fits: bool = False,
+    protus: bool = False,
+    img_rotate: int = 0,
+    flip_x: bool = False,
+    fixed_width: int = None,
+    clahe_only: bool = False,
+) -> float:
+    """Run the replica end-to-end; returns elapsed seconds.
+
+    The keyword extensions replicate the extra work of BASELINE configs
+    2-5 (transversalium + the five FITS writes; protus paint + rotate +
+    fixed-width crop; multi-shift product loops).  Deliberately
+    conservative: the ellipse fit and circularisation warp are NOT
+    replicated (the replica's denominator undercounts the reference's
+    true cost), so paired speedups are lower bounds.
+    """
+    import os
+
     t0 = time.perf_counter()
     mean_img, max_img = cpu_mean_max(path)
     fit = cpu_line_fit(mean_img, max_img)
+    base = (
+        os.path.join(save_dir, os.path.splitext(os.path.basename(path))[0])
+        if save_dir
+        else None
+    )
+
+    def fits(name, arr):
+        if base and save_fits:
+            from ..io.fits import write_fits
+
+            write_fits(base + name, np.asarray(arr))
+
+    def png(name, arr):
+        if base:
+            import cv2
+
+            cv2.imwrite(base + name, np.asarray(arr))
+
+    fits("_mean.fits", mean_img)
     disks = cpu_recon(path, fit, shifts)
-    for d in disks:
-        cpu_products(d)
+    if flip_x:
+        disks = [d[:, ::-1] for d in disks]
+    for i, d in enumerate(disks):
+        tag = f"_shift={shifts[i]}"
+        fits(tag + "_raw.fits", d)
+        fits(tag + "_circular.fits", d)   # warp omitted; same write cost
+        if transversalium:
+            y1, y2 = cpu_detect_bounds(max_img)
+            d = cpu_transversalium(d, y1, y2)
+            fits(tag + "_detransversaliumed.fits", d)
+        if fixed_width is not None:
+            d = cpu_crop_width(d, fixed_width)
+        prods = cpu_products(d, protus=protus)
+        cc, hc = prods[0], prods[1]
+        k = img_rotate // 90
+        if k:
+            prods = tuple(np.rot90(p, k) for p in prods)
+            cc, hc = prods[0], prods[1]
+        fits(tag + "_clahe.fits", cc)
+        png(tag + "_clahe.png", cc)
+        if not clahe_only:
+            # solex_util.py:556-566 — the full product set
+            if protus:
+                png(tag + "_protus.png", prods[2])
+            png(tag + "_uncontrasted.png", np.rot90(d, k) if k else d)
+            png(tag + "_high_contrast.png", hc)
     return time.perf_counter() - t0

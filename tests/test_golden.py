@@ -60,6 +60,52 @@ def test_disks_match_reference_loop(golden_scan):
         assert (diff > 0).mean() < 0.02
 
 
+def test_cpu_replica_config_extensions(golden_scan, tmp_path):
+    """The bench's per-config CPU replicas (transversalium, FITS/PNG
+    writes, protus paint, rotate, fixed-width crop, multi-shift) run and
+    emit the same product set the TPU configs write — keeps the paired
+    vs_baseline denominators honest."""
+    out = tmp_path / "rep"
+    out.mkdir()
+    dt = ref.cpu_pipeline(
+        golden_scan, [0], transversalium=True, save_dir=str(out),
+        save_fits=True, protus=True, img_rotate=90, fixed_width=200,
+    )
+    assert dt > 0
+    names = {p.name for p in out.iterdir()}
+    assert {"g_mean.fits", "g_shift=0_raw.fits", "g_shift=0_circular.fits",
+            "g_shift=0_detransversaliumed.fits", "g_shift=0_clahe.fits",
+            "g_shift=0_clahe.png", "g_shift=0_protus.png",
+            "g_shift=0_uncontrasted.png",
+            "g_shift=0_high_contrast.png"} <= names
+    # multi-shift sweep replica: one product set per shift, no files
+    assert ref.cpu_pipeline(golden_scan, [-2, 0, 2]) > 0
+
+
+def test_cpu_replica_avi_reader(tmp_path):
+    """AVI scans route through the cv2.VideoCapture replica source
+    (video_reader.py:68-80 semantics), matching the SER replica on the
+    same underlying frames."""
+    cv2 = pytest.importorskip("cv2")
+    scan = SyntheticScan(ih=96, iw=48, frames=40, depth=16,
+                         line_poly=(22.0, 0.01, 0.0, 0.0), seed=3)
+    base = scan.generate()
+    frames8 = (base >> 8).astype(np.uint8)
+    h, w = frames8.shape[1:]
+    path = str(tmp_path / "a.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"Y800"), 30,
+                         (w, h), isColor=False)
+    if not vw.isOpened():
+        pytest.skip("no AVI encoder in this cv2 build")
+    for f in frames8:
+        vw.write(f)
+    vw.release()
+    mean_a, max_a = ref.cpu_mean_max(path)
+    assert mean_a.shape == (max(h, w), min(h, w))
+    assert max_a.max() > 0
+    assert ref.cpu_pipeline(path, [0]) > 0
+
+
 def test_products_match_reference_cv2(golden_scan):
     import jax.numpy as jnp
 

@@ -143,10 +143,13 @@ def test_crop_width_fixed_and_square():
 
 
 def test_image_process_writes_products(tmp_path):
+    from solex_ser_recon_en_tpu.io.writers import barrier
+
     img, circle, _ = _striped_disk()
     opts = Options(save_fit=True)
     base = str(tmp_path / "scan_shift=0")
     cc, protus = image_process(img, circle, opts, header={"NAXIS1": 1}, basefich=base)
+    barrier()  # image_process queues writes; pipeline callers join for us
     for suffix in ("_clahe.png", "_protus.png", "_uncontrasted.png",
                    "_high_contrast.png", "_clahe.fits"):
         assert os.path.exists(base + suffix), suffix
@@ -156,6 +159,7 @@ def test_image_process_writes_products(tmp_path):
     base2 = str(tmp_path / "b_shift=0")
     opts2 = Options(clahe_only=True)
     image_process(img, circle, opts2, basefich=base2)
+    barrier()
     assert os.path.exists(base2 + "_clahe.png")
     assert not os.path.exists(base2 + "_protus.png")
 
