@@ -1,0 +1,101 @@
+"""Real-toolkit GUI smoke test (VERDICT r2 item 6).
+
+The stub suite (tests/test_gui_windows.py) drives every window's logic
+through a scriptable FreeSimpleGUI stand-in; this module attempts the same
+window construction against the REAL toolkit and records the environment
+blocker when it cannot.
+
+Environment status in this image (recorded 2026-08-17):
+- ``FreeSimpleGUI`` is not installed and installing packages is not
+  permitted in this build environment.
+- ``tkinter`` (its backend) is also absent — CPython here was built
+  without the _tkinter module and there is no system Tcl/Tk, so even
+  vendoring FreeSimpleGUI (pure Python) could not open a window.
+- There is no display server (DISPLAY/WAYLAND_DISPLAY unset); a real
+  window could only be exercised under xvfb, which is likewise absent.
+
+The tests below therefore skip with precise reasons when the toolkit is
+missing, but run for real the moment the environment provides it — they
+are the round-3 deliverable "window construction + one event round-trip
+on real tkinter, or a recorded environment blocker".
+"""
+
+import os
+
+import pytest
+
+
+def _real_gui_blockers():
+    blockers = []
+    try:
+        import tkinter  # noqa: F401
+    except Exception as e:
+        blockers.append(f"tkinter unavailable ({e})")
+    try:
+        import FreeSimpleGUI  # noqa: F401
+    except Exception as e:
+        blockers.append(f"FreeSimpleGUI unavailable ({e})")
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        blockers.append("no display server (DISPLAY/WAYLAND_DISPLAY unset)")
+    return blockers
+
+
+BLOCKERS = _real_gui_blockers()
+
+
+def test_environment_blocker_is_accurately_recorded():
+    """The docstring's recorded blockers must match this environment —
+    if the image ever gains tkinter/FreeSimpleGUI/a display, this fails
+    and the real smoke tests below start running instead of skipping."""
+    doc = __doc__
+    try:
+        import tkinter  # noqa: F401
+        has_tk = True
+    except Exception:
+        has_tk = False
+    if not has_tk:
+        assert "tkinter" in doc and "absent" in doc
+    else:
+        # environment changed: the real tests below must now execute
+        assert not any("tkinter" in b for b in BLOCKERS)
+
+
+@pytest.mark.skipif(bool(BLOCKERS), reason="; ".join(BLOCKERS))
+def test_real_toolkit_window_round_trip():
+    """Window construction + one event round-trip on the REAL toolkit:
+    a minimal layout using the same widget kinds the main window builds
+    (Text/InputText/Checkbox/Button), read with a timeout event."""
+    import FreeSimpleGUI as sg
+
+    layout = [
+        [sg.Text("Pixel shift"), sg.InputText("0", key="-w-", size=(8, 1))],
+        [sg.Checkbox("Show graphics", key="-d-")],
+        [sg.Button("OK"), sg.Button("Cancel")],
+    ]
+    win = sg.Window("smoke", layout, finalize=True)
+    try:
+        win["-w-"].update("5")
+        event, values = win.read(timeout=50)
+        assert values["-w-"] == "5"
+        assert values["-d-"] is False
+    finally:
+        win.close()
+
+
+@pytest.mark.skipif(bool(BLOCKERS), reason="; ".join(BLOCKERS))
+def test_input_ui_quit_on_real_toolkit(monkeypatch):
+    """Drive the REAL main window through input_ui: close immediately via
+    an injected WIN_CLOSED read (same entry the stub suite exercises)."""
+    import FreeSimpleGUI as sg
+
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.gui import main_window
+
+    orig_window = sg.Window
+
+    class AutoClose(orig_window):
+        def read(self, *a, **k):
+            return sg.WIN_CLOSED, None
+
+    monkeypatch.setattr(sg, "Window", AutoClose)
+    assert main_window.input_ui(Options()) is None
