@@ -48,6 +48,92 @@ def target_table() -> Tuple[List[float], List[str], List[str]]:
     return load_lines(os.path.join(_DATA_DIR, "line_targets.txt"))
 
 
+# Auto-dispersion correlates a ±(W/2·disp) window around the chosen anchor
+# against the atlas with the anchor line itself EXCLUDED (reference
+# spectralAnalyserUI.py:272-300) — so the scale lock comes entirely from
+# the WEAKER lines surrounding each anchor.  Those neighbourhoods must
+# therefore carry real solar structure, not an invented line forest.
+# 300 px at the 0.12 Å/px search ceiling spans ±18 Å; ±25 Å covers it.
+ANCHOR_WINDOW = 25.0
+
+
+def line_table_from_atlas(
+    atlas: "SolarAtlas",
+    centers: Optional[List[float]] = None,
+    window: float = ANCHOR_WINDOW,
+    min_depth: float = 0.12,
+) -> List[Tuple[float, float, float]]:
+    """Distil a measured solar atlas into a (wavelength, depth, sigma) line
+    table around the analyser's anchor windows.
+
+    This is the reproducible provenance of ``data/anchor_lines.txt``: point
+    it at any public disk-integrated atlas export in the alps.npz schema
+    (e.g. the BASS2000/Meudon spectrum) and it extracts the prominent
+    absorption minima — positions, depths relative to the local continuum,
+    and half-depth widths.  These are physical measurements of the Sun
+    (plus telluric O2/H2O), not creative content; shipping them as a table
+    keeps the generated atlas's anchor neighbourhoods faithful to real
+    solar structure, which is what correlation-based dispersion search
+    locks onto.
+    """
+    if centers is None:
+        centers = sorted(set(anchor_table()[0]))
+    w, y = atlas.wavelengths, atlas.intensity
+    out: List[Tuple[float, float, float]] = []
+    for c in centers:
+        m = (w >= c - window) & (w <= c + window)
+        seg, ww = y[m], w[m]
+        n = len(seg)
+        for i in range(5, n - 5):
+            if not (seg[i] == seg[i - 5 : i + 6].min()
+                    and seg[i] < seg[i - 5 : i + 6].max()):
+                continue
+            lo, hi = max(0, i - 200), min(n, i + 200)
+            cont = float(np.percentile(seg[lo:hi], 95))
+            depth = 1.0 - seg[i] / max(cont, 1e-9)
+            if depth < min_depth:
+                continue
+            half = seg[i] + 0.5 * (cont - seg[i])
+            l = i
+            while l > 0 and seg[l] < half:
+                l -= 1
+            r = i
+            while r < n - 1 and seg[r] < half:
+                r += 1
+            sigma = min(1.2, max(0.03, (r - l) * atlas.step / 2.355))
+            out.append((float(ww[i]), min(0.95, float(depth)), sigma))
+    # overlapping anchor windows (Ca H/K, Na D) see the same minima twice;
+    # keep the deepest of near-coincident entries
+    out.sort()
+    ded: List[Tuple[float, float, float]] = []
+    for lam, d, s in out:
+        if ded and abs(ded[-1][0] - lam) < 0.1:
+            if d > ded[-1][1]:
+                ded[-1] = (lam, d, s)
+        else:
+            ded.append((lam, d, s))
+    return ded
+
+
+def load_anchor_lines() -> List[Tuple[float, float, float]]:
+    """Curated (wavelength, depth, sigma) table for the anchor windows
+    (``data/anchor_lines.txt``, written by ``line_table_from_atlas``).
+    Empty when the file is absent."""
+    path = os.path.join(_DATA_DIR, "anchor_lines.txt")
+    out: List[Tuple[float, float, float]] = []
+    if not os.path.exists(path):
+        return out
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 3:
+                out.append((float(parts[0]), float(parts[1]), float(parts[2])))
+    return out
+
+
 @dataclass
 class SolarAtlas:
     """wavelengths[i] = first + i*step (Å); intensity in [0, 1]."""
@@ -204,6 +290,26 @@ class SolarAtlas:
         for c, d, s, g, e in strong:
             absorb(c, d, s, g, e)
 
+        # --- curated anchor-window lines (measured solar structure) ---
+        # Auto-dispersion excludes the anchor line itself from the
+        # correlation, so the scale lock lives in the weaker lines around
+        # each anchor — those must sit at REAL positions/depths or scans
+        # rendered from this atlas cannot cross-correlate against a
+        # measured atlas (tests/test_atlas_dispersion.py).  The curated
+        # table (data/anchor_lines.txt, via line_table_from_atlas) carries
+        # that structure; within its windows the random forest and the
+        # hand-placed telluric combs are suppressed in favour of it.
+        curated = load_anchor_lines()
+        curated_centers = sorted(set(anchor_table()[0]))
+
+        def in_curated_window(lam: float) -> bool:
+            return any(abs(lam - c) <= ANCHOR_WINDOW for c in curated_centers)
+
+        strong_pos = np.array([c for c, *_ in strong])
+        for c, d, s in curated:
+            if first <= c <= last and not np.any(np.abs(strong_pos - c) < 0.8):
+                absorb(c, d, s)
+
         rng = np.random.default_rng(seed)
         # --- metal-line forest: density falls toward the red like the Sun's
         n_forest = 24000
@@ -212,6 +318,8 @@ class SolarAtlas:
         depths = np.minimum(0.85, rng.exponential(0.12, n_forest) + 0.02)
         sigmas = rng.uniform(0.035, 0.14, n_forest)
         for c, d, s in zip(lam, depths, sigmas):
+            if curated and in_curated_window(float(c)):
+                continue
             absorb(float(c), float(d), float(s))
         # --- telluric bands: sharp, quasi-regular combs ---
         for head, tail, spacing, dmax in (
@@ -226,7 +334,8 @@ class SolarAtlas:
             while c < tail:
                 jitter = rng.uniform(-0.08, 0.08)
                 d = dmax * (0.35 + 0.65 * rng.random())
-                absorb(c + jitter, d, 0.035)
+                if not (curated and in_curated_window(c)):
+                    absorb(c + jitter, d, 0.035)
                 k += 1
                 c = head + spacing * k * (1 + 0.004 * k)  # band-head spread
         inten = cont * trans
