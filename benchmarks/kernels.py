@@ -73,10 +73,23 @@ def main() -> None:
             out[0].astype(jnp.uint32)
         )
 
-    bench("fused pallas step (mean+max+recon, S=2)",
-          lambda: ck(shg_fused_pallas(slab, ind_l, left_w)))
+    bench("fused pallas step VPU (mean+max+recon, S=2)",
+          lambda: ck(shg_fused_pallas(slab, ind_l, left_w, mxu=False)))
+    bench("fused pallas step MXU (mean+max+recon, S=2)",
+          lambda: ck(shg_fused_pallas(slab, ind_l, left_w, mxu=True)))
     bench("XLA step (reductions + one-hot matmul)",
           lambda: ck(shg_forward_xla(slab, ind_l, left_w)))
+
+    # large Doppler sweep: where the VPU mask-reduce's O(S) scaling bites
+    sweep = list(range(-10, 11, 3))  # S=7
+    ind7, w7 = build_shift_indices(fl, curve - fl, sweep, iw)
+    ind7, w7 = jax.device_put(ind7), jax.device_put(w7)
+    bench(f"fused pallas step VPU (S={len(sweep)})",
+          lambda: ck(shg_fused_pallas(slab, ind7, w7, mxu=False)))
+    bench(f"fused pallas step MXU (S={len(sweep)})",
+          lambda: ck(shg_fused_pallas(slab, ind7, w7, mxu=True)))
+    bench(f"XLA step (S={len(sweep)})",
+          lambda: ck(shg_forward_xla(slab, ind7, w7)))
     bench("recon only: one-hot MXU matmul",
           lambda: jnp.sum(_recon_onehot(slab, ind_l, left_w, iw=iw)
                           .astype(jnp.uint32)))

@@ -39,9 +39,10 @@ def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
     Kernel selection (measured on v5e, 2000x2048x300 slab, honest
     host-checksum sync): the fused single-HBM-pass Pallas kernel
     (ops/fused_pallas.py) wins for small shift sets (26.2 vs 31.4 ms at
-    S=2) but its VPU mask-reduce scales with S while the XLA one-hot
-    matmul is HBM-bound and S-independent (35.0 vs 31.9 ms at S=7) —
-    crossover around S=5."""
+    S=2); at S=7 the two are within noise (49.0 vs 48.9 ms best-of-8)
+    with XLA the steadier, so large Doppler sweeps stay on the
+    S-independent one-hot matmul.  An in-kernel MXU mask contraction
+    was measured slower at every S (docs/PERF.md negative result)."""
     if jax.default_backend() == "tpu" and ind_l.shape[0] <= 4:
         from ..ops.fused_pallas import shg_fused_pallas
 

@@ -76,6 +76,107 @@ def _kernel(frames_ref, ind_ref, w_ref, sum_ref, max_ref, disks_ref,
         )
 
 
+def _kernel_mxu(frames_ref, ind_ref, w_ref, sum_ref, max_ref, disks_ref,
+                comb_ref):
+    """MXU variant: the per-shift extraction is one batched contraction.
+
+    The VPU kernel above costs O(S·FB·YB·iw) mask-multiply work per tile —
+    linear in the shift count, which is why models/shg.py crosses over to
+    the XLA one-hot path at S≈5.  Here the (S, YB, iw) weighted-mask stack
+    contracts against the frame tile on the MXU instead:
+
+        disks[y, f, s] = Σ_x ff[f, y, x] · comb[s, y, x]
+
+    a dot_general with x contracted and y batched.  Mosaic requires batch
+    dims at position 0, so the frame tile is transposed to (YB, FB, iw)
+    in-kernel (a leading-dims permute — the lane dim is untouched) and the
+    mask scratch is built (YB, S, iw).  The disk output block is
+    (YB, FB, S) — written untransposed (S is the lane dim and equals the
+    full array dim, satisfying the Mosaic lane rule) and permuted to
+    (S, ih, F) once outside the kernel.
+    """
+    f_step = pl.program_id(1)
+    fi = frames_ref[:].astype(jnp.int32)          # (FB, YB, iw)
+    tile_sum = jnp.sum(fi, axis=0)
+    tile_max = jnp.max(fi, axis=0)
+
+    @pl.when(f_step == 0)
+    def _():
+        sum_ref[:] = tile_sum
+        max_ref[:] = tile_max
+        yb, iw = tile_sum.shape
+        S = ind_ref.shape[0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (yb, iw), 1)
+        w = w_ref[0, :][:, None]
+        for s in range(S):
+            idx = ind_ref[s, :][:, None]
+            comb_ref[:, s, :] = jnp.where(cols == idx, w, 0.0) + jnp.where(
+                cols == idx + 1, 1.0 - w, 0.0
+            )
+
+    @pl.when(f_step != 0)
+    def _():
+        sum_ref[:] = sum_ref[:] + tile_sum
+        max_ref[:] = jnp.maximum(max_ref[:], tile_max)
+
+    # HIGHEST: full-f32 MXU passes, matching ops/recon._recon_onehot — the
+    # default single bf16 pass loses ~2^-9 relative accuracy
+    val = jax.lax.dot_general(
+        jnp.transpose(fi.astype(jnp.float32), (1, 0, 2)), comb_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                             # (YB, FB, S)
+    disks_ref[:] = (
+        jnp.clip(val, 0, 65535).astype(jnp.int32).astype(jnp.uint16)
+    )
+
+
+@partial(jax.jit, static_argnames=("fb", "yb"))
+def _shg_fused_mxu(frames, ind_l, left_w2, fb: int, yb: int):
+    F, ih, iw = frames.shape
+    S = ind_l.shape[0]
+    nf = pl.cdiv(F, fb)
+    ny = pl.cdiv(ih, yb)
+    pad_f = nf * fb - F
+    pad_y = ny * yb - ih
+    if pad_f or pad_y:
+        frames = jnp.pad(frames, ((0, pad_f), (0, pad_y), (0, 0)))
+        ind_l = jnp.pad(ind_l, ((0, 0), (0, pad_y)))
+        left_w2 = jnp.pad(left_w2, ((0, 0), (0, pad_y)))
+    sum_i32, max_i32, disks = pl.pallas_call(
+        _kernel_mxu,
+        out_shape=(
+            jax.ShapeDtypeStruct((ny * yb, iw), jnp.int32),
+            jax.ShapeDtypeStruct((ny * yb, iw), jnp.int32),
+            jax.ShapeDtypeStruct((ny * yb, nf * fb, S), jnp.uint16),
+        ),
+        grid=(ny, nf),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((fb, yb, iw), lambda y, f: (f, y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, yb), lambda y, f: (0, y),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, yb), lambda y, f: (0, y),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((yb, iw), lambda y, f: (y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, iw), lambda y, f: (y, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, fb, S), lambda y, f: (y, f, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((yb, S, iw), jnp.float32)],
+    )(frames, ind_l, left_w2)
+    mean = (sum_i32[:ih] // F).astype(jnp.uint16)
+    mx = max_i32[:ih].astype(jnp.uint16)
+    disks = jnp.transpose(disks, (2, 0, 1))[:, :ih, :F]
+    return mean, mx, disks
+
+
 @partial(jax.jit, static_argnames=("fb", "yb"))
 def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
     F, ih, iw = frames.shape
@@ -124,20 +225,32 @@ def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
     return mean, mx, disks
 
 
-def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128):
+def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128,
+                     mxu: bool | None = None):
     """Fused mean/max/recon step; same contract as models.shg.shg_forward.
 
     frames (F, ih, iw) u16, ind_l (S, ih) i32, left_w (ih,) f32
     -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F)).
+
+    ``mxu`` selects the extraction engine: the VPU mask-reduce (False,
+    O(S) per-tile work) or the batched in-kernel MXU contraction (True).
+    The MXU variant measured SLOWER at every S on v5e (55.2 vs 49.0 ms
+    at S=7, best-of-8 — the batch-dim transpose + full-f32 pass cost
+    more than the mask-reduce they replace; docs/PERF.md "Negative
+    result: in-kernel MXU mask contraction"), so None selects the VPU
+    kernel; the MXU path stays available for testing and future tuning.
     """
     ih = frames.shape[1]
+    if mxu is None:
+        mxu = False
     # Mosaic lane rule: every block's lane dim must be divisible by 128 or
     # equal the (padded) array dim — yb is the lane dim of the index/weight
     # blocks, so it must be a multiple of 128 or cover all rows in one
     # block (u16 sublane tile is 16).
     if ih <= yb or (jax.default_backend() == "tpu" and yb % 128):
         yb = ((ih + 15) // 16) * 16
-    return _shg_fused(
+    fn = _shg_fused_mxu if mxu else _shg_fused
+    return fn(
         jnp.asarray(frames),
         jnp.asarray(ind_l),
         jnp.asarray(left_w).astype(jnp.float32)[None, :],

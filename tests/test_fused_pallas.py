@@ -20,6 +20,7 @@ def _case(rng, F, ih, iw, shifts):
     return frames, ind_l, left_w
 
 
+@pytest.mark.parametrize("mxu", [False, True])
 @pytest.mark.parametrize(
     "F,ih,iw,shifts",
     [
@@ -28,10 +29,10 @@ def _case(rng, F, ih, iw, shifts):
         (9, 40, 24, [10, 0, -5, 5, 7]), # S=5 (beyond dispatcher crossover)
     ],
 )
-def test_fused_matches_xla(rng, F, ih, iw, shifts):
+def test_fused_matches_xla(rng, F, ih, iw, shifts, mxu):
     frames, ind_l, left_w = _case(rng, F, ih, iw, shifts)
     ref = shg_forward_xla(frames, ind_l, left_w)
-    out = shg_fused_pallas(frames, ind_l, left_w, fb=8, yb=32)
+    out = shg_fused_pallas(frames, ind_l, left_w, fb=8, yb=32, mxu=mxu)
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
     # f32 lerp vs MXU dot: at most 1 LSB at truncation boundaries
