@@ -231,6 +231,177 @@ def device_only_fps() -> float:
     return n / dt
 
 
+def device_attached_decomposition() -> dict:
+    """Recorded-evidence artifact for the "normally-attached chip" claim.
+
+    This bench host reaches the TPU through a token-bucket-throttled relay
+    (host memcpy 0.02-5 GB/s by ambient weather), so the e2e headline mixes
+    sandbox link weather with framework speed.  This mode separates them by
+    MEASUREMENT, not prose: stage the scan in HBM once, then run the real
+    pipeline legs from the resident slab and time each with data-dependent
+    host-read sync (the relay can ack ``block_until_ready`` at dispatch) —
+
+      feed_s           chunked raw upload, as measured on THIS link
+      device_meanmax_s pass A reductions (mean/max) on the resident slab
+      host_linefit_s   cubic line fit on the pulled mean/max (host)
+      device_recon_s   fused mean/max/recon step at the fitted indices
+      post_s           process_scan on the device disks: ellipse fit +
+                       circularisation warp + CLAHE/stretch products +
+                       product-file writes (barrier included)
+
+    ``device_resident_e2e_s`` = everything after the feed; a deployment's
+    e2e is that plus (scan bytes / its real host-DMA rate) — reported for
+    several rates alongside the measured one, so the <1 s target on a
+    normally-attached v5e is auditable from recorded numbers.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.geometry.linefit import fit_spectral_line
+    from solex_ser_recon_en_tpu.io.feeder import normalize_frames
+    from solex_ser_recon_en_tpu.io.ser import SerReader
+    from solex_ser_recon_en_tpu.models.shg import shg_forward
+    from solex_ser_recon_en_tpu.ops.recon import build_shift_indices
+    from solex_ser_recon_en_tpu.pipeline.run import ScanResult, process_scan
+    from solex_ser_recon_en_tpu.io.fits import make_header
+    from solex_ser_recon_en_tpu.utils.timer import StageTimer
+
+    r = SerReader(SCAN)
+    total = min(r.frame_count, FRAMES)
+
+    # --- feed: chunked raw upload at this link's measured rate ---------
+    step = max(1, (96 * 1024 * 1024) // r.header.frame_bytes)
+    parts, loaded = [], 0
+    t0 = time.perf_counter()
+    for s in range(0, total, step):
+        c = min(step, total - s)
+        parts.append(jax.device_put(np.asarray(r.raw_frames(s, c))))
+        loaded += c
+        if time.perf_counter() - t0 > 120 and loaded >= 512:
+            break  # congested link: decompose on the frames we have
+    jax.block_until_ready(parts)
+    feed_s = time.perf_counter() - t0
+    n = loaded
+    slab_bytes = n * r.header.frame_bytes
+    link_gbps = slab_bytes / feed_s / 1e9
+
+    raw = jnp.concatenate(parts, axis=0)
+    del parts
+    frames = normalize_frames(raw, r.flag_rotate, r.header.pixel_depth == 8)
+    frames.block_until_ready()
+    del raw
+
+    def best_of(fn, reps=3):
+        best = None
+        for _ in range(reps):
+            t = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t
+            best = dt if best is None or dt < best else best
+        return best
+
+    # --- device pass A: mean/max reductions (checksum-synced) ----------
+    def meanmax():
+        s = jnp.sum(frames.astype(jnp.int32), axis=0)
+        mean = (s // frames.shape[0]).astype(jnp.uint16)
+        mx = jnp.max(frames, axis=0)
+        float(jnp.sum(mean.astype(jnp.uint32)) + jnp.sum(mx.astype(jnp.uint32)))
+        return mean, mx
+
+    mean_d, max_d = meanmax()  # compile + warm
+    device_meanmax_s = best_of(lambda: meanmax())
+
+    # --- host: pull mean/max, cubic line fit, shift indices ------------
+    # best-of-2: the first call pays one-time import/alloc costs a warm
+    # pipeline process has already amortised
+    shifts = [10, 0]
+    host_linefit_s = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mean_img, max_img = np.asarray(mean_d), np.asarray(max_d)
+        lf = fit_spectral_line(mean_img, max_img)
+        ind_l, left_w = build_shift_indices(lf.floor, lf.frac, shifts, r.iw)
+        ind_l_d, left_w_d = jax.device_put(ind_l), jax.device_put(left_w)
+        dt = time.perf_counter() - t0
+        host_linefit_s = dt if host_linefit_s is None else min(host_linefit_s, dt)
+
+    # --- device pass B: fused mean/max/recon step at the real fit ------
+    def fused():
+        out = shg_forward(frames, ind_l_d, left_w_d)
+        float(jnp.sum(out[2].astype(jnp.uint32)) + jnp.sum(out[0].astype(jnp.uint32)))
+        return out
+
+    out = fused()  # compile + warm
+    device_recon_s = best_of(lambda: fused())
+    disks = out[2]
+
+    # --- post: the real process_scan on the device disks ---------------
+    # fresh Options/ScanResult per call: process_scan records the fitted
+    # ellipse into Options (ratio_fixe/slant), and a reused object would
+    # let the timed run skip the ellipse-fit stage entirely
+    outdir = os.path.join(BENCH_DIR, "out_decomp")
+
+    def post_once():
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir, exist_ok=True)
+        base = os.path.join(outdir, "decomp")
+        opts = Options(shift=[0], clahe_only=True, output_dir=outdir)
+        opts.basefich0 = base
+        opts.shift_requested = [0]
+        scan = ScanResult(
+            disk_list=disks, shifts=shifts, shift_requested=[0],
+            backup_bounds=(lf.y1, lf.y2), header=make_header(r.iw, r.ih),
+            basefich0=base, mean_img=mean_img, linefit=lf,
+        )
+        timer = StageTimer()
+        t0 = time.perf_counter()
+        process_scan(scan, opts, timer)
+        return time.perf_counter() - t0, timer
+
+    post_once()  # warm: per-shape program compiles
+    post_s, timer = post_once()
+    p2, t2 = post_once()  # best-of-2: one ambient burst can stretch a run
+    if p2 < post_s:
+        post_s, timer = p2, t2
+
+    resident = device_meanmax_s + host_linefit_s + device_recon_s + post_s
+    decomp = {
+        "n_frames": n,
+        "slab_mb": round(slab_bytes / 1e6, 1),
+        "feed_s_measured": round(feed_s, 3),
+        "link_gbps_measured": round(link_gbps, 3),
+        "device_meanmax_s": round(device_meanmax_s, 4),
+        "host_linefit_s": round(host_linefit_s, 4),
+        "device_recon_s": round(device_recon_s, 4),
+        "post_s": round(post_s, 4),
+        "post_stages_ms": {k: round(v * 1e3, 1) for k, v in timer.times.items()},
+        "device_resident_e2e_s": round(resident, 4),
+    }
+    if n < FRAMES:
+        # congestion-truncated upload: pass A/B and post scale linearly in
+        # frame count (disk width = F); the line fit runs on the (ih, iw)
+        # mean image and does not.  Recorded as a projection, not a
+        # measurement.
+        scale = FRAMES / n
+        decomp["scaled_to_frames"] = FRAMES
+        resident = (device_meanmax_s + device_recon_s + post_s) * scale \
+            + host_linefit_s
+        decomp["device_resident_e2e_s_scaled"] = round(resident, 4)
+    full_bytes = FRAMES * r.header.frame_bytes
+    proj = {}
+    for label, gbps in (("measured", link_gbps), ("pcie8", 8.0),
+                        ("pcie16", 16.0)):
+        f = full_bytes / (gbps * 1e9)
+        proj[label] = {
+            "feed_s": round(f, 3),
+            "e2e_s": round(f + resident, 3),
+        }
+    decomp["projected_full_scan_e2e_s"] = proj
+    return decomp
+
+
 _BATCH_FRAMES, _BATCH_IH, _BATCH_IW = 200, 256, 96
 
 
@@ -406,6 +577,10 @@ def main() -> None:
         ensure_scan()
         print(json.dumps(run_config(n)))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--decomp":
+        ensure_scan()
+        print(json.dumps(device_attached_decomposition()))
+        return
     t_start = time.monotonic()
     ensure_scan()
     tpu = run_paired()
@@ -430,10 +605,15 @@ def main() -> None:
         "frames_per_s": round(FRAMES / tpu["e2e_s"], 1),
         "device_only_frames_per_s": round(dev_fps, 1),
     }
-    # the headline goes out BEFORE the extra configs run, so a
-    # congestion-stretched config can never cost the driver the result;
-    # the final line repeats it with extras folded in
+    # the headline goes out BEFORE the decomposition and extra configs
+    # run, so a congestion-stretched leg can never cost the driver the
+    # result; the final line repeats it with the extras folded in
     print(json.dumps(result), flush=True)
+    if os.environ.get("SOLEX_BENCH_SKIP_DECOMP") != "1":
+        try:
+            result["device_attached"] = device_attached_decomposition()
+        except Exception as e:  # never mask the headline
+            result["device_attached"] = {"error": str(e)[:200]}
     extra = {}
     if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
         for n in (2, 3, 4, 5):
