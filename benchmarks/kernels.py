@@ -129,6 +129,26 @@ def main() -> None:
               warp_projective_u16(img, mat3, H, W, cval=0.1)
           ).astype(jnp.uint32)))
 
+    # pipeline-shaped correction matrix (second row [0,1,ty]) for the
+    # separable fast path vs the same matrix through the general warp
+    from solex_ser_recon_en_tpu.geometry.ellipse import get_correction_matrix
+    from solex_ser_recon_en_tpu.ops.warp_fast import warp_unit_y_u16
+
+    corr, _ = get_correction_matrix(0.15, 0.93)
+    m3u = np.zeros((3, 3))
+    m3u[:2, :2] = corr
+    m3u[2, 2] = 1.0
+    m3u = m3u @ np.array([[1, 0, -13.4], [0, 1, 7.3], [0, 0, 1.0]])
+    m3uj = jnp.asarray(m3u)
+    bench("warp: packed-pair u16, unit-y matrix",
+          lambda: jnp.sum(warp_to_u16(
+              warp_projective_u16(img, m3uj, H, W, cval=0.1)
+          ).astype(jnp.uint32)))
+    bench("warp: separable gather-free kernel",
+          lambda: jnp.sum(warp_to_u16(
+              warp_unit_y_u16(img, m3u, H, W, cval=0.1)
+          ).astype(jnp.uint32)))
+
 
 if __name__ == "__main__":
     main()

@@ -86,6 +86,29 @@ def correction_geometry(
     return circle, mat3, int(math.ceil(new_h)), int(math.ceil(new_w))
 
 
+#: escape hatch for A/B tests (tests/test_warp_fast.py) — when False the
+#: pipeline always takes the general gather warp
+FAST_WARP = True
+
+
+def _use_fast_warp(mat3: np.ndarray) -> bool:
+    """Gate for the gather-free separable warp (ops/warp_fast.py).
+
+    TPU-only like the fused-recon auto-select (models/shg.py): the CPU
+    interpret path is correct but slow, and keeping CPU/mesh test runs on
+    the general warp preserves their bit-identity goldens."""
+    import jax
+
+    from ..ops.warp_fast import unit_y_row, window_for
+
+    return (
+        FAST_WARP
+        and jax.default_backend() == "tpu"
+        and unit_y_row(mat3)
+        and window_for(mat3) > 0
+    )
+
+
 def correct_image(
     image,
     phi: float,
@@ -112,12 +135,26 @@ def correct_image(
     integer_input = np.issubdtype(np.dtype(image.dtype), np.integer)
     cval = float(np.asarray(image[0, 0]))
     if integer_input:
-        # uint16 sources take the packed-pair warp: half the gathers,
-        # bit-identical output (ops/warp.py:warp_projective_u16)
-        warped = warp_projective_u16(
-            jnp.asarray(image).astype(jnp.uint16), jnp.asarray(mat3),
-            out_h, out_w, cval=cval / 65536.0,
-        )
+        if _use_fast_warp(mat3):
+            # gather-free separable kernel (ops/warp_fast.py): ~5x the
+            # packed-pair path on v5e, <=2e-7 from it (sum order only)
+            from ..ops.warp_fast import warp_unit_y_u16
+
+            warped = warp_unit_y_u16(
+                jnp.asarray(image).astype(jnp.uint16), mat3,
+                out_h, out_w, cval=cval / 65536.0,
+            )
+        else:
+            # uint16 sources take the packed-pair warp: half the gathers,
+            # bit-identical output (ops/warp.py:warp_projective_u16)
+            warped = warp_projective_u16(
+                jnp.asarray(image).astype(jnp.uint16), jnp.asarray(mat3),
+                out_h, out_w, cval=cval / 65536.0,
+            )
+    elif _use_fast_warp(mat3):
+        from ..ops.warp_fast import warp_unit_y_f01
+
+        warped = warp_unit_y_f01(image, mat3, out_h, out_w, cval=cval)
     else:
         warped = warp_projective(
             jnp.asarray(image).astype(jnp.float32), jnp.asarray(mat3),
@@ -159,16 +196,24 @@ def correct_images_batched(
     dj = jnp.asarray(disks).astype(jnp.uint16)
     m3 = jnp.asarray(mat3)
 
-    def one(img):
-        # packed-pair u16 warp (disks are always uint16 here)
-        return warp_to_u16(
-            warp_projective_u16(
-                img, m3, out_h, out_w,
-                cval=img[0, 0].astype(jnp.float32) / 65536.0,
-            )
-        )
+    if _use_fast_warp(mat3):
+        from ..ops.warp_fast import warp_unit_y_u16_batched
 
-    warped = jax.vmap(one)(dj)
+        warped = warp_to_u16(
+            warp_unit_y_u16_batched(dj, mat3, out_h, out_w, cval=None)
+        )
+    else:
+
+        def one(img):
+            # packed-pair u16 warp (disks are always uint16 here)
+            return warp_to_u16(
+                warp_projective_u16(
+                    img, m3, out_h, out_w,
+                    cval=img[0, 0].astype(jnp.float32) / 65536.0,
+                )
+            )
+
+        warped = jax.vmap(one)(dj)
     new_center = (np.linalg.inv(mat) @ np.array([-1.0, -1.0]).T).T - np.array([tx, ty])
     new_radius = -1.0 * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
     if log is not None:
