@@ -220,6 +220,9 @@ def host_reconstruct_from_band(
         right_off = 1
 
     use_native = _native_recon_enabled()
+    # live-view frame: last frame of the chunk, oriented like the
+    # normalizer (norm[y, x] = raw[x, W-1-y] when rotated)
+    _f = (lambda c: c[-1].T[::-1]) if r.flag_rotate else (lambda c: c[-1])
     left = np.empty((chunk_frames, ih), dtype=band.dtype)
     right = np.empty_like(left)
     vals = np.empty((chunk_frames, ih), dtype=np.float64)
@@ -235,7 +238,7 @@ def host_reconstruct_from_band(
             )
             if use_native:
                 if progress is not None:
-                    progress(out[:, :, start : start + n], start)
+                    progress(out[:, :, start : start + n], start, _f(chunk))
                 continue
         raw2 = chunk.reshape(n, -1)
         for si in range(S):
@@ -248,7 +251,7 @@ def host_reconstruct_from_band(
                 vals[:n] *= 256.0
             out[si, :, start : start + n] = vals[:n].T
         if progress is not None:
-            progress(out[:, :, start : start + n], start)
+            progress(out[:, :, start : start + n], start, _f(chunk))
     return out
 
 
@@ -301,6 +304,9 @@ def host_reconstruct(
     # anonymous-memory allocation is token-bucket throttled, per-chunk fresh
     # buffers (not the math) dominate the pass — see docs/PERF.md
     use_native = _native_recon_enabled()
+    # live-view frame: last frame of the chunk, oriented like the
+    # normalizer (norm[y, x] = raw[x, W-1-y] when rotated)
+    _f = (lambda c: c[-1].T[::-1]) if r.flag_rotate else (lambda c: c[-1])
     left = np.empty((chunk_frames, ih), dtype=r.header.dtype)
     right = np.empty_like(left)
     vals = np.empty((chunk_frames, ih), dtype=np.float64)
@@ -318,7 +324,7 @@ def host_reconstruct(
             )
             if use_native:
                 if progress is not None:
-                    progress(out[:, :, start : start + n], start)
+                    progress(out[:, :, start : start + n], start, _f(raw))
                 continue
         raw2 = raw.reshape(n, -1)
         for si in range(S):
@@ -332,7 +338,7 @@ def host_reconstruct(
                 vals[:n] *= 256.0
             out[si, :, start : start + n] = vals[:n].T  # truncating u16 store
         if progress is not None:
-            progress(out[:, :, start : start + n], start)
+            progress(out[:, :, start : start + n], start, _f(raw))
     return out
 
 

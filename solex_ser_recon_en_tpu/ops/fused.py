@@ -153,7 +153,7 @@ class RawScanProcessor:
         self, chunks, fit_floor, fit_frac, shifts: List[int], progress=None
     ) -> jax.Array:
         """Pass B over an iterator of (start, raw device chunk);
-        ``progress(part, start)`` is the live-view hook."""
+        ``progress(part, start, frame)`` is the live-view hook."""
         Wt = build_raw_weights(
             fit_floor, fit_frac, shifts, self.iw, self.rotate, self.upscale
         )
@@ -162,7 +162,10 @@ class RawScanProcessor:
             part = _recon_raw(c, Wt, self.rotate, self.upscale)
             parts.append((start, part))
             if progress is not None:
-                progress(part, start)
+                # orient the last raw frame like the normalizer does
+                # (norm[y, x] = raw[x, W-1-y] when rotated)
+                f = c[-1].T[::-1] if self.rotate else c[-1]
+                progress(part, start, f)
         parts.sort(key=lambda p: p[0])
         # stays on device: downstream stages (ellipse fit downscale, warp,
         # transversalium, products) are device-side; hosts download only
@@ -210,6 +213,9 @@ def reconstruct_band(
         part = _recon_raw(chunk, Wt, rotate, upscale)
         parts.append((start, part))
         if progress is not None:
-            progress(part, start)
+            # band-only view of the slit frame (the full frame was never
+            # read on this feed path), oriented like the normalizer
+            f = chunk[-1].T[::-1] if rotate else chunk[-1]
+            progress(part, start, f)
     parts.sort(key=lambda p: p[0])
     return jnp.concatenate([p for _, p in parts], axis=2)

@@ -153,7 +153,7 @@ class StreamingRecon:
         self.fit_floor = fit_floor
         self.fit_frac = fit_frac
         self.kernel = kernel
-        self.progress = progress  # live-view hook: progress(part, start)
+        self.progress = progress  # live-view hook: progress(part, start, frame)
         self._parts = []  # (start, device array) — downloaded once at result()
 
     def update(self, start: int, chunk) -> None:
@@ -162,7 +162,9 @@ class StreamingRecon:
         )
         self._parts.append((start, part))
         if self.progress is not None:
-            self.progress(part, start)
+            # chunk is already normalized (F, ih, iw); last frame = the
+            # slit image the reference flashes (solex_util.py:137)
+            self.progress(part, start, chunk[-1])
 
     def result(self) -> np.ndarray:
         self._parts.sort(key=lambda p: p[0])

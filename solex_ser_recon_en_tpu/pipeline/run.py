@@ -49,12 +49,13 @@ _SWEEP_BATCHED = True
 
 
 def _live_view(shifts, options):
-    """Per-chunk live display of the shift-0 disk build-up.
+    """Per-chunk live display of the slit frame + shift-0 disk build-up.
 
-    reference: solex_util.py:136-143 shows the growing disk every 10
-    frames; the TPU pipeline reconstructs in chunks, so the natural
-    granularity here is one refresh per chunk (deviation documented in
-    docs/PARITY.md).  Headless environments no-op inside utils.display.
+    reference: solex_util.py:136-143 shows the current raw frame and the
+    growing disk every 10 frames; the TPU pipeline reconstructs in
+    chunks, so the natural granularity here is one refresh per chunk
+    (deviation documented in docs/PARITY.md).  Headless environments
+    no-op inside utils.display.
     """
     if not options.flag_display:
         return None
@@ -68,7 +69,12 @@ def _live_view(shifts, options):
     # constructed per read_scan invocation).
     state = {"canvas": None}
 
-    def cb(arr, start):
+    def cb(arr, start, frame=None):
+        if frame is not None:
+            # the reference's 'image' window: the chunk's last slit frame
+            # (band feeds show the spectral-band crop — the full frame
+            # was never read on those paths)
+            show("image", np.asarray(frame))
         a = np.asarray(arr[zi])         # download one shift's plane only
         end = start + a.shape[1]
         c = state["canvas"]

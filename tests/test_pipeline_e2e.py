@@ -254,11 +254,17 @@ def test_live_view_progress_hook(scan_file, tmp_path, monkeypatch):
                    frame_chunk=64, output_dir=str(tmp_path), _nolog=True)
     res = read_scan(path, opts)
     assert len(seen) >= 1
-    assert all(name == "disk" for name, _ in seen)
+    assert all(name in ("disk", "image") for name, _ in seen)
     assert all(len(shape) == 2 for _, shape in seen)
+    # the reference also flashes the current slit frame ("image" window,
+    # solex_util.py:136-143); one per chunk here
+    frames = [shape for name, shape in seen if name == "image"]
+    assert len(frames) >= 1
+    # slit frame orientation matches the normalizer output (ih rows)
+    assert all(shape[0] == scan.ih for shape in frames)
     # the live view accumulates chunks into one canvas: the displayed disk
     # must grow monotonically and end covering the whole scan (not an
     # isolated per-chunk strip)
-    widths = [shape[1] for _, shape in seen]
+    widths = [shape[1] for name, shape in seen if name == "disk"]
     assert widths == sorted(widths)
     assert widths[-1] >= scan.frames
