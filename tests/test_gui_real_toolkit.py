@@ -5,14 +5,16 @@ through a scriptable FreeSimpleGUI stand-in; this module attempts the same
 window construction against the REAL toolkit and records the environment
 blocker when it cannot.
 
-Environment status in this image (recorded 2026-08-17):
+Environment status in this image (re-checked 2026-08-17, late round 3):
 - ``FreeSimpleGUI`` is not installed and installing packages is not
   permitted in this build environment.
-- ``tkinter`` (its backend) is also absent — CPython here was built
-  without the _tkinter module and there is no system Tcl/Tk, so even
-  vendoring FreeSimpleGUI (pure Python) could not open a window.
-- There is no display server (DISPLAY/WAYLAND_DISPLAY unset); a real
-  window could only be exercised under xvfb, which is likewise absent.
+- ``tkinter`` IS importable (Tk 8.6) — this changed at some point during
+  round 3; earlier sessions recorded _tkinter as absent.
+- There is NO display server (DISPLAY/WAYLAND_DISPLAY unset) and no X
+  server binary anywhere on the image (no Xvfb/Xorg/Xephyr), so
+  ``tkinter.Tk()`` raises TclError: windows cannot be constructed even
+  though the module imports.  ``tkinter.Tcl()`` (display-less Tcl
+  interpreter) does work and is exercised below.
 
 The tests below therefore skip with precise reasons when the toolkit is
 missing, but run for real the moment the environment provides it — they
@@ -56,8 +58,26 @@ def test_environment_blocker_is_accurately_recorded():
     if not has_tk:
         assert "tkinter" in doc and "absent" in doc
     else:
-        # environment changed: the real tests below must now execute
+        # environment state as recorded: module imports, no tkinter blocker
+        assert "IS importable" in doc
         assert not any("tkinter" in b for b in BLOCKERS)
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        # Tk() must genuinely be impossible, not just unattempted
+        if has_tk:
+            import tkinter
+
+            with pytest.raises(tkinter.TclError):
+                tkinter.Tk()
+
+
+def test_headless_tcl_round_trip():
+    """The real Tcl interpreter (Tk's engine) runs display-less: one
+    set/expr round-trip proves the toolkit's scripting core is live even
+    though no window can map in this image."""
+    tkinter = pytest.importorskip("tkinter")
+    tcl = tkinter.Tcl()
+    tcl.eval("set shift 5")
+    assert tcl.eval("expr {$shift * 2}") == "10"
 
 
 @pytest.mark.skipif(bool(BLOCKERS), reason="; ".join(BLOCKERS))
