@@ -102,8 +102,9 @@ def handle_files(
         if flag_command_line or len(tasks) <= 1:
             return
         try:
-            import FreeSimpleGUI as sg
+            from ..gui.main_window import _require_sg
 
+            sg = _require_sg()
             sg.one_line_progress_meter("Progress Bar", i, len(tasks), "", msg)
         except Exception:
             pass

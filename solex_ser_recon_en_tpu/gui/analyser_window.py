@@ -30,13 +30,16 @@ def analyse_spectrum(options: Options, file: Optional[str] = None):
     feeds the main window's pixel-offset field (UI_handler.py:276).
     """
     try:
-        import FreeSimpleGUI as sg
+        from .main_window import _require_sg
+
+        sg = _require_sg()
         from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
         from matplotlib.figure import Figure
     except Exception as e:
         raise RuntimeError(
-            "the analyser GUI needs FreeSimpleGUI + a display; use "
-            "python -m solex_ser_recon_en_tpu.cli.analyse instead"
+            "the analyser GUI needs a toolkit (FreeSimpleGUI or tkinter) "
+            "+ a display; use python -m solex_ser_recon_en_tpu.cli.analyse "
+            "instead"
         ) from e
 
     a_waves, a_names, anchors = anchor_table()

@@ -20,7 +20,9 @@ from ..cli.clahe_tool import CONFIG_NAME, apply_clahe, read_ini, write_ini
 def input_ui(options: dict):
     """Show the CLAHE window; mutates ``options``; returns the selected
     files (None = quit).  reference: clahe_apply.py:113-211."""
-    import FreeSimpleGUI as sg
+    from .main_window import _require_sg
+
+    sg = _require_sg()
 
     langs, lang_dicts = read_langs()
     lang = (
@@ -100,7 +102,9 @@ def input_ui(options: dict):
 
 def run_app() -> int:
     """Config round-trip + per-file CLAHE loop (clahe_apply.py:260-267)."""
-    import FreeSimpleGUI as sg
+    from .main_window import _require_sg
+
+    sg = _require_sg()
     import os
 
     options = read_ini(CONFIG_NAME)

@@ -21,13 +21,26 @@ from .form import default_form_values, interpret_form_values
 
 
 def _require_sg():
+    """The GUI toolkit: an installed FreeSimpleGUI if present, else the
+    in-repo tkinter backend (gui/fsg_tk.py) — the windows speak the same
+    API either way, so plain Python-with-Tk runs the GUI dependency-free."""
     try:
         import FreeSimpleGUI as sg  # type: ignore
 
         return sg
+    except Exception:
+        pass
+    try:
+        import tkinter  # noqa: F401  # pragma: no cover - headless env
+
+        from . import fsg_tk
+
+        return fsg_tk
     except Exception as e:  # pragma: no cover - headless env
         raise RuntimeError(
-            "The GUI needs FreeSimpleGUI (pip install FreeSimpleGUI); "
+            "The GUI needs a toolkit: either install FreeSimpleGUI "
+            "(pip install FreeSimpleGUI) or use a Python built with "
+            "tkinter (the bundled gui.fsg_tk backend needs only that); "
             "use the CLI front end (python -m solex_ser_recon_en_tpu.cli) "
             "in headless environments."
         ) from e

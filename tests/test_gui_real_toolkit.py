@@ -2,12 +2,15 @@
 
 The stub suite (tests/test_gui_windows.py) drives every window's logic
 through a scriptable FreeSimpleGUI stand-in; this module attempts the same
-window construction against the REAL toolkit and records the environment
-blocker when it cannot.
+window construction against the REAL toolkit — an installed FreeSimpleGUI
+if present, else the in-repo tkinter backend (gui/fsg_tk.py) — and records
+the environment blocker when it cannot.
 
 Environment status in this image (re-checked 2026-08-17, late round 3):
 - ``FreeSimpleGUI`` is not installed and installing packages is not
-  permitted in this build environment.
+  permitted in this build environment; the in-repo tkinter backend
+  (gui/fsg_tk.py) removes it as a blocker — the windows run on plain
+  tkinter via ``_require_sg()``'s fallback.
 - ``tkinter`` IS importable (Tk 8.6) — this changed at some point during
   round 3; earlier sessions recorded _tkinter as absent.
 - There is NO display server (DISPLAY/WAYLAND_DISPLAY unset) and no X
@@ -32,11 +35,9 @@ def _real_gui_blockers():
     try:
         import tkinter  # noqa: F401
     except Exception as e:
+        # FreeSimpleGUI would be an alternative toolkit, but it is itself
+        # tkinter-based — without tkinter nothing can run
         blockers.append(f"tkinter unavailable ({e})")
-    try:
-        import FreeSimpleGUI  # noqa: F401
-    except Exception as e:
-        blockers.append(f"FreeSimpleGUI unavailable ({e})")
     if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
         blockers.append("no display server (DISPLAY/WAYLAND_DISPLAY unset)")
     return blockers
@@ -85,7 +86,9 @@ def test_real_toolkit_window_round_trip():
     """Window construction + one event round-trip on the REAL toolkit:
     a minimal layout using the same widget kinds the main window builds
     (Text/InputText/Checkbox/Button), read with a timeout event."""
-    import FreeSimpleGUI as sg
+    from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+
+    sg = _require_sg()
 
     layout = [
         [sg.Text("Pixel shift"), sg.InputText("0", key="-w-", size=(8, 1))],
@@ -106,10 +109,11 @@ def test_real_toolkit_window_round_trip():
 def test_input_ui_quit_on_real_toolkit(monkeypatch):
     """Drive the REAL main window through input_ui: close immediately via
     an injected WIN_CLOSED read (same entry the stub suite exercises)."""
-    import FreeSimpleGUI as sg
-
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.gui import main_window
+    from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+
+    sg = _require_sg()
 
     orig_window = sg.Window
 
