@@ -74,6 +74,9 @@ def main() -> None:
         )
 
     bench("fused pallas step VPU (mean+max+recon, S=2)",
+          lambda: ck(shg_fused_pallas(slab, ind_l, left_w, mxu=False,
+                                      window=False)))
+    bench("fused pallas step VPU windowed (S=2)",
           lambda: ck(shg_fused_pallas(slab, ind_l, left_w, mxu=False)))
     bench("fused pallas step MXU (mean+max+recon, S=2)",
           lambda: ck(shg_fused_pallas(slab, ind_l, left_w, mxu=True)))
@@ -85,6 +88,9 @@ def main() -> None:
     ind7, w7 = build_shift_indices(fl, curve - fl, sweep, iw)
     ind7, w7 = jax.device_put(ind7), jax.device_put(w7)
     bench(f"fused pallas step VPU (S={len(sweep)})",
+          lambda: ck(shg_fused_pallas(slab, ind7, w7, mxu=False,
+                                      window=False)))
+    bench(f"fused pallas step VPU windowed (S={len(sweep)})",
           lambda: ck(shg_fused_pallas(slab, ind7, w7, mxu=False)))
     bench(f"fused pallas step MXU (S={len(sweep)})",
           lambda: ck(shg_fused_pallas(slab, ind7, w7, mxu=True)))

@@ -37,16 +37,29 @@ def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
     -> (mean u16 (ih, iw), max u16 (ih, iw), disks u16 (S, ih, F)).
 
     Kernel selection (measured on v5e, 2000x2048x300 slab, honest
-    host-checksum sync): the fused single-HBM-pass Pallas kernel
-    (ops/fused_pallas.py) wins for small shift sets (26.2 vs 31.4 ms at
-    S=2); at S=7 the two are within noise (49.0 vs 48.9 ms best-of-8)
-    with XLA the steadier, so large Doppler sweeps stay on the
-    S-independent one-hot matmul.  An in-kernel MXU mask contraction
+    host-checksum sync): the fused single-HBM-pass Pallas kernel with the
+    lane-windowed mask contraction (ops/fused_pallas.py) wins at every S
+    when the shift taps fit a narrow window — they always do for real
+    spectral-line fits (22.8 vs 30.5 ms XLA at S=2; 28.3 vs 29.6 ms at
+    S=7).  When the indices force the full-width contraction (pathological
+    fits only), per-shift cost scales with S, so large sweeps fall back to
+    the S-independent one-hot matmul.  An in-kernel MXU mask contraction
     was measured slower at every S (docs/PERF.md negative result)."""
-    if jax.default_backend() == "tpu" and ind_l.shape[0] <= 4:
-        from ..ops.fused_pallas import shg_fused_pallas
+    if jax.default_backend() == "tpu":
+        from ..ops.fused_pallas import (
+            _window_for_indices, shg_fused_pallas,
+        )
 
-        return shg_fused_pallas(frames, ind_l, left_w)
+        S = ind_l.shape[0]
+        win = 0
+        try:
+            win = _window_for_indices(
+                np.asarray(ind_l), frames.shape[2], 128
+            )
+        except Exception:
+            win = 0
+        if win or S <= 4:
+            return shg_fused_pallas(frames, ind_l, left_w)
     return shg_forward_xla(frames, ind_l, left_w)
 
 

@@ -76,6 +76,62 @@ def _kernel(frames_ref, ind_ref, w_ref, sum_ref, max_ref, disks_ref,
         )
 
 
+def _kernel_win(frames_ref, ind_ref, w_ref, sum_ref, max_ref, disks_ref,
+                comb_ref, base_ref, *, win: int):
+    """Windowed variant of ``_kernel``: the shift indices inside one
+    128-row y tile span only a few columns (the spectral-line fit is a
+    smooth cubic, and the Doppler shifts are small offsets of it), so the
+    per-shift mask contraction runs over a narrow lane-aligned window of
+    the tile instead of the full (lane-padded) width — and the f32
+    convert shrinks with it.  The dropped terms are all exact +0.0
+    contributions (zero mask weight), so the result is bit-identical to
+    the full-width kernel.  The caller VERIFIES (host-side, exact same
+    base arithmetic) that every tile's taps fit the window and falls back
+    to the full-width kernel otherwise."""
+    f_step = pl.program_id(1)
+    iw = frames_ref.shape[2]
+    fi = frames_ref[:].astype(jnp.int32)          # (FB, YB, iw)
+    tile_sum = jnp.sum(fi, axis=0)                # (YB, iw)
+    tile_max = jnp.max(fi, axis=0)
+
+    @pl.when(f_step == 0)
+    def _():
+        sum_ref[:] = tile_sum
+        max_ref[:] = tile_max
+        yb = tile_sum.shape[0]
+        S = ind_ref.shape[0]
+        idx_all = ind_ref[...]                    # (S, YB)
+        # lane-aligned window base shared by all shifts of this y tile
+        base = (jnp.clip(jnp.min(idx_all), 0, iw - win) // 128) * 128
+        base_ref[0] = base
+        cols = jax.lax.broadcasted_iota(jnp.int32, (yb, win), 1) + base
+        w = w_ref[0, :][:, None]                  # (YB, 1)
+        for s in range(S):
+            idx = ind_ref[s, :][:, None]          # (YB, 1)
+            comb_ref[s, :, :] = jnp.where(cols == idx, w, 0.0) + jnp.where(
+                cols == idx + 1, 1.0 - w, 0.0
+            )
+
+    @pl.when(f_step != 0)
+    def _():
+        sum_ref[:] = sum_ref[:] + tile_sum
+        max_ref[:] = jnp.maximum(max_ref[:], tile_max)
+
+    # the stored base is 128-aligned by construction; Mosaic needs the
+    # proof attached to the index to vector-load at a dynamic lane offset
+    base = pl.multiple_of(base_ref[0], 128)
+    # u16 -> i32 -> f32: Mosaic has no direct u16->f32 cast
+    ffw = frames_ref[:, :, pl.ds(base, win)].astype(jnp.int32).astype(
+        jnp.float32
+    )
+    S = ind_ref.shape[0]
+    for s in range(S):
+        val = jnp.sum(ffw * comb_ref[s, :, :][None, :, :], axis=2)  # (FB, YB)
+        disks_ref[s, :, :] = (
+            jnp.clip(val, 0, 65535).astype(jnp.int32).astype(jnp.uint16)
+        )
+
+
 def _kernel_mxu(frames_ref, ind_ref, w_ref, sum_ref, max_ref, disks_ref,
                 comb_ref):
     """MXU variant: the per-shift extraction is one batched contraction.
@@ -177,8 +233,8 @@ def _shg_fused_mxu(frames, ind_l, left_w2, fb: int, yb: int):
     return mean, mx, disks
 
 
-@partial(jax.jit, static_argnames=("fb", "yb"))
-def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
+@partial(jax.jit, static_argnames=("fb", "yb", "win"))
+def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int, win: int = 0):
     F, ih, iw = frames.shape
     S = ind_l.shape[0]
     nf = pl.cdiv(F, fb)
@@ -188,12 +244,22 @@ def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
     if pad_f or pad_y:
         # zero padding is invisible: padded frames only add exact zeros to
         # the sum, cannot win the max (data is unsigned), and their disk
-        # columns are sliced off below; padded rows are sliced off whole
+        # columns are sliced off below; padded rows are sliced off whole.
+        # ind_l edge-pads so padded rows don't drag a tile's window min to
+        # column 0 (their mask weights still multiply real data, but the
+        # corresponding disk rows are sliced off).
         frames = jnp.pad(frames, ((0, pad_f), (0, pad_y), (0, 0)))
-        ind_l = jnp.pad(ind_l, ((0, 0), (0, pad_y)))
+        ind_l = jnp.pad(ind_l, ((0, 0), (0, pad_y)), mode="edge")
         left_w2 = jnp.pad(left_w2, ((0, 0), (0, pad_y)))
+    if win:
+        kernel = partial(_kernel_win, win=win)
+        scratch = [pltpu.VMEM((S, yb, win), jnp.float32),
+                   pltpu.SMEM((1,), jnp.int32)]
+    else:
+        kernel = _kernel
+        scratch = [pltpu.VMEM((S, yb, iw), jnp.float32)]
     sum_i32, max_i32, disks = pl.pallas_call(
-        _kernel,
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((ny * yb, iw), jnp.int32),
             jax.ShapeDtypeStruct((ny * yb, iw), jnp.int32),
@@ -217,7 +283,7 @@ def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
             pl.BlockSpec((S, fb, yb), lambda y, f: (0, f, y),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((S, yb, iw), jnp.float32)],
+        scratch_shapes=scratch,
     )(frames, ind_l, left_w2)
     mean = (sum_i32[:ih] // F).astype(jnp.uint16)
     mx = max_i32[:ih].astype(jnp.uint16)
@@ -225,8 +291,36 @@ def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int):
     return mean, mx, disks
 
 
+def _window_for_indices(ind_np: np.ndarray, iw: int, yb: int) -> int:
+    """Smallest lane-multiple window covering every y tile's taps, or 0
+    when only the full width works.
+
+    Replicates the kernel's base arithmetic EXACTLY
+    (base = align128(clip(min_idx, 0, iw - win))) per tile and verifies
+    max_idx + 1 < base + win, so a pathological fit can never read taps
+    outside the window — it just falls back to the full-width kernel."""
+    ih = ind_np.shape[1]
+    ny = -(-ih // yb)
+    pad_y = ny * yb - ih
+    if pad_y:
+        ind_np = np.pad(ind_np, ((0, 0), (0, pad_y)), mode="edge")
+    win = 128
+    while win < iw:
+        ok = True
+        for t in range(ny):
+            tile = ind_np[:, t * yb : (t + 1) * yb]
+            base = (min(max(int(tile.min()), 0), iw - win) // 128) * 128
+            if int(tile.max()) + 1 >= base + win:
+                ok = False
+                break
+        if ok:
+            return win
+        win += 128
+    return 0
+
+
 def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128,
-                     mxu: bool | None = None):
+                     mxu: bool | None = None, window: bool = True):
     """Fused mean/max/recon step; same contract as models.shg.shg_forward.
 
     frames (F, ih, iw) u16, ind_l (S, ih) i32, left_w (ih,) f32
@@ -249,13 +343,32 @@ def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128,
     # block (u16 sublane tile is 16).
     if ih <= yb or (jax.default_backend() == "tpu" and yb % 128):
         yb = ((ih + 15) // 16) * 16
-    fn = _shg_fused_mxu if mxu else _shg_fused
-    return fn(
+    if mxu:
+        return _shg_fused_mxu(
+            jnp.asarray(frames),
+            jnp.asarray(ind_l),
+            jnp.asarray(left_w).astype(jnp.float32)[None, :],
+            fb,
+            yb,
+        )
+    # windowed mask contraction when the concrete shift indices allow it
+    # (they always do for real spectral-line fits: a smooth cubic ± small
+    # Doppler offsets spans far fewer than 128 columns per 128-row tile);
+    # inside a trace the indices are abstract — use the full width
+    win = 0
+    if window:
+        try:
+            ind_np = np.asarray(ind_l)
+            win = _window_for_indices(ind_np, frames.shape[2], yb)
+        except Exception:
+            win = 0
+    return _shg_fused(
         jnp.asarray(frames),
         jnp.asarray(ind_l),
         jnp.asarray(left_w).astype(jnp.float32)[None, :],
         fb,
         yb,
+        win,
     )
 
 

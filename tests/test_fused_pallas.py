@@ -56,6 +56,84 @@ def test_fused_edge_clipping(rng):
     )
 
 
+def test_windowed_kernel_bit_identical(rng):
+    """Wide spectral windows take the lane-windowed mask contraction
+    (_kernel_win); it must be BIT-identical to the full-width kernel —
+    the dropped terms are exact +0.0 contributions."""
+    from solex_ser_recon_en_tpu.ops.fused_pallas import (
+        _shg_fused, _window_for_indices,
+    )
+    import jax.numpy as jnp
+
+    F, ih, iw = 24, 256, 300
+    frames, ind_l, left_w = _case(rng, F, ih, iw, [-3, 0, 4])
+    yb = 256  # single y tile on CPU path
+    win = _window_for_indices(np.asarray(ind_l), iw, yb)
+    assert win == 128  # smooth cubic spans far fewer than 128 columns
+    w2 = jnp.asarray(left_w).astype(jnp.float32)[None, :]
+    full = _shg_fused(jnp.asarray(frames), jnp.asarray(ind_l), w2, 8, yb, 0)
+    wind = _shg_fused(jnp.asarray(frames), jnp.asarray(ind_l), w2, 8, yb, win)
+    for a, b in zip(full, wind):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the public entry auto-picks the window with the same results
+    out = shg_fused_pallas(frames, ind_l, left_w, fb=8, yb=yb)
+    for a, b in zip(full, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_windowed_kernel_edge_lines(rng):
+    """Lines hugging the spectral edges.  Left edge: base 0 covers the
+    taps, the window engages.  Right edge with a non-lane-multiple iw:
+    in-bounds lane-aligned slicing strands every window short of the
+    taps, so the selector must fall back to full width (win=0) — and the
+    public entry must stay correct either way."""
+    from solex_ser_recon_en_tpu.ops.fused_pallas import (
+        _shg_fused, _window_for_indices,
+    )
+    import jax.numpy as jnp
+
+    F, ih, iw = 12, 128, 300
+    yb = 128
+    frames = rng.integers(0, 65536, (F, ih, iw), dtype=np.uint16)
+
+    # left edge: windowable at 128
+    curve = 1.0 + 0.01 * np.arange(ih)
+    floor = np.floor(curve)
+    ind_l, left_w = build_shift_indices(floor, curve - floor, [0, 1], iw)
+    win = _window_for_indices(np.asarray(ind_l), iw, yb)
+    assert win == 128
+    w2 = jnp.asarray(left_w).astype(jnp.float32)[None, :]
+    full = _shg_fused(jnp.asarray(frames), jnp.asarray(ind_l), w2, 8, yb, 0)
+    wind = _shg_fused(jnp.asarray(frames), jnp.asarray(ind_l), w2, 8, yb, win)
+    for a, b in zip(full, wind):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # right edge: base <= iw - win (in-bounds slice) lane-aligns away
+    # from the taps for every win < iw -> full-width fallback
+    curve = (iw - 3) + 0.01 * np.arange(ih)
+    floor = np.floor(curve)
+    ind_r, left_wr = build_shift_indices(floor, curve - floor, [0, 1], iw)
+    assert _window_for_indices(np.asarray(ind_r), iw, yb) == 0
+    ref = shg_forward_xla(frames, ind_r, left_wr)
+    out = shg_fused_pallas(frames, ind_r, left_wr, fb=8, yb=yb)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_allclose(
+        np.asarray(ref[2], dtype=int), np.asarray(out[2], dtype=int), atol=1
+    )
+
+
+def test_window_fallback_on_pathological_indices():
+    """Indices spanning more than any window within one tile must force
+    the full-width kernel (win=0), never a window that misses taps."""
+    from solex_ser_recon_en_tpu.ops.fused_pallas import _window_for_indices
+
+    iw, ih = 384, 128
+    ind = np.zeros((1, ih), dtype=np.int32)
+    ind[0, ::2] = 2
+    ind[0, 1::2] = iw - 2  # alternating edges inside every tile
+    assert _window_for_indices(ind, iw, 128) == 0
+
+
 def test_dispatcher_contract(rng):
     """shg_forward picks a backend-appropriate kernel and keeps the same
     contract either way (CPU: the XLA body; TPU: the Pallas kernel, whose
