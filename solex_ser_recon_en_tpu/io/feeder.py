@@ -85,6 +85,46 @@ def cached_probe_rate():
     return None
 
 
+_D2H_CACHE = None  # (ok: bool, monotonic time)
+_D2H_TTL_S = 120.0
+
+
+def d2h_responsive(timeout_s: float = 5.0) -> bool:
+    """Whether a tiny device->host readback completes within ``timeout_s``.
+
+    The H2D probe cannot see a stalled *download* direction — observed on
+    the relay: uploads at 311 MB/s while a 0.25 MB readback hung for
+    minutes (each direction has its own weather).  Every device-path
+    stage ends in a small readback (pass-A accumulators, fit inputs,
+    product images), so a dead D2H direction makes the device pipeline
+    unusable regardless of upload rate; the feed policy must go host.
+    A stalled readback cannot be cancelled, so the sample runs in a
+    daemon thread and is abandoned on timeout.  Memoised briefly (the
+    weather shifts by the minute): a folder batch pays the timeout once,
+    not per file.  Normally-attached hosts answer in microseconds.
+    """
+    import threading
+    import time
+
+    global _D2H_CACHE
+    now = time.monotonic()
+    if _D2H_CACHE is not None and now - _D2H_CACHE[1] < _D2H_TTL_S:
+        return _D2H_CACHE[0]
+    ok = threading.Event()
+
+    def sample():
+        try:
+            np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
+            ok.set()
+        except Exception:
+            pass
+
+    threading.Thread(target=sample, daemon=True).start()
+    result = ok.wait(timeout_s)
+    _D2H_CACHE = (result, time.monotonic())
+    return result
+
+
 class FeedCollapse(RuntimeError):
     """A monitored device feed's sustained rate collapsed mid-scan.
 
@@ -130,8 +170,8 @@ class FeedRateMonitor:
         self,
         total_bytes: int,
         min_rate: float = None,
-        min_sample_bytes: int = 192 * 1024 * 1024,
-        min_remaining_bytes: int = 384 * 1024 * 1024,
+        min_sample_bytes: int = None,
+        min_remaining_bytes: int = None,
         clock=None,
     ):
         import os
@@ -142,6 +182,22 @@ class FeedRateMonitor:
         self._min_rate = float(env) if env else (
             min_rate if min_rate is not None else 150e6
         )
+        # DEFAULT sample window and remaining-work guard scale with the
+        # scan (explicit caller values are honoured as-is): small scans
+        # skip the up-front probe (cheaper to just feed), so the watchdog
+        # is their ONLY trickle defence — under fixed 192/384 MB
+        # thresholds a 52 MB scan rode a 0.2 MB/s link for the full 266 s
+        # (observed) when the host path does it in ~4 s.  The floors
+        # (4/8 MB) keep single-burst noise from triggering on tiny scans;
+        # big scans keep the proven fixed windows.
+        if min_sample_bytes is None:
+            min_sample_bytes = min(
+                192 * 1024**2, max(self._total // 4, 4 * 1024**2)
+            )
+        if min_remaining_bytes is None:
+            min_remaining_bytes = min(
+                384 * 1024**2, max(self._total // 4, 8 * 1024**2)
+            )
         self._min_sample = int(min_sample_bytes)
         self._min_remaining = int(min_remaining_bytes)
         self._clock = clock or time.monotonic

@@ -36,6 +36,35 @@ def _fold_raw(sum_acc, max_acc, raw_chunk):
 
 
 @partial(jax.jit, static_argnames=("rotate", "upscale"))
+def _recon_raw_lerp(raw, ind_l, left_w, rotate: bool, upscale: bool):
+    """Elementwise two-tap gather-lerp recon — the CPU-backend body.
+
+    Mathematically identical to the one-hot contraction (_recon_raw): the
+    matmul's other terms are exact ±0.0 products.  The difference is
+    codegen stability: XLA:CPU picks the dot's FMA chaining BY SHAPE, so
+    per-device one-hot results can shift 1 f32 ULP when the frame batch
+    changes (feed chunking, mesh sharding) — observed as 1-LSB disk
+    differences.  Gather + elementwise lerp compiles to the same
+    vectorised loop at every shape, which is what lets the mesh product
+    pipeline assert BIT-identity vs single-device on the virtual CPU
+    mesh.  TPU keeps the one-hot MXU contraction (systolic accumulation
+    of exact zeros is shape-stable, and it is the fast path there)."""
+    f = raw.astype(jnp.float32)
+    if upscale:
+        f = f * 256.0
+    if rotate:
+        # norm[f, y, x] = raw[f, x, W-1-y]
+        f = jnp.flip(jnp.swapaxes(f, 1, 2), axis=1)
+    f4 = f[:, None, :, :]                          # (F, 1, ih, iw)
+    g0 = jnp.take_along_axis(f4, ind_l[None, :, :, None], axis=3)
+    g1 = jnp.take_along_axis(f4, (ind_l + 1)[None, :, :, None], axis=3)
+    w = left_w[None, None, :, None]
+    out = (w * g0 + (1.0 - w) * g1)[..., 0]        # (F, S, ih)
+    out = jnp.transpose(out, (1, 2, 0))            # (S, ih, F)
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("rotate", "upscale"))
 def _recon_raw(raw, Wt, rotate: bool, upscale: bool):
     """raw (F, H, W) u16/u8, Wt (spatial, S, iw) f32 already in raw spatial
     order -> disks (S, ih, F) u16 in normalised orientation."""
@@ -140,13 +169,41 @@ class RawScanProcessor:
             mx = (mx.astype(np.uint16)) << 8
         return mean, np.ascontiguousarray(mx)
 
+    # resident scans up to this many bytes are merged to ONE canonical
+    # (frame_count, H, W) slab before pass B (see reconstruct); larger
+    # scans keep the per-chunk streaming recon (transient 2x memory of a
+    # multi-GB slab isn't worth shape canonicalisation there, and no
+    # equality contract compares big-scan chunkings)
+    _MERGE_CAP_BYTES = 1024**3
+
     def reconstruct(self, fit_floor, fit_frac, shifts: List[int],
                     progress=None) -> jax.Array:
         if not self._chunks:
             raise ValueError("no resident chunks to reconstruct from")
         self._chunks.sort(key=lambda p: p[0])
+        chunks = self._chunks
+        total = sum(int(c.nbytes) for _, c in chunks)
+        n = sum(int(c.shape[0]) for _, c in chunks)
+        if (
+            self.frame_count is not None
+            and total <= self._MERGE_CAP_BYTES
+            and (len(chunks) > 1 or n != self.frame_count)
+        ):
+            # canonicalise the recon input to ONE (frame_count, H, W) slab
+            # (an HBM-local copy): the feed's chunking (watchdog-sized
+            # chunks, bucket padding, mesh shard fitting) must not leak
+            # into pass-B arithmetic — XLA picks its contraction FMA
+            # chaining by shape, so per-chunk recon is bit-stable only if
+            # the chunk layout is; merged, disks are bit-identical across
+            # every feed chunking and mesh layout (test_mesh_pipeline).
+            slab = (
+                jnp.concatenate([c for _, c in chunks], axis=0)
+                if len(chunks) > 1 else chunks[0][1]
+            )
+            chunks = [(0, slab[: self.frame_count])]
+            self._chunks = chunks  # drop per-chunk refs -> frees the copies
         return self.reconstruct_streaming(
-            self._chunks, fit_floor, fit_frac, shifts, progress=progress
+            chunks, fit_floor, fit_frac, shifts, progress=progress
         )
 
     def reconstruct_streaming(
@@ -154,12 +211,27 @@ class RawScanProcessor:
     ) -> jax.Array:
         """Pass B over an iterator of (start, raw device chunk);
         ``progress(part, start, frame)`` is the live-view hook."""
-        Wt = build_raw_weights(
-            fit_floor, fit_frac, shifts, self.iw, self.rotate, self.upscale
-        )
+        on_cpu = jax.default_backend() == "cpu"
+        if on_cpu:
+            # shape-stable elementwise body (see _recon_raw_lerp)
+            ind_l, left_w = build_shift_indices(
+                fit_floor, fit_frac, shifts, self.iw
+            )
+            ind_l = jnp.asarray(ind_l)
+            left_w = jnp.asarray(left_w).astype(jnp.float32)
+        else:
+            Wt = build_raw_weights(
+                fit_floor, fit_frac, shifts, self.iw, self.rotate,
+                self.upscale,
+            )
         parts = []
         for start, c in chunks:
-            part = _recon_raw(c, Wt, self.rotate, self.upscale)
+            if on_cpu:
+                part = _recon_raw_lerp(
+                    c, ind_l, left_w, self.rotate, self.upscale
+                )
+            else:
+                part = _recon_raw(c, Wt, self.rotate, self.upscale)
             parts.append((start, part))
             if progress is not None:
                 # orient the last raw frame like the normalizer does

@@ -175,7 +175,17 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     # takes for ~0.5 s of page-cache gathers.
     feed = options.feed_mode
     if feed == "auto" and isinstance(vid, _SerVideo):
-        if total_bytes > 256 * 1024**2:
+        from ..io.feeder import d2h_responsive
+
+        if not d2h_responsive():
+            # the downlink is dead (each relay direction has its own
+            # weather): every device stage ends in a readback, so the
+            # host pass is the only path that can finish — regardless of
+            # what the upload probe says
+            print("WARNING: device->host readback unresponsive; "
+                  "taking the host feed path")
+            feed = "host"
+        elif total_bytes > 256 * 1024**2:
             rate = probe_transfer_rate()
             feed = "host" if rate < 200e6 else "device"
         else:
@@ -261,10 +271,23 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 FeedRateMonitor(vid._r.header.frame_bytes * vid.frame_count)
                 if isinstance(vid, _SerVideo) else _NO_MONITOR
             )
+            # a scan that fits in one ~96 MB put is unmonitorable (the
+            # watchdog measures blocked inter-chunk progress) — chunk small
+            # scans to ~1/6 of the scan so a trickle link is caught after
+            # two chunks instead of ridden for the whole transfer.  Pass-B
+            # arithmetic is immune to this choice: RawScanProcessor merges
+            # resident small scans to one canonical slab before recon.
+            feed_chunk = options.frame_chunk
+            if isinstance(vid, _SerVideo):
+                raw_total = vid._r.header.frame_bytes * vid.frame_count
+                if raw_total <= 6 * 96 * 1024 * 1024:
+                    feed_chunk = min(
+                        feed_chunk, max(1, vid.frame_count // 6)
+                    )
             try:
                 try:
                     raw_iter, rotate, upscale = raw_device_chunks(
-                        vid, options.frame_chunk, fshard
+                        vid, feed_chunk, fshard
                     )
                 except TypeError:
                     raw_iter = None
@@ -281,7 +304,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 else:
                     acc = MeanMaxAccumulator()
                     for start, chunk in device_chunks(
-                        vid, options.frame_chunk, fshard
+                        vid, feed_chunk, fshard
                     ):
                         acc.update(chunk)
                         monitor.note_chunk(chunk)
@@ -909,11 +932,39 @@ def process_file(file: str, options: Options, timer: Optional[StageTimer] = None
     multiple files must pass per-file copies (SHG_MAIN.py:129 semantics).
     """
     timer = timer or StageTimer()
+    import contextlib
+
+    import jax
+
     from ..io.writers import barrier as write_barrier
 
+    # a dead device->host direction blocks EVERY device stage at its
+    # readback (observed: uploads at 311 MB/s while a 0.25 MB readback
+    # hung for minutes), so feed routing alone cannot save the run — the
+    # warp/products stages would stall at their downloads.  Pin the whole
+    # file to the XLA:CPU backend instead; the canary re-samples after its
+    # TTL, so later files ride the accelerator again once the weather
+    # clears.  Normally-attached hosts answer the canary in microseconds.
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "cpu" and options.feed_mode in (
+        "auto", "host"
+    ):
+        from ..io.feeder import d2h_responsive
+
+        if not d2h_responsive():
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                print("WARNING: device->host readback unresponsive; "
+                      "running this file on the CPU backend")
+                ctx = jax.default_device(cpu)
+
     try:
-        scan = read_scan(file, options, timer)
-        return process_scan(scan, options, timer)
+        with ctx:
+            scan = read_scan(file, options, timer)
+            return process_scan(scan, options, timer)
     finally:
         # process_scan already joined on success; this covers error paths
         # so a failing scan never leaks queued writes into the next file

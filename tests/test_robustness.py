@@ -124,6 +124,45 @@ def test_feed_rate_monitor_policy():
     assert m._bytes <= 96 * MB  # well before the full 256 MB window
 
 
+def test_feed_rate_monitor_scales_to_small_scans():
+    """Small scans skip the probe, so the watchdog is their only trickle
+    defence: the DEFAULT sample window / remaining guard scale to the
+    scan (a 52 MB scan must collapse after ~2 trickled chunks, not ride
+    the link for the whole transfer), while explicit caller values stay
+    honoured and big scans keep the fixed 192/384 MB windows."""
+    import pytest
+
+    from solex_ser_recon_en_tpu.io.feeder import FeedCollapse, FeedRateMonitor
+
+    t = [0.0]
+    clock = lambda: t[0]
+    MB = 1024 * 1024
+
+    # 52 MB scan, ~8.7 MB chunks (the pipeline's small-scan 1/6 chunking),
+    # 0.2 MB/s trickle: quarter tier (window/4 = 3.25 MB at floor/4
+    # = 37.5 MB/s) fires on the second counted chunk
+    m = FeedRateMonitor(52 * MB, clock=clock)
+    assert m._min_sample == 13 * MB and m._min_remaining == 13 * MB
+    m.note(8 * MB)  # starts the clock
+    with pytest.raises(FeedCollapse):
+        for _ in range(6):
+            m.note(8 * MB)
+            t[0] += 40.0  # 0.2 MB/s
+    assert m._bytes <= 16 * MB  # caught after two counted chunks
+
+    # healthy small-scan feed never fires
+    m = FeedRateMonitor(52 * MB, clock=clock)
+    for _ in range(7):
+        m.note(8 * MB)
+        t[0] += 0.03  # ~266 MB/s
+
+    # tiny scans floor at 4/8 MB; big scans keep the fixed defaults
+    m = FeedRateMonitor(6 * MB, clock=clock)
+    assert m._min_sample == 4 * MB and m._min_remaining == 8 * MB
+    m = FeedRateMonitor(4096 * MB, clock=clock)
+    assert m._min_sample == 192 * MB and m._min_remaining == 384 * MB
+
+
 def test_feed_collapse_falls_back_to_host(basic_scan, tmp_path, monkeypatch):
     """A mid-scan device-feed collapse restarts pass A on the host path and
     the scan still completes with identical disks."""
@@ -169,6 +208,61 @@ def test_note_collapse_poisons_probe_cache():
         assert feeder.cached_probe_rate() == 5e6
     finally:
         feeder._PROBE_CACHE = saved
+
+
+def test_d2h_canary_detects_stalled_downlink(monkeypatch):
+    """A readback that never completes flips d2h_responsive to False
+    (abandoning the sample, not hanging), and the verdict is memoised."""
+    import threading
+    import types
+
+    import solex_ser_recon_en_tpu.io.feeder as feeder
+
+    saved = feeder._D2H_CACHE
+    try:
+        feeder._D2H_CACHE = None
+
+        class StallPut:
+            def device_put(self, *a, **kw):
+                threading.Event().wait(30.0)  # simulated dead downlink
+
+        monkeypatch.setattr(feeder, "jax", StallPut())
+        assert feeder.d2h_responsive(timeout_s=0.2) is False
+        # memoised: a second ask answers instantly without re-sampling
+        monkeypatch.setattr(
+            feeder, "jax",
+            types.SimpleNamespace(device_put=lambda *a: (_ for _ in ()).throw(
+                AssertionError("re-sampled"))),
+        )
+        assert feeder.d2h_responsive(timeout_s=0.2) is False
+    finally:
+        feeder._D2H_CACHE = saved
+
+
+def test_dead_downlink_routes_feed_to_host(basic_scan, tmp_path, monkeypatch,
+                                           capsys):
+    """feed_mode=auto with an unresponsive device->host readback takes the
+    host path up front (observed weather: 311 MB/s uploads while a 0.25 MB
+    readback hung for minutes — the H2D probe alone cannot see it) and the
+    scan still completes with identical disks."""
+    import solex_ser_recon_en_tpu.io.feeder as feeder
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    def run(name):
+        outdir = tmp_path / name
+        outdir.mkdir()
+        opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="auto",
+                       frame_chunk=32)
+        return np.asarray(read_scan(basic_scan["path"], opts).disk_list)
+
+    monkeypatch.setattr(feeder, "d2h_responsive", lambda *a, **kw: True)
+    d_live = run("live")
+    monkeypatch.setattr(feeder, "d2h_responsive", lambda *a, **kw: False)
+    d_dead = run("dead")
+    assert "readback unresponsive" in capsys.readouterr().out
+    diff = np.abs(d_live.astype(int) - d_dead.astype(int))
+    assert diff.max() <= 1
 
 
 def test_edge_spectral_line_clips_like_reference(tmp_path):
