@@ -47,3 +47,26 @@ def basic_scan(tmp_path_factory):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def microx_display():
+    """One in-repo X display (gui/microx.py) for every real-toolkit GUI
+    test in the session.
+
+    Session-scoped and never torn down mid-run: a Tk client whose display
+    dies exits the whole process via Xlib's XIO handler, so per-module
+    servers would kill pytest the moment a later module opened a fresh
+    display.  The server subprocess carries PR_SET_PDEATHSIG and dies
+    with this process instead of an explicit stop().
+    """
+    from solex_ser_recon_en_tpu.gui.microx import MicroXServer
+
+    h = MicroXServer.spawn()
+    old = os.environ.get("DISPLAY")
+    os.environ["DISPLAY"] = h.display
+    yield h.display
+    if old is None:
+        os.environ.pop("DISPLAY", None)
+    else:
+        os.environ["DISPLAY"] = old
