@@ -10,7 +10,11 @@ The display server runs IN this process (so its framebuffer is readable);
 the Tk client must therefore be a subprocess (``MicroXServer.spawn``
 documents the GIL deadlock the other way around).
 
-Usage: python examples/gui_screenshot.py [out.png]
+Usage: python examples/gui_screenshot.py [out.png] [main|analyser]
+
+``analyser`` runs a real analysis session (synthetic scan -> Start
+analysis -> Auto dispersion) in the spectral-analyser window, with its
+embedded matplotlib canvas, before the snapshot.
 """
 
 import os
@@ -21,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-_CLIENT = """
+_CLIENT_MAIN = """
 import jax
 jax.config.update("jax_platforms", "cpu")   # never dial an accelerator here
 from solex_ser_recon_en_tpu.config import Options
@@ -43,8 +47,46 @@ sg.Window = Hold
 main_window.input_ui(Options())
 """
 
+_CLIENT_ANALYSER = """
+import os, tempfile
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from solex_ser_recon_en_tpu.analyser.atlas import anchor_table
+from solex_ser_recon_en_tpu.config import Options
+from solex_ser_recon_en_tpu.gui import analyser_window
+from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
 
-def main(out_path: str = "demo_out/gui_main_window.png") -> int:
+scan_path = os.path.join(tempfile.mkdtemp(), "scan.ser")
+SyntheticScan(ih=220, iw=120, frames=180, depth=16,
+              line_poly=(60.0, 0.0, 0.0, 0.0), disk_radius=70.0,
+              noise=0.002, seed=9).write(scan_path)
+sg = _require_sg()
+a_waves, a_names, anchors = anchor_table()
+halpha = anchors[int(np.argmin(np.abs(np.asarray(a_waves) - 6562.808)))]
+script = [("Start analysis", {"-FILE2-": scan_path}),
+          ("Auto dispersion", {"-anchor-": halpha})]
+orig_window = sg.Window
+
+class Scripted(orig_window):
+    def read(self, *a, **k):
+        ev, vals = orig_window.read(self, timeout=100)
+        if script:
+            event, over = script.pop(0)
+            return event, dict(vals or {}, **over)
+        print("MAPPED", flush=True)
+        for _ in range(200):
+            orig_window.read(self, timeout=100)
+        return sg.WIN_CLOSED, None
+
+sg.Window = Scripted
+analyser_window.analyse_spectrum(Options(), scan_path)
+"""
+
+
+def main(out_path: str = "demo_out/gui_main_window.png",
+         which: str = "main") -> int:
     # a GUI screenshot needs no accelerator; force the CPU backend BEFORE
     # the package import can initialise a device (the accelerator site
     # hook overrides the JAX_PLATFORMS env var, so use the config API)
@@ -57,7 +99,8 @@ def main(out_path: str = "demo_out/gui_main_window.png") -> int:
     try:
         with tempfile.NamedTemporaryFile(
                 "w", suffix=".py", delete=False) as f:
-            f.write(_CLIENT)
+            f.write(_CLIENT_ANALYSER if which == "analyser"
+                    else _CLIENT_MAIN)
             client = f.name
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env = dict(os.environ, DISPLAY=xs.display, JAX_PLATFORMS="cpu",

@@ -573,8 +573,44 @@ class MicroXServer:
         if top is None or top.wid == self.root_id:
             return None, 0, 0
         if top.fb is None or top.fb.shape[:2] != (top.h, top.w):
-            top.fb = np.full((max(top.h, 1), max(top.w, 1), 3), 217, np.uint8)
+            fb = np.full((max(top.h, 1), max(top.w, 1), 3), 217, np.uint8)
+            if top.fb is not None:
+                # a resize must preserve existing content (real servers
+                # keep window pixels; only newly exposed areas repaint)
+                h = min(fb.shape[0], top.fb.shape[0])
+                w = min(fb.shape[1], top.fb.shape[1])
+                fb[:h, :w] = top.fb[:h, :w]
+            top.fb = fb
         return top.fb, ox, oy
+
+    def _child_guard(self, did: int, fb, ox: int, oy: int):
+        """Saved copies of mapped InputOutput children's pixel rects.
+
+        X11 semantics: child windows CLIP all drawing into their parent —
+        a background fill on a toplevel must not touch widget pixels.
+        This flat-framebuffer server approximates that by snapshotting the
+        children's rects before a parent draw and restoring them after
+        (see ``_restore_children``)."""
+        win = self.windows.get(did)
+        if win is None or not win.children:
+            return ()
+        fh, fw = fb.shape[:2]
+        saved = []
+        for kid_id in win.children:
+            kid = self.windows.get(kid_id)
+            if kid is None or not kid.mapped or kid.cls == 2:
+                continue
+            x0, y0 = max(kid.x + ox, 0), max(kid.y + oy, 0)
+            x1 = min(kid.x + ox + kid.w + 2 * kid.border, fw)
+            y1 = min(kid.y + oy + kid.h + 2 * kid.border, fh)
+            if x1 > x0 and y1 > y0:
+                saved.append((y0, y1, x0, x1, fb[y0:y1, x0:x1].copy()))
+        return saved
+
+    @staticmethod
+    def _restore_children(fb, saved) -> None:
+        for y0, y1, x0, x1, patch in saved:
+            fb[y0:y1, x0:x1] = patch
 
     @staticmethod
     def _fill_rect(fb, x, y, w, h, pixel):
@@ -759,6 +795,13 @@ class MicroXServer:
                               win.w, win.h, win.border,
                               1 if win.override else 0)
         self._event(22, payload, win, _STRUCTURE_MASK)  # ConfigureNotify
+        if win.mapped and (mask & 0b1111):  # x/y/width/height changed
+            # this server keeps pixels only at absolute toplevel
+            # coordinates, so a moved or resized window must repaint
+            # (real servers expose resized areas; moves carry content,
+            # which we approximate by a full expose)
+            self._event(12, struct.pack("<IHHHHH", wid, 0, 0, win.w,
+                                        win.h, 0), win, _EXPOSURE_MASK)
 
     def _h_get_geometry(self, c, data, req):
         did = struct.unpack("<I", req[:4])[0]
@@ -1012,7 +1055,9 @@ class MicroXServer:
         fb, ox, oy = self._drawable_fb(wid)
         if fb is not None:
             bg = win.attrs.get("background_pixel", 0xD9D9D9)
+            saved = self._child_guard(wid, fb, ox, oy)
             self._fill_rect(fb, ox + x, oy + y, w or win.w, h or win.h, bg)
+            self._restore_children(fb, saved)
 
     def _h_copy_area(self, c, data, req):
         src, dst, gid, sx, sy, dx, dy, w, h = struct.unpack(
@@ -1033,7 +1078,9 @@ class MicroXServer:
                 tx1 = min(tx + tile.shape[1], dw)
                 ty1 = min(ty + tile.shape[0], dh)
                 if tx1 > tx0 and ty1 > ty0:
+                    saved = self._child_guard(dst, dfb, dox, doy)
                     dfb[ty0:ty1, tx0:tx1] = tile[:ty1 - ty0, :tx1 - tx0]
+                    self._restore_children(dfb, saved)
         gc = self.gcs.get(gid)
         if gc is None or gc.values.get("graphics_exposures"):
             # NoExposure event: drawable, minor-opcode, major-opcode
@@ -1050,9 +1097,11 @@ class MicroXServer:
         fb, ox, oy = self._drawable_fb(did)
         if fb is None:
             return
+        saved = self._child_guard(did, fb, ox, oy)
         for off in range(8, len(req) - 7, 8):
             x, y, w, h = struct.unpack("<hhHH", req[off:off + 8])
             self._fill_rect(fb, x + ox, y + oy, w, h, fg)
+        self._restore_children(fb, saved)
 
     def _h_draw_noop(self, c, data, req):
         pass
@@ -1079,7 +1128,9 @@ class MicroXServer:
         x1 = min(x0 + (w - sx0), fw)
         y1 = min(y0 + (h - sy0), fh)
         if x1 > x0 and y1 > y0:
+            saved = self._child_guard(did, fb, ox, oy)
             fb[y0:y1, x0:x1] = rgb[sy0:sy0 + y1 - y0, sx0:sx0 + x1 - x0]
+            self._restore_children(fb, saved)
 
     def _h_get_image(self, c, fmt, req):
         did, x, y, w, h, _mask = struct.unpack("<IhhHHI", req[:16])
@@ -1365,6 +1416,7 @@ class MicroXServer:
         if fb is None:
             return
         gs = self.glyphsets.get(gsid) or {}
+        saved = self._child_guard(drawable, fb, ox, oy)
         data = req[24:]
         pos = 0
         cx = cy = 0
@@ -1408,6 +1460,7 @@ class MicroXServer:
                 cy += gdy
             pad = _pad4(unit * nglyphs)
             pos += pad
+        self._restore_children(fb, saved)
 
     def _render_fill_rects(self, req: bytes):
         _op, dst_pict, r, g, b, _a = struct.unpack("<B3xIHHHH", req[:16])
@@ -1418,9 +1471,11 @@ class MicroXServer:
         if fb is None:
             return
         pixel = ((r >> 8) << 16) | ((g >> 8) << 8) | (b >> 8)
+        saved = self._child_guard(drawable, fb, ox, oy)
         for off in range(16, len(req) - 7, 8):
             x, y, w, h = struct.unpack("<hhHH", req[off:off + 8])
             self._fill_rect(fb, x + ox, y + oy, w, h, pixel)
+        self._restore_children(fb, saved)
 
 
 _HANDLERS = {

@@ -134,3 +134,59 @@ def test_input_ui_language_hot_swap_on_real_toolkit(real_display,
     monkeypatch.setattr(sg, "Window", Scripted)
     assert main_window.input_ui(Options()) is None
     assert stage == ["real-read", "post-swap-read"]
+
+
+def test_analyser_window_real_session(real_display, monkeypatch, tmp_path):
+    """The FULL spectral-analyser window on real tkinter: window + embedded
+    matplotlib TkAgg canvas construct on the display, a real analysis
+    session runs (Start analysis -> Auto dispersion -> GOTO -> Save image
+    -> Exit), and every refresh really draws the four panels through Tk
+    (PutImage blits).  Reference: spectralAnalyserUI.py:60-391."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.analyser.atlas import anchor_table
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.gui import analyser_window
+    from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    scan_path = str(tmp_path / "scan.ser")
+    SyntheticScan(ih=220, iw=120, frames=180, depth=16,
+                  line_poly=(60.0, 0.0, 0.0, 0.0), disk_radius=70.0,
+                  noise=0.002, seed=9).write(scan_path)
+
+    sg = _require_sg()
+    a_waves, a_names, anchors = anchor_table()
+    halpha = anchors[int(np.argmin(np.abs(np.asarray(a_waves) - 6562.808)))]
+
+    popups = []
+    monkeypatch.setattr(sg, "popup_ok", lambda *a, **k: popups.append(a))
+
+    script = [
+        ("Start analysis", {"-FILE2-": scan_path}),
+        ("Auto dispersion", {"-anchor-": halpha}),
+        ("GOTO", {"-anchor-": halpha, "-ashift-": "6563.2", "-target-": ""}),
+        ("Save image", {"-FILE2-": scan_path}),
+        ("Exit", {}),
+    ]
+    orig_window = sg.Window
+
+    class Scripted(orig_window):
+        def read(self, *a, **k):
+            # a REAL timed read first, so Tk/matplotlib events flush on
+            # the display between scripted steps
+            ev, vals = orig_window.read(self, timeout=50)
+            if not script:
+                return sg.WIN_CLOSED, None
+            event, overrides = script.pop(0)
+            return event, dict(vals or {}, **overrides)
+
+    monkeypatch.setattr(sg, "Window", Scripted)
+    opts = Options()
+    shift = analyser_window.analyse_spectrum(opts, scan_path)
+    assert popups == [], f"unexpected popups: {popups}"
+    assert 0.02 <= opts.dispersion <= 0.12
+    assert isinstance(shift, int) and shift >= 1
+    saved = [f for f in os.listdir(tmp_path) if "_shift=" in f
+             and f.endswith(".png")]
+    assert saved, "Save image wrote nothing"
