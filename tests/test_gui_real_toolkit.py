@@ -190,3 +190,90 @@ def test_analyser_window_real_session(real_display, monkeypatch, tmp_path):
     saved = [f for f in os.listdir(tmp_path) if "_shift=" in f
              and f.endswith(".png")]
     assert saved, "Save image wrote nothing"
+
+
+def test_clahe_window_real_toolkit(real_display, monkeypatch, tmp_path):
+    """The standalone CLAHE tool window on real tkinter: construction
+    (sliders, checkbox, combo), the hi<=lo validation popup, then a good
+    OK submit that mutates options and returns the file list.
+    Reference: clahe_apply.py:113-211."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.gui import clahe_window
+    from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+    from solex_ser_recon_en_tpu.io.png import write_png
+
+    png = str(tmp_path / "disk.png")
+    write_png(png, (np.random.default_rng(0)
+                    .integers(0, 65535, (64, 64)).astype(np.uint16)))
+
+    sg = _require_sg()
+    popups = []
+    monkeypatch.setattr(sg, "popup_ok", lambda *a, **k: popups.append(a))
+
+    script = [
+        ("OK", {"-FILE-": png, "do_stretch": True, "lo": 80, "hi": 20,
+                "sat": 95, "tile_size": 3}),          # invalid: hi <= lo
+        ("OK", {"-FILE-": png, "do_stretch": True, "lo": 20, "hi": 80,
+                "sat": 95, "tile_size": 3}),          # valid
+    ]
+    orig_window = sg.Window
+
+    class Scripted(orig_window):
+        def read(self, *a, **k):
+            ev, vals = orig_window.read(self, timeout=50)
+            if not script:
+                return sg.WIN_CLOSED, None
+            event, overrides = script.pop(0)
+            return event, dict(vals or {}, **overrides)
+
+    monkeypatch.setattr(sg, "Window", Scripted)
+    options = {"language": "EN", "workDir": "", "tile_size": 2,
+               "do_stretch": False, "lo": 0, "hi": 100, "sat": 100}
+    files = clahe_window.input_ui(options)
+    assert files == [png]
+    assert len(popups) == 1                           # the hi<=lo error
+    assert options["tile_size"] == 3 and options["lo"] == 20
+    assert options["hi"] == 80 and options["do_stretch"] is True
+
+
+def test_continuous_window_real_toolkit(real_display, tmp_path):
+    """Continuous-detect mode on real tkinter: the window polls a real
+    folder through REAL timed reads, processes a dropped scan through the
+    full pipeline, updates the preview Image widget (PutImage through the
+    display), and honours Stop.  Reference: SHG_MAIN.py:154-208."""
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.gui import continuous_window
+    from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    folder = tmp_path / "watch"
+    folder.mkdir()
+    SyntheticScan(ih=256, iw=96, frames=200, depth=16,
+                  line_poly=(48.0, 0.02, -1e-4, 2e-7), noise=0.002,
+                  seed=1).write(str(folder / "drop.ser"),
+                                transpose_to_wide=True)
+
+    sg = _require_sg()
+    orig_window = sg.Window
+    reads = {"n": 0}
+
+    class StopAfterWork(orig_window):
+        def read(self, *a, **k):
+            reads["n"] += 1
+            if reads["n"] >= 3:              # file processed on read 1-2
+                return "Stop", None
+            return orig_window.read(self, *a, **k)
+
+    old = sg.Window
+    sg.Window = StopAfterWork
+    try:
+        opts = Options(shift=[0], clahe_only=True,
+                       input_dir=str(folder), output_dir=str(tmp_path))
+        count = continuous_window.continuous_ui(opts, poll_seconds=0.1,
+                                                stop_after=240)
+    finally:
+        sg.Window = old
+    assert count == 1
+    outs = os.listdir(tmp_path)
+    assert any(f.endswith("_clahe.png") for f in outs)
