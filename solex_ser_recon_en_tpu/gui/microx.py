@@ -1226,15 +1226,34 @@ class MicroXServer:
         body = b"".join(bytes([len(n)]) + n for n in names)
         self._reply(c, data_byte=len(names), body=body)
 
+    # identity keymap: keycode 8+c carries keysym c for printable ASCII
+    # (latin-1 keysyms equal their codepoints), so injected KeyPress
+    # events translate to the exact character without shift state —
+    # the same remapping trick input-injection tools use.  A few
+    # specials live above the ASCII range:
+    _SPECIAL_KEYSYMS = {231: 0xFF0D, 232: 0xFF09, 233: 0xFF08, 234: 0xFF1B}
+
+    @classmethod
+    def keycode_for(cls, char: str) -> int:
+        """Keycode whose keysym is ``char`` under this server's keymap."""
+        specials = {"\n": 231, "\r": 231, "\t": 232, "\b": 233,
+                    "\x1b": 234}
+        if char in specials:
+            return specials[char]
+        cp = ord(char)
+        if 32 <= cp <= 126:
+            return cp + 8
+        raise ValueError(f"no keycode for {char!r}")
+
     def _h_get_keyboard_mapping(self, c, data, req):
         first, count = struct.unpack("<BB2x", req[:4])
         per = 2
         syms = []
         for kc in range(first, first + count):
-            # a minimal US-ish layout: letters on 38..61 region would need
-            # a real keymap table; events here are synthesised by Tk
-            # client-side, so NoSymbol suffices
-            syms += [0, 0]
+            ks = self._SPECIAL_KEYSYMS.get(kc, 0)
+            if not ks and 32 <= kc - 8 <= 126:
+                ks = kc - 8
+            syms += [ks, ks]
         body = struct.pack(f"<{len(syms)}I", *syms)
         self._reply(c, data_byte=per, body=body)
 
@@ -1600,6 +1619,135 @@ _HANDLERS = {
     119: MicroXServer._h_get_modifier_mapping,
     127: MicroXServer._h_no_op,
 }
+
+
+class XWire:
+    """A tiny raw-protocol X client for driving/inspecting a display.
+
+    Works against any display (it speaks plain X11), but exists for
+    MicroX: tests whose display server is a subprocess can still
+    screenshot windows (GetImage, like ``xwd``) and inject input events
+    (SendEvent KeyPress/ButtonPress, like ``xdotool``) over the wire.
+    """
+
+    def __init__(self, display: str):
+        num = int(display.rsplit(":", 1)[-1].split(".")[0])
+        self.sock = socket.socket(socket.AF_UNIX)
+        self.sock.connect(f"/tmp/.X11-unix/X{num}")
+        self.sock.settimeout(20)
+        self.sock.sendall(struct.pack("<BBHHHH2x", 0x6C, 0, 11, 0, 0, 0))
+        status, _maj, _min, words = struct.unpack("<BxHHH", self._recv(8))
+        if status != 1:
+            raise RuntimeError("X connection refused")
+        setup = self._recv(words * 4)
+        vendor_len = struct.unpack("<H", setup[16:18])[0]
+        n_formats = setup[21]
+        off = 32 + vendor_len + _pad4(vendor_len) + 8 * n_formats
+        self.root = struct.unpack("<I", setup[off:off + 4])[0]
+        self.seq = 0
+        self._evq = []
+
+    def _recv(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise RuntimeError("X server closed the connection")
+            buf += chunk
+        return buf
+
+    def _request(self, opcode: int, data: int, payload: bytes) -> None:
+        total = 4 + len(payload)
+        self.sock.sendall(struct.pack("<BBH", opcode, data, total // 4)
+                          + payload)
+        self.seq = (self.seq + 1) & 0xFFFF
+
+    def _reply(self) -> bytes:
+        """Next reply (32-byte head + extra); queues events seen on the
+        way (events/errors are 32 bytes with first byte != 1)."""
+        while True:
+            head = self._recv(32)
+            if head[0] == 1:
+                extra = struct.unpack("<I", head[4:8])[0] * 4
+                return head + (self._recv(extra) if extra else b"")
+            if head[0] == 0:
+                raise RuntimeError(f"X error code {head[1]}")
+            self._evq.append(head)
+
+    def query_tree(self, wid: int):
+        self._request(15, 0, struct.pack("<I", wid))
+        rep = self._reply()
+        n = struct.unpack("<H", rep[16:18])[0]
+        return list(struct.unpack(f"<{n}I", rep[32:32 + 4 * n]))
+
+    def get_geometry(self, wid: int):
+        self._request(14, 0, struct.pack("<I", wid))
+        rep = self._reply()
+        x, y, w, h = struct.unpack("<hhHH", rep[12:20])
+        return x, y, w, h
+
+    def get_image(self, wid: int, x: int, y: int, w: int, h: int):
+        """RGB uint8 (h, w, 3) via a ZPixmap GetImage."""
+        import numpy as np
+
+        self._request(73, 2, struct.pack("<IhhHHI", wid, x, y, w, h,
+                                         0xFFFFFFFF))
+        rep = self._reply()
+        data = np.frombuffer(rep[32:32 + w * h * 4], np.uint8)
+        return data.reshape(h, w, 4)[:, :, [2, 1, 0]].copy()
+
+    def screenshot(self, wid: int | None = None):
+        """Image of ``wid``, or of the largest mapped child of root."""
+        if wid is None:
+            best, area = None, -1
+            for kid in self.query_tree(self.root):
+                try:
+                    _, _, w, h = self.get_geometry(kid)
+                except RuntimeError:
+                    continue
+                if w * h > area:
+                    best, area = kid, w * h
+            if best is None:
+                return None
+            wid = best
+        _, _, w, h = self.get_geometry(wid)
+        return self.get_image(wid, 0, 0, w, h)
+
+    def _send_input(self, code: int, detail: int, wid: int, x: int,
+                    y: int) -> None:
+        ev = struct.pack("<BBHIIIIhhhhHBx", code, detail, 0, 12345,
+                         self.root, wid, 0, x, y, x, y, 0, 1)
+        self._request(25, 0, struct.pack("<II", wid, 0) + ev)
+
+    def click(self, wid: int, x: int = 2, y: int = 2,
+              button: int = 1) -> None:
+        """EnterNotify + ButtonPress/Release through the wire
+        (xdotool-style).  The crossing event matters: Tk's button
+        bindings only invoke the command when the pointer entered the
+        widget before the press (tk::Priv(window) is set on <Enter>)."""
+        # EnterNotify: same 32-byte shape, but the last two bytes are
+        # mode (Normal=0) and same-screen|focus flags (0x02)
+        ev = struct.pack("<BBHIIIIhhhhHBB", 7, 0, 0, 12344, self.root,
+                         wid, 0, x, y, x, y, 0, 0, 2)
+        self._request(25, 0, struct.pack("<II", wid, 0) + ev)
+        self._send_input(4, button, wid, x, y)
+        self._send_input(5, button, wid, x, y)
+
+    def type_text(self, wid: int, text: str) -> None:
+        """KeyPress+KeyRelease per character (identity keymap)."""
+        for ch in text:
+            kc = MicroXServer.keycode_for(ch)
+            self._send_input(2, kc, wid, 1, 1)
+            self._send_input(3, kc, wid, 1, 1)
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def main(argv=None) -> int:

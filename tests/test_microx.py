@@ -230,3 +230,77 @@ def test_snapshot_renders_real_tk_content(tmp_path):
             p.terminate()
     finally:
         xs.stop()
+
+
+# ---------------------------------------------------------------------------
+# wire-client layer (XWire): screenshots + input injection over the protocol
+
+def test_wire_screenshot_of_real_window(microx_display):
+    """xwd-style: a second X client screenshots the real Tk window over
+    the wire (QueryTree -> GetGeometry -> GetImage) — works even though
+    the display server is a subprocess."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.gui.microx import XWire
+
+    root = tkinter.Tk()
+    try:
+        tkinter.Label(root, text="Sol'Ex reconstruction 0123").pack()
+        root.update()
+        for _ in range(3):
+            root.update()
+        with XWire(microx_display) as wire:
+            img = wire.screenshot(root.winfo_id())
+        assert img is not None and img.ndim == 3
+        dark = (img < 128).all(axis=2).mean()
+        assert dark > 0.001, "no text pixels over the wire"
+        assert len(np.unique(img.reshape(-1, 3), axis=0)) > 2
+    finally:
+        root.destroy()
+
+
+def test_wire_button_click_invokes_real_tk_command(microx_display):
+    """xdotool-style: a ButtonPress/Release pair injected through the X
+    protocol (SendEvent) lands on the real Tk button and runs its
+    command."""
+    from solex_ser_recon_en_tpu.gui.microx import XWire
+
+    root = tkinter.Tk()
+    fired = []
+    try:
+        b = tkinter.Button(root, text="go",
+                           command=lambda: fired.append(1))
+        b.pack()
+        root.update()
+        with XWire(microx_display) as wire:
+            wire.click(b.winfo_id(), x=3, y=3)
+        for _ in range(10):
+            root.update()
+            if fired:
+                break
+        assert fired == [1]
+    finally:
+        root.destroy()
+
+
+def test_wire_typing_into_real_tk_entry(microx_display):
+    """KeyPress events injected over the wire translate through the
+    identity keymap into characters in a real Tk Entry."""
+    from solex_ser_recon_en_tpu.gui.microx import XWire
+
+    root = tkinter.Tk()
+    try:
+        e = tkinter.Entry(root)
+        e.pack()
+        root.update()
+        e.focus_force()
+        root.update()
+        with XWire(microx_display) as wire:
+            wire.type_text(e.winfo_id(), "shift=5")
+        for _ in range(10):
+            root.update()
+            if e.get():
+                break
+        assert e.get() == "shift=5"
+    finally:
+        root.destroy()
