@@ -277,3 +277,43 @@ def test_continuous_window_real_toolkit(real_display, tmp_path):
     assert count == 1
     outs = os.listdir(tmp_path)
     assert any(f.endswith("_clahe.png") for f in outs)
+
+
+def test_full_user_session_driven_through_the_wire(real_display, monkeypatch,
+                                                   tmp_path):
+    """A complete user-level session with NO scripted events: the test
+    types the scan path into the real Entry and clicks the real OK button
+    purely via X protocol events (XWire), and input_ui returns the file
+    list exactly as if a human had driven the window."""
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.gui import main_window
+    from solex_ser_recon_en_tpu.gui.main_window import _require_sg
+    from solex_ser_recon_en_tpu.gui.microx import XWire
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    scan_path = str(tmp_path / "wire_drive.ser")
+    SyntheticScan(ih=64, iw=48, frames=20, depth=16,
+                  line_poly=(24.0, 0.0, 0.0, 0.0), seed=3).write(scan_path)
+
+    sg = _require_sg()
+    orig_window = sg.Window
+    display = real_display
+
+    class WireDriven(orig_window):
+        def read(self, *a, **k):
+            if not getattr(self, "_injected", False):
+                self._injected = True
+                entry = self["-FILE-"].Widget
+                entry.delete(0, "end")
+                entry.focus_force()
+                self.TKroot.update()
+                with XWire(display) as wire:
+                    wire.type_text(entry.winfo_id(), scan_path)
+                    wire.click(self["OK"].Widget.winfo_id(), x=5, y=5)
+            return orig_window.read(self, timeout=10_000)
+
+    monkeypatch.setattr(sg, "Window", WireDriven)
+    opts = Options()
+    files = main_window.input_ui(opts)
+    assert files == [scan_path]
+    assert opts.selected_mode == "File input mode"
