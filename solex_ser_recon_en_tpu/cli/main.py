@@ -200,6 +200,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     options = Options()
     files = parse_cli(options, rest)
 
+    # on relay-attached hosts a dead tunnel hangs the first device use
+    # forever; probe (bounded) and fall back to the CPU backend instead
+    from ..utils.backend import ensure_responsive_backend, relay_attached
+
+    if relay_attached():
+        ensure_responsive_backend()
+
     def run() -> int:
         if not files:
             if options.input_dir:

@@ -17,12 +17,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
-
 
 def _masked_row_median(x: jax.Array, valid: jax.Array) -> jax.Array:
     """np.median per row over the valid entries (average of middles)."""
-    big = jnp.where(valid, x, _INF)
+    big = jnp.where(valid, x, jnp.float32(jnp.inf))
     s = jnp.sort(big, axis=1)
     n = jnp.sum(valid, axis=1)  # (H,)
     lo_i = jnp.maximum((n - 1) // 2, 0)
