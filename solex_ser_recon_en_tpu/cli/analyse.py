@@ -20,6 +20,12 @@ from ..analyser.atlas import load_atlas, target_table
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # relay-attached hosts: a dead tunnel hangs the first device use;
+    # probe (bounded) and fall back to the CPU backend instead
+    from ..utils.backend import ensure_responsive_backend, relay_attached
+
+    if relay_attached():
+        ensure_responsive_backend()
     ap = argparse.ArgumentParser(description="SHG spectral analyser (headless)")
     ap.add_argument("file", help="SER/AVI scan")
     ap.add_argument("--anchor", type=float, default=6562.808,

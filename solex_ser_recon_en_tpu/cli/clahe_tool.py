@@ -76,6 +76,12 @@ def apply_clahe(file: str, options: dict, write_file: bool = True) -> np.ndarray
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # relay-attached hosts: a dead tunnel hangs the first device use;
+    # probe (bounded) and fall back to the CPU backend instead
+    from ..utils.backend import ensure_responsive_backend, relay_attached
+
+    if relay_attached():
+        ensure_responsive_backend()
     ap = argparse.ArgumentParser(description="Apply CLAHE to images")
     ap.add_argument("files", nargs="+")
     ap.add_argument("--tile", type=int, default=None, choices=range(1, 5))
