@@ -317,3 +317,40 @@ def test_full_user_session_driven_through_the_wire(real_display, monkeypatch,
     files = main_window.input_ui(opts)
     assert files == [scan_path]
     assert opts.selected_mode == "File input mode"
+
+
+def test_real_modal_popup_dismissed_through_the_wire(real_display):
+    """popup_ok shows Tk's REAL modal messagebox on the display; a wire
+    click on its OK button (located by widget class, clicked via X
+    events) dismisses it — the blocking call returns."""
+    import tkinter
+
+    from solex_ser_recon_en_tpu.gui import fsg_tk
+    from solex_ser_recon_en_tpu.gui.microx import XWire
+
+    root = fsg_tk._tk_root()
+    state = {}
+
+    def find_button(path="."):
+        tk = root.tk
+        for child in tk.eval(f"winfo children {path}").split():
+            if tk.eval(f"winfo class {child}") in ("Button", "TButton"):
+                return child
+            found = find_button(child)
+            if found:
+                return found
+        return None
+
+    def dismiss():
+        btn = find_button()
+        if btn is None:                      # dialog not mapped yet
+            root.after(100, dismiss)
+            return
+        wid = int(root.tk.eval(f"winfo id {btn}"), 0)  # hex string
+        state["clicked"] = btn
+        with XWire(real_display) as wire:
+            wire.click(wid, x=5, y=5)
+
+    root.after(300, dismiss)
+    fsg_tk.popup_ok("Error: file not entered!")   # blocks until dismissed
+    assert state.get("clicked"), "wire click never happened"
