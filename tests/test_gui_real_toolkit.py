@@ -354,3 +354,28 @@ def test_real_modal_popup_dismissed_through_the_wire(real_display):
     root.after(300, dismiss)
     fsg_tk.popup_ok("Error: file not entered!")   # blocks until dismissed
     assert state.get("clicked"), "wire click never happened"
+
+
+def test_progress_meter_real_toolkit_with_wire_cancel(real_display):
+    """one_line_progress_meter on the real toolkit: progress updates draw
+    a real ttk Progressbar; a wire click on its Cancel button makes the
+    next update return False (reference meter semantics,
+    Solex_recon.py:34-44)."""
+    from solex_ser_recon_en_tpu.gui import fsg_tk
+    from solex_ser_recon_en_tpu.gui.microx import XWire
+
+    title = "wire-meter"
+    assert fsg_tk.one_line_progress_meter(title, 1, 10, "file 1") is True
+    assert fsg_tk.one_line_progress_meter(title, 2, 10, "file 2") is True
+    meter = fsg_tk._meters[title]
+    cancel_id = None
+    for child in meter.top.winfo_children():
+        if child.winfo_class() in ("Button", "TButton"):
+            cancel_id = child.winfo_id()
+    assert cancel_id is not None
+    with XWire(real_display) as wire:
+        wire.click(cancel_id, x=5, y=5)
+    meter.top.update()
+    assert fsg_tk.one_line_progress_meter(title, 3, 10, "file 3") is False
+    meter.top.destroy()
+    fsg_tk._meters.pop(title, None)
