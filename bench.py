@@ -50,30 +50,20 @@ N_RUNS = 5
 
 
 def tpu_reachable(timeout_s: float = 180.0) -> bool:
-    """Bounded accelerator-discovery probe.
+    """Bounded accelerator-discovery probe (shared helper in
+    ``utils/backend.py``).
 
-    The relay's device discovery can hang indefinitely when the tunnel is
-    down (observed: ``jax.devices()`` stuck in a retry-sleep loop for
-    minutes) — a hung bench records nothing.  Discovery runs in a daemon
-    thread (it cannot be cancelled) and the bench re-execs itself on the
-    CPU backend when the accelerator never answers, labelling the result
+    The relay's device discovery can hang indefinitely when the tunnel
+    is down (observed: ``jax.devices()`` stuck in a retry-sleep loop for
+    minutes) — a hung bench records nothing.  The probe runs in a
+    subprocess, so a discovery that crashes fast returns False fast, and
+    a hang can't pin this process's jax backend lock.  On False the
+    bench re-execs itself on the CPU backend, labelling the result
     honestly (``tpu_unreachable``).
     """
-    import threading
+    from solex_ser_recon_en_tpu.utils.backend import accelerator_answers
 
-    ok = threading.Event()
-
-    def probe():
-        try:
-            import jax
-
-            if jax.devices():
-                ok.set()
-        except Exception:
-            pass
-
-    threading.Thread(target=probe, daemon=True).start()
-    return ok.wait(timeout_s)
+    return accelerator_answers(timeout_s)
 
 
 def ensure_scan() -> None:
@@ -599,16 +589,9 @@ def run_config(n: int, paired: bool = True) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1].startswith("--config"):
-        n = int(sys.argv[1].split("=")[-1] if "=" in sys.argv[1] else sys.argv[2])
-        ensure_scan()
-        print(json.dumps(run_config(n)))
-        return
-    if len(sys.argv) > 1 and sys.argv[1] == "--decomp":
-        ensure_scan()
-        print(json.dumps(device_attached_decomposition()))
-        return
     t_start = time.monotonic()
+    # dead-tunnel guard FIRST, so the --config/--decomp subcommand paths
+    # are protected too (they use devices just as much as the default)
     unreachable = os.environ.get("SOLEX_BENCH_TPU_UNREACHABLE") == "1"
     if not unreachable and os.environ.get("JAX_PLATFORMS") != "cpu":
         if not tpu_reachable():
@@ -629,6 +612,21 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--config"):
+        n = int(sys.argv[1].split("=")[-1] if "=" in sys.argv[1] else sys.argv[2])
+        ensure_scan()
+        out = run_config(n)
+        if unreachable:
+            out["tpu_unreachable"] = True
+        print(json.dumps(out))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--decomp":
+        ensure_scan()
+        out = device_attached_decomposition()
+        if unreachable:
+            out["tpu_unreachable"] = True
+        print(json.dumps(out))
+        return
     ensure_scan()
     tpu = run_paired()
     dev_fps = device_only_fps()

@@ -110,15 +110,25 @@ def main(out_path: str = "demo_out/gui_main_window.png",
                              stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True)
         try:
+            import select
+
             t0 = time.monotonic()
             line = ""
             while "MAPPED" not in line:
-                line = p.stdout.readline()
-                if p.poll() is not None:
-                    print("client failed:\n" + (line or ""))
-                    return 1
+                # bounded wait: a blocking readline would defeat the
+                # timeout if the client wedges before printing anything
                 if time.monotonic() - t0 > 120:
                     print("client never mapped")
+                    return 1
+                ready, _, _ = select.select([p.stdout], [], [], 0.5)
+                if not ready:
+                    if p.poll() is not None:
+                        print("client failed")
+                        return 1
+                    continue
+                line = p.stdout.readline()
+                if not line and p.poll() is not None:
+                    print("client failed")
                     return 1
             time.sleep(3)                     # let Tk finish painting
             snap = xs.snapshot()

@@ -212,7 +212,7 @@ class MicroXServer:
         self._thread = None
         self._stop_r, self._stop_w = None, None
         self._sock_path = None
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()  # reentrant: handlers emit events
         self._reset_state()
 
     # -- lifecycle ---------------------------------------------------------
@@ -250,10 +250,22 @@ class MicroXServer:
                     break
         self._display_num = n
         self._sock_path = f"/tmp/.X11-unix/X{n}"
-        try:
+        if os.path.exists(self._sock_path):
+            # only reclaim a STALE socket — stealing a live display would
+            # kill its clients (Xlib's XIO handler exits the process)
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            probe.settimeout(1)
+            try:
+                probe.connect(self._sock_path)
+                alive = True
+            except OSError:
+                alive = False
+            finally:
+                probe.close()
+            if alive:
+                raise RuntimeError(
+                    f"display :{n} is in use by a live server")
             os.unlink(self._sock_path)
-        except FileNotFoundError:
-            pass
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(self._sock_path)
         self._sock.listen(8)
@@ -316,16 +328,15 @@ class MicroXServer:
         import time
 
         os.makedirs("/tmp/.X11-unix", exist_ok=True)
-        if display is None:
+
+        def _free_displays():
             for cand in range(77, 200):
                 path = f"/tmp/.X11-unix/X{cand}"
                 if not os.path.exists(path):
-                    display = cand
-                    break
+                    yield cand
+                    continue
                 # stale socket from a killed server: nothing accepting
-                import socket as _socket
-
-                probe = _socket.socket(_socket.AF_UNIX)
+                probe = socket.socket(socket.AF_UNIX)
                 probe.settimeout(1)
                 try:
                     probe.connect(path)
@@ -334,10 +345,20 @@ class MicroXServer:
                         os.unlink(path)
                     except OSError:
                         continue
-                    display = cand
-                    break
+                    yield cand
                 finally:
                     probe.close()
+
+        if display is not None:
+            candidates = [display]
+        else:
+            candidates = []
+            for cand in _free_displays():
+                candidates.append(cand)
+                if len(candidates) >= 5:
+                    break
+            if not candidates:
+                raise RuntimeError("no free display number in :77..:199")
         # the server needs only the stdlib (+ lazy numpy): strip any
         # accelerator-preloading site dirs from the child's PYTHONPATH so
         # startup is instant even when an accelerator tunnel is down/slow
@@ -358,17 +379,32 @@ class MicroXServer:
             except Exception:
                 pass
 
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), f":{display}"],
-            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            preexec_fn=_die_with_parent)
-        path = f"/tmp/.X11-unix/X{display}"
-        t0 = time.monotonic()
-        while not os.path.exists(path):
-            if proc.poll() is not None or time.monotonic() - t0 > timeout:
-                proc.kill()
-                raise RuntimeError("microx subprocess failed to start")
-            time.sleep(0.05)
+        proc = None
+        path = None
+        for cand in candidates:
+            # two concurrent spawns can race to the same free number;
+            # the loser's child refuses the live display and exits, and
+            # the loop moves on to the next candidate
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), f":{cand}"],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, preexec_fn=_die_with_parent)
+            path = f"/tmp/.X11-unix/X{cand}"
+            t0 = time.monotonic()
+            while (not os.path.exists(path) or proc.poll() is not None):
+                if proc.poll() is not None:
+                    proc = None
+                    break
+                if time.monotonic() - t0 > timeout:
+                    proc.kill()
+                    raise RuntimeError("microx subprocess failed to start")
+                time.sleep(0.05)
+            if proc is not None:
+                display = cand
+                break
+        if proc is None:
+            raise RuntimeError("microx subprocess failed to start on "
+                               f"candidates {candidates}")
 
         class _Handle:
             def __init__(self, proc, display):
@@ -433,7 +469,10 @@ class MicroXServer:
                     continue
                 c.buf += data
                 try:
-                    self._drain(c)
+                    # the state lock serialises request handling against
+                    # snapshot() readers on other threads
+                    with self._lock:
+                        self._drain(c)
                 except Exception as e:      # pragma: no cover - diagnostics
                     if self._log:
                         import traceback
@@ -1056,7 +1095,10 @@ class MicroXServer:
         if fb is not None:
             bg = win.attrs.get("background_pixel", 0xD9D9D9)
             saved = self._child_guard(wid, fb, ox, oy)
-            self._fill_rect(fb, ox + x, oy + y, w or win.w, h or win.h, bg)
+            # X11: zero width/height mean "to the right/bottom edge"
+            self._fill_rect(fb, ox + x, oy + y,
+                            w or max(win.w - x, 0),
+                            h or max(win.h - y, 0), bg)
             self._restore_children(fb, saved)
 
     def _h_copy_area(self, c, data, req):

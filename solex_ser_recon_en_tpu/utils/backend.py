@@ -27,6 +27,22 @@ import sys
 _PROBED: dict = {}
 
 
+def accelerator_answers(timeout_s: float = 120.0) -> bool:
+    """One bounded subprocess device-discovery probe (shared by the CLI
+    guard, bench.py and __graft_entry__).  Fast on fast failure: a
+    discovery that crashes immediately returns False immediately —
+    only a genuine hang costs the full timeout."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def relay_attached() -> bool:
     """True when this host reaches its accelerator through a tunnel/relay
     whose discovery can hang (the environments where the probe pays)."""
@@ -50,16 +66,9 @@ def ensure_responsive_backend(timeout_s: float = 120.0,
         return True
     if "ok" in _PROBED:
         return _PROBED["ok"]
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
+    if accelerator_answers(timeout_s):
         _PROBED["ok"] = True
         return True
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        pass
     _PROBED["ok"] = False
     if not quiet:
         print("warning: accelerator device discovery did not answer within "

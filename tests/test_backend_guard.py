@@ -35,15 +35,21 @@ def test_unresponsive_probe_pins_cpu(monkeypatch, capsys):
         raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
 
     monkeypatch.setattr(backend.subprocess, "run", timeout)
-    assert backend.ensure_responsive_backend(timeout_s=1) is False
-    assert "CPU backend" in capsys.readouterr().err
     import jax
 
-    assert jax.config.jax_platforms == "cpu"
-    # memoised: a second call must not probe again
-    monkeypatch.setattr(backend.subprocess, "run",
-                        lambda *a, **k: pytest.fail("probed twice"))
-    assert backend.ensure_responsive_backend() is False
+    prev = jax.config.jax_platforms
+    try:
+        assert backend.ensure_responsive_backend(timeout_s=1) is False
+        assert "CPU backend" in capsys.readouterr().err
+        assert jax.config.jax_platforms == "cpu"
+        # memoised: a second call must not probe again
+        monkeypatch.setattr(backend.subprocess, "run",
+                            lambda *a, **k: pytest.fail("probed twice"))
+        assert backend.ensure_responsive_backend() is False
+    finally:
+        # restore the session-global config (matters for the real-chip
+        # suite mode, where jax_platforms must stay unset)
+        jax.config.update("jax_platforms", prev)
 
 
 def test_responsive_probe_changes_nothing(monkeypatch):
