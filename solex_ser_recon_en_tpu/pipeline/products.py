@@ -121,6 +121,68 @@ def _products_body(fj: jnp.ndarray):
 _products_core = jax.jit(_products_body)
 
 
+def host_products_enabled() -> bool:
+    """True when the product core should run as cv2/numpy host code.
+
+    On a CPU-only jax backend the XLA product program is the wrong tool:
+    its MXU-shaped CLAHE histograms (one-hot matmuls, great on TPU) cost
+    ~2.4 s on this host where cv2's CLAHE + numpy percentiles do the same
+    math in a few hundred ms — and the host forms match the REFERENCE
+    exactly (cv2.createCLAHE, np.percentile: solex_util.py:532-541).
+    Tests pin SOLEX_HOST_PRODUCTS=0 so the suite keeps exercising the
+    XLA program on the CPU backend; the explicit-path equivalence test
+    covers the pair.  SOLEX_HOST_PRODUCTS=1 forces the host core even
+    with an accelerator attached — useful on throttled-link hosts where
+    the product downloads cost more than the host math.
+    """
+    import os
+
+    env = os.environ.get("SOLEX_HOST_PRODUCTS", "auto")
+    if env == "0":
+        return False
+    if env != "1" and jax.default_backend() != "cpu":
+        return False
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _products_body_host(f: np.ndarray):
+    """cv2/numpy twin of ``_products_body`` (reference-exact forms).
+
+    Output contract identical: (cl1, cc, high_contrast, protus), all
+    uint16.  CLAHE is bit-identical to the device kernel (both match
+    cv2); the stretch thresholds use np.percentile — the reference's own
+    call — so they can differ from the device histogram-CDF percentiles
+    by ≤1 LSB (docs/PARITY.md deviation 7).
+    """
+    import cv2
+
+    f = np.ascontiguousarray(f, dtype=np.uint16)
+    cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
+    bright = max(float(np.percentile(f, 99.9999)), 1.0)
+    dark_clahe = float(np.percentile(cl1, 10.0))
+    bright_clahe = max(float(cl1.max()), dark_clahe + 1.0)
+
+    def stretch(img, lo, hi):
+        x = 65535.0 * (img.astype(np.float32) - lo) / np.float32(hi - lo)
+        return np.clip(x, 0, 65535).astype(np.uint16)
+
+    cc = stretch(cl1, dark_clahe, bright_clahe)
+    frame_hc = stretch(f, bright * 0.25, bright)
+    frame_protus = stretch(f, 0.0, max(bright * 0.18, 1.0))
+    return cl1, cc, frame_hc, frame_protus
+
+
+def _products_core_gained_host(f: np.ndarray, gain: np.ndarray):
+    out = f.astype(np.float32) * np.asarray(gain, np.float32)[:, None]
+    detrans = np.clip(out, 0, 65535).astype(np.uint16)
+    return (detrans,) + _products_body_host(detrans)
+
+
 @jax.jit
 def _products_core_gained(fj: jnp.ndarray, gain: jnp.ndarray):
     """Transversalium row-gain multiply fused INTO the product program.
@@ -146,6 +208,14 @@ def products_core_batched(stack, gains=None):
     With ``gains`` (K, H) the transversalium row multiply is fused in and
     the return gains a leading ``detrans`` stack (see _products_core_gained).
     """
+    if host_products_enabled():
+        stack = np.asarray(stack)
+        if gains is not None:
+            outs = [_products_core_gained_host(f, g)
+                    for f, g in zip(stack, np.asarray(gains))]
+        else:
+            outs = [_products_body_host(f) for f in stack]
+        return tuple(np.stack(col) for col in zip(*outs))
     if gains is not None:
         return jax.vmap(_products_core_gained)(
             jnp.asarray(stack), jnp.asarray(gains, dtype=jnp.float32)
@@ -175,24 +245,35 @@ def image_process(
     """
     # device-resident until a consumer (file write / disc paint / display)
     # actually needs host bytes — per-product downloads dominate on
-    # slow-link hosts otherwise
-    fj = jnp.asarray(frame)
+    # slow-link hosts otherwise.  CPU-only backends take the cv2/numpy
+    # twin instead (host_products_enabled): same outputs, ~5x faster
+    # where there is no MXU to shape the programs for.
+    host_core = core_out is None and host_products_enabled()
+    xp = np if host_core else jnp
+    fj = xp.asarray(frame)
     if not jnp.issubdtype(fj.dtype, jnp.integer):
         # float input (de-vignette path): clip to the uint16 range before
         # the cast so the result is identical for host and device inputs.
         # Deliberate deviation: the reference's numpy cast WRAPS >65535
         # values (solex_util.py:528) — saturation is the sane behaviour;
         # see docs/PARITY.md.
-        fj = jnp.clip(fj, 0, 65535)
-    fj = fj.astype(jnp.uint16)
+        fj = xp.clip(fj, 0, 65535)
+    fj = fj.astype(xp.uint16)
     if gain is not None and core_out is None:
-        fj, cl1, cc, frame_hc, frame_protus = _products_core_gained(
-            fj, jnp.asarray(gain, dtype=jnp.float32)
-        )
+        if host_core:
+            fj, cl1, cc, frame_hc, frame_protus = _products_core_gained_host(
+                fj, gain
+            )
+        else:
+            fj, cl1, cc, frame_hc, frame_protus = _products_core_gained(
+                fj, jnp.asarray(gain, dtype=jnp.float32)
+            )
+    elif core_out is not None:
+        cl1, cc, frame_hc, frame_protus = core_out
+    elif host_core:
+        cl1, cc, frame_hc, frame_protus = _products_body_host(fj)
     else:
-        cl1, cc, frame_hc, frame_protus = (
-            core_out if core_out is not None else _products_core(fj)
-        )
+        cl1, cc, frame_hc, frame_protus = _products_core(fj)
     frame_raw = fj
 
     # the protus product is only materialised (disc paint costs a host
@@ -216,15 +297,17 @@ def image_process(
             frame_protus = _protus_disc(np.asarray(frame_protus), x0, y0, r)
 
     k = options.img_rotate // 90
+
+    def _rot(a):
+        if isinstance(a, np.ndarray):
+            return np.rot90(a, k)
+        return jnp.rot90(a, k, axes=(0, 1))
+
     if k:
-        frame_raw = jnp.rot90(frame_raw, k, axes=(0, 1))
-        frame_hc = jnp.rot90(frame_hc, k, axes=(0, 1))
-        frame_protus = (
-            np.rot90(frame_protus, k)
-            if isinstance(frame_protus, np.ndarray)
-            else jnp.rot90(frame_protus, k, axes=(0, 1))
-        )
-        cc = jnp.rot90(cc, k, axes=(0, 1))
+        frame_raw = _rot(frame_raw)
+        frame_hc = _rot(frame_hc)
+        frame_protus = _rot(frame_protus)
+        cc = _rot(cc)
 
     if save and not options._nolog:
         if options.clahe_only or not options.protus_only:

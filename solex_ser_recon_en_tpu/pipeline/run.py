@@ -173,7 +173,19 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     # so for big scans anything under the device threshold goes straight to
     # "host" — the band's ~100 MB is bucket-sized, a gamble "host" never
     # takes for ~0.5 s of page-cache gathers.
+    import jax
+
     feed = options.feed_mode
+    if (feed == "auto" and options.mesh is None
+            and jax.default_backend() == "cpu"):
+        # no accelerator: a "device" feed would just memcpy the scan into
+        # XLA:CPU buffers and rot90/normalise it there — strictly worse
+        # than the host pass (native single-sweep mean/max + float64
+        # recon straight off the memmap).  Measured on the bench scan,
+        # CPU-pinned: pass A 5.1 s via the device feed vs ~0.5-2 s host.
+        # (A mesh request keeps the sharded device feed: virtual CPU
+        # meshes exist exactly to exercise that path.)
+        feed = "host" if isinstance(vid, _SerVideo) else feed
     if feed == "auto" and isinstance(vid, _SerVideo):
         from ..io.feeder import d2h_responsive
 

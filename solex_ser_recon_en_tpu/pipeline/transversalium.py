@@ -67,6 +67,69 @@ def _gain_from_mean_r(
     return c, correction
 
 
+def _strip_mask_host(h: int, w: int, circle, borders) -> np.ndarray:
+    """numpy twin of ops/rowstats.strip_mask (same float32 geometry)."""
+    cx, cy, r = (np.float32(circle[0]), np.float32(circle[1]),
+                 np.float32(circle[2]))
+    bx0, by1, bx2, by3 = (np.float32(b) for b in borders)
+    ys = np.arange(h, dtype=np.float32)
+    xs = np.arange(w, dtype=np.float32)
+    y1 = np.ceil(max(cy - r, by1))
+    y2 = np.floor(min(cy + r, by3))
+    d2 = r * r - (ys - cy) ** 2
+    dx = np.floor(np.sqrt(np.maximum(d2, np.float32(0.0))))
+    x_lo = np.ceil(np.maximum(cx - dx, bx0))
+    x_hi = np.floor(np.minimum(cx + dx, bx2))
+    row_ok = (ys > y1) & (ys < y2) & (d2 >= 0.0)
+    return (row_ok[:, None]
+            & (xs[None, :] >= x_lo[:, None])
+            & (xs[None, :] < x_hi[:, None]))
+
+
+def _masked_row_median_host(x: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """numpy twin of ops/rowstats._masked_row_median — EXACT semantics:
+    invalid entries pushed to +inf, NaNs (0/0 pixels) sort last and stay
+    counted in n (np.nanmedian would silently drop them, diverging from
+    the device program by up to 1e-3 in the gain — observed)."""
+    big = np.where(valid, x, np.float32(np.inf))
+    s = np.sort(big, axis=1)
+    n = valid.sum(axis=1)
+    lo_i = np.maximum((n - 1) // 2, 0)
+    hi_i = np.maximum(n // 2, 0)
+    rows = np.arange(x.shape[0])
+    med = 0.5 * (s[rows, lo_i] + s[rows, hi_i])
+    return np.where(n > 0, med, np.float32(0.0)).astype(np.float32)
+
+
+def _row_stats_host(img: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """numpy twin of ops/rowstats.row_log_ratio_stats (mean_r only).
+
+    Used with the CPU-only product fast path (products.host_products_
+    enabled): the XLA program's per-row masked-median sorts cost ~1.4 s
+    on this host's single core where the numpy form takes ~0.5 s.
+    Mirrors the device code step for step in float32 so both paths agree
+    to reduction-order rounding.
+    """
+    f = img.astype(np.float32)
+    prev = np.concatenate([f[:1], f[:-1]], axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rat = np.log(f / prev).astype(np.float32)
+    rat = np.where(valid, rat, np.float32(0.0))
+
+    med = _masked_row_median_host(rat, valid)
+    d = np.abs(rat - med[:, None])
+    mdev = _masked_row_median_host(d, valid)
+    with np.errstate(invalid="ignore"):
+        s = np.where(mdev[:, None] > 0,
+                     d / np.maximum(mdev[:, None], np.float32(1e-30)),
+                     np.float32(0.0))
+        keep = valid & (s < 2.0)
+    nk = keep.sum(axis=1)
+    total = np.where(keep, rat, np.float32(0.0)).sum(axis=1,
+                                                     dtype=np.float32)
+    return np.where(nk > 0, total / np.maximum(nk, 1), 0.0)
+
+
 def transversalium_gain(
     img: np.ndarray,
     circle,
@@ -78,15 +141,21 @@ def transversalium_gain(
     Returns (c, y1, y2, correction_raw) where correction_raw is the
     un-tapered correction over the band (used by the stubborn variant).
     """
+    from .products import host_products_enabled
+
     h, w = img.shape
-    valid, _, _ = strip_mask(
-        h,
-        w,
-        jnp.asarray(np.asarray(circle, dtype=np.float32)),
-        jnp.asarray(np.asarray(borders, dtype=np.float32)),
-    )
-    _, mean_r = row_log_ratio_stats(jnp.asarray(img), valid)
-    mean_r = np.asarray(mean_r, dtype=np.float64)
+    if host_products_enabled():
+        valid = _strip_mask_host(h, w, circle, borders)
+        mean_r = _row_stats_host(np.asarray(img), valid).astype(np.float64)
+    else:
+        valid, _, _ = strip_mask(
+            h,
+            w,
+            jnp.asarray(np.asarray(circle, dtype=np.float32)),
+            jnp.asarray(np.asarray(borders, dtype=np.float32)),
+        )
+        _, mean_r = row_log_ratio_stats(jnp.asarray(img), valid)
+        mean_r = np.asarray(mean_r, dtype=np.float64)
 
     y1, y2 = _row_band(circle, borders)
     y1 = max(y1, 0)
@@ -201,16 +270,28 @@ def transversalium_gains_batched(
     """
     import jax
 
-    stack_j = jnp.asarray(stack)
-    K, h, w = stack_j.shape
-    valid, _, _ = strip_mask(
-        h,
-        w,
-        jnp.asarray(np.asarray(circle, dtype=np.float32)),
-        jnp.asarray(np.asarray(borders, dtype=np.float32)),
-    )
-    _, mean_r_all = jax.vmap(lambda im: row_log_ratio_stats(im, valid))(stack_j)
-    mean_r_all = np.asarray(mean_r_all, dtype=np.float64)
+    from .products import host_products_enabled
+
+    if host_products_enabled():
+        stack_np = np.asarray(stack)
+        K, h, w = stack_np.shape
+        valid = _strip_mask_host(h, w, circle, borders)
+        mean_r_all = np.stack(
+            [_row_stats_host(im, valid) for im in stack_np]
+        ).astype(np.float64)
+    else:
+        stack_j = jnp.asarray(stack)
+        K, h, w = stack_j.shape
+        valid, _, _ = strip_mask(
+            h,
+            w,
+            jnp.asarray(np.asarray(circle, dtype=np.float32)),
+            jnp.asarray(np.asarray(borders, dtype=np.float32)),
+        )
+        _, mean_r_all = jax.vmap(
+            lambda im: row_log_ratio_stats(im, valid)
+        )(stack_j)
+        mean_r_all = np.asarray(mean_r_all, dtype=np.float64)
 
     y1, y2 = _row_band(circle, borders)
     y1 = max(y1, 0)

@@ -9,6 +9,11 @@ import os
 
 if os.environ.get("SOLEX_TEST_TPU", "0") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # the suite runs on the CPU backend, where the pipeline would take the
+    # cv2/numpy product core by default — pin the XLA product programs so
+    # they stay covered here (the host twin has its own equivalence test,
+    # which flips this per-test)
+    os.environ.setdefault("SOLEX_HOST_PRODUCTS", "0")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

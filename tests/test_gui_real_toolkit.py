@@ -375,7 +375,15 @@ def test_progress_meter_real_toolkit_with_wire_cancel(real_display):
     assert cancel_id is not None
     with XWire(real_display) as wire:
         wire.click(cancel_id, x=5, y=5)
-    meter.top.update()
+    # the click is delivered asynchronously over the display socket;
+    # pump the Tk loop until the command fires
+    import time as _time
+
+    for _ in range(100):
+        meter.top.update()
+        if meter.cancelled:
+            break
+        _time.sleep(0.02)
     assert fsg_tk.one_line_progress_meter(title, 3, 10, "file 3") is False
     meter.top.destroy()
     fsg_tk._meters.pop(title, None)

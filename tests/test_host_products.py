@@ -1,0 +1,92 @@
+"""The cv2/numpy product core (CPU-only fast path) vs the XLA programs.
+
+On a CPU-only backend the pipeline computes products with cv2 CLAHE +
+np.percentile (the reference's own forms, solex_util.py:532-541) instead
+of the MXU-shaped XLA program — ~5x faster where there is no MXU.  The
+two paths must agree: CLAHE bit-exactly (both are cv2-exact), the
+stretched products within 1 LSB (the device percentiles come from exact
+histogram CDFs, the host ones from np.percentile — docs/PARITY.md #7).
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from solex_ser_recon_en_tpu.pipeline import products  # noqa: E402
+
+
+def _disk_image(rng, h=256, w=220):
+    y, x = np.mgrid[0:h, 0:w]
+    r = np.hypot(y - h / 2, x - w / 2)
+    img = 28000.0 * np.clip(1.1 - r / (0.4 * min(h, w)), 0, 1)
+    img += rng.normal(0, 120, (h, w))
+    return np.clip(img, 0, 65535).astype(np.uint16)
+
+
+def test_host_core_matches_device_core(monkeypatch):
+    rng = np.random.default_rng(7)
+    f = _disk_image(rng)
+    dev = [np.asarray(o) for o in products._products_core(f)]
+    host = list(products._products_body_host(f))
+    names = ["clahe", "cc", "high_contrast", "protus"]
+    for name, h_img, d_img in zip(names, host, dev):
+        diff = np.abs(h_img.astype(np.int32) - d_img.astype(np.int32))
+        # CLAHE: both within 1 LSB of cv2 -> <=2 apart; stretches scale a
+        # 1-LSB threshold difference by the stretch slope (measured <=2)
+        assert diff.max() <= 3, f"{name}: max diff {diff.max()}"
+
+
+def test_host_gained_core_matches_device(monkeypatch):
+    rng = np.random.default_rng(8)
+    f = _disk_image(rng)
+    gain = 1.0 + 0.05 * np.sin(np.arange(f.shape[0]) / 7.0)
+    dev = [np.asarray(o) for o in
+           products._products_core_gained(f, gain.astype(np.float32))]
+    host = list(products._products_core_gained_host(f, gain))
+    np.testing.assert_array_equal(host[0], dev[0], err_msg="detrans")
+    for h_img, d_img in zip(host[1:], dev[1:]):
+        diff = np.abs(h_img.astype(np.int32) - d_img.astype(np.int32))
+        assert diff.max() <= 3
+
+
+def test_pipeline_outputs_equal_under_host_products(monkeypatch, tmp_path,
+                                                    basic_scan):
+    """process_file with SOLEX_HOST_PRODUCTS on vs off: the written
+    _clahe.png product must agree within a few LSB end-to-end."""
+    import os
+
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.io import read_image
+    from solex_ser_recon_en_tpu.pipeline.run import process_file
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("SOLEX_HOST_PRODUCTS", mode)
+        outdir = tmp_path / f"m{mode}"
+        outdir.mkdir()
+        process_file(basic_scan["path"],
+                     Options(shift=[0], clahe_only=True,
+                             output_dir=str(outdir)))
+        png = next(f for f in os.listdir(outdir) if f.endswith("_clahe.png"))
+        outs[mode] = np.asarray(read_image(str(outdir / png)), np.int32)
+    diff = np.abs(outs["0"] - outs["1"])
+    # the final product is STRETCHED: a 1-LSB CLAHE difference is
+    # amplified by the stretch slope 65535/(bright-dark), which can be
+    # ~100 on a low-contrast synthetic disk — so bound the bulk tightly
+    # and the sparse amplified pixels by a generous slope allowance
+    assert np.quantile(diff, 0.999) <= 3, f"bulk diff {np.quantile(diff, 0.999)}"
+    assert diff.max() <= 300, f"max diff {diff.max()}"
+
+
+def test_batched_host_products_match(monkeypatch):
+    monkeypatch.setenv("SOLEX_HOST_PRODUCTS", "1")
+    rng = np.random.default_rng(9)
+    stack = np.stack([_disk_image(rng) for _ in range(3)])
+    host = products.products_core_batched(stack)
+    monkeypatch.setenv("SOLEX_HOST_PRODUCTS", "0")
+    dev = products.products_core_batched(stack)
+    for h_img, d_img in zip(host, dev):
+        diff = np.abs(np.asarray(h_img, np.int64)
+                      - np.asarray(d_img, np.int64))
+        assert diff.max() <= 3

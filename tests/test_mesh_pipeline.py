@@ -46,7 +46,11 @@ def test_process_file_frame_mesh_bit_identical(basic_scan, tmp_path):
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
-    res_1, dir_1 = _run(basic_scan["path"], tmp_path, "single")
+    # feed_mode pinned: the property under test is that SHARDING doesn't
+    # change results; on a CPU-only backend the auto feed policy would
+    # (correctly) route the non-mesh run to the host pass instead
+    res_1, dir_1 = _run(basic_scan["path"], tmp_path, "single",
+                        feed_mode="device")
     res_8, dir_8 = _run(basic_scan["path"], tmp_path, "mesh",
                         mesh={"frame": 8})
     _assert_identical(res_1, res_8, dir_1, dir_8)
@@ -142,7 +146,7 @@ def test_mesh_with_non_divisible_frame_count(tmp_path):
     SyntheticScan(ih=128, iw=64, frames=194, depth=16,
                   line_poly=(30.0, 0.01, 0.0, 0.0), noise=0.002,
                   seed=6).write(p, transpose_to_wide=True)
-    res_1, dir_1 = _run(p, tmp_path, "odd1")
+    res_1, dir_1 = _run(p, tmp_path, "odd1", feed_mode="device")
     res_8, dir_8 = _run(p, tmp_path, "odd8", mesh={"frame": 8})
     _assert_identical(res_1, res_8, dir_1, dir_8)
     from solex_ser_recon_en_tpu.io.fits import read_fits

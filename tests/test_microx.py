@@ -280,10 +280,11 @@ def test_wire_button_click_invokes_real_tk_command(microx_display):
         root.update()
         with XWire(microx_display) as wire:
             wire.click(b.winfo_id(), x=3, y=3)
-        for _ in range(10):
+        for _ in range(100):            # events arrive async over the socket
             root.update()
             if fired:
                 break
+            time.sleep(0.02)
         assert fired == [1]
     finally:
         root.destroy()
@@ -303,10 +304,11 @@ def test_wire_typing_into_real_tk_entry(microx_display):
         root.update()
         with XWire(microx_display) as wire:
             wire.type_text(e.winfo_id(), "shift=5")
-        for _ in range(10):
+        for _ in range(100):            # events arrive async over the socket
             root.update()
-            if e.get():
+            if len(e.get()) >= 7:
                 break
+            time.sleep(0.02)
         assert e.get() == "shift=5"
     finally:
         root.destroy()

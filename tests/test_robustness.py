@@ -245,8 +245,15 @@ def test_dead_downlink_routes_feed_to_host(basic_scan, tmp_path, monkeypatch,
     host path up front (observed weather: 311 MB/s uploads while a 0.25 MB
     readback hung for minutes — the H2D probe alone cannot see it) and the
     scan still completes with identical disks."""
+    import jax
+
     import solex_ser_recon_en_tpu.io.feeder as feeder
     from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    # the CPU-only fast path would route auto->host before the canary is
+    # even consulted; pretend an accelerator backend so the d2h decision
+    # under test is reached
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     def run(name):
         outdir = tmp_path / name
