@@ -198,6 +198,11 @@ def device_only_fps() -> float:
 
     r = SerReader(SCAN)
     n = min(r.frame_count, 2000)
+    reps = 5
+    if jax.default_backend() == "cpu":
+        # CPU fallback: the full-slab XLA recon costs minutes per rep
+        # here and the number is informational only — measure a slice
+        n, reps = min(n, 512), 2
     # chunked upload (large single puts collapse on the relay), then one
     # resident normalised slab; the upload is time-bounded — on a congested
     # relay the full 2.4 GB could cost minutes, and resident throughput is
@@ -237,7 +242,6 @@ def device_only_fps() -> float:
 
     float(checksum(shg_forward(frames, ind_l, left_w)))  # compile + warm
     t0 = time.perf_counter()
-    reps = 5
     acc = None
     for _ in range(reps):
         out = shg_forward(frames, ind_l, left_w)
@@ -629,7 +633,6 @@ def main() -> None:
         return
     ensure_scan()
     tpu = run_paired()
-    dev_fps = device_only_fps()
     clean = cpu_baseline_clean_seconds(tpu["cpu_best_s"])
     result = {
         "metric": "e2e_2000frame_16bit_full_disk_scan",
@@ -648,14 +651,19 @@ def main() -> None:
         "host_memcpy_gbps": tpu["host_memcpy_gbps"],
         "stages_ms": tpu["stages_ms"],
         "frames_per_s": round(FRAMES / tpu["e2e_s"], 1),
-        "device_only_frames_per_s": round(dev_fps, 1),
     }
     if unreachable:
         result["tpu_unreachable"] = True
-    # the headline goes out BEFORE the decomposition and extra configs
-    # run, so a congestion-stretched leg can never cost the driver the
-    # result; the final line repeats it with the extras folded in
+    # the headline goes out BEFORE the device-throughput measurement,
+    # the decomposition and the extra configs, so a congestion-stretched
+    # (or CPU-fallback) later leg can never cost the driver the result;
+    # the final line repeats it with everything folded in
     print(json.dumps(result), flush=True)
+    try:
+        result["device_only_frames_per_s"] = round(device_only_fps(), 1)
+    except Exception as e:  # never mask the headline
+        result["device_only_frames_per_s"] = None
+        result["device_only_error"] = str(e)[:200]
     if os.environ.get("SOLEX_BENCH_SKIP_DECOMP") != "1":
         try:
             result["device_attached"] = device_attached_decomposition()

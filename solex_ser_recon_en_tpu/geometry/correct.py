@@ -101,8 +101,11 @@ def _use_fast_warp(mat3: np.ndarray) -> bool:
 
     from ..ops.warp_fast import unit_y_row, window_for
 
+    from ..utils.placement import host_pipeline
+
     return (
         FAST_WARP
+        and not host_pipeline()  # host mode warps on XLA:CPU (no Pallas)
         and jax.default_backend() == "tpu"
         and unit_y_row(mat3)
         and window_for(mat3) > 0
@@ -129,11 +132,22 @@ def correct_image(
 
     Returns (uint16 image, circle, mat3).
     """
+    from ..utils.placement import host_ops
+
     circle, mat3, out_h, out_w = correction_geometry(
         image.shape, phi, ratio, center, height, log=log
     )
     integer_input = np.issubdtype(np.dtype(image.dtype), np.integer)
     cval = float(np.asarray(image[0, 0]))
+    with host_ops():
+        return (
+            _warp_dispatch(image, mat3, out_h, out_w, cval, integer_input),
+            circle,
+            mat3,
+        )
+
+
+def _warp_dispatch(image, mat3, out_h, out_w, cval, integer_input):
     if integer_input:
         if _use_fast_warp(mat3):
             # gather-free separable kernel (ops/warp_fast.py): ~5x the
@@ -160,8 +174,7 @@ def correct_image(
             jnp.asarray(image).astype(jnp.float32), jnp.asarray(mat3),
             out_h, out_w, cval=cval,
         )
-    corrected = warp_to_u16(warped)  # device-resident; writers np.asarray it
-    return corrected, circle, mat3
+    return warp_to_u16(warped)  # device-resident; writers np.asarray it
 
 
 def correct_images_batched(
@@ -193,27 +206,30 @@ def correct_images_batched(
     mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
     out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
 
-    dj = jnp.asarray(disks).astype(jnp.uint16)
-    m3 = jnp.asarray(mat3)
+    from ..utils.placement import host_ops
 
-    if _use_fast_warp(mat3):
-        from ..ops.warp_fast import warp_unit_y_u16_batched
+    with host_ops():
+        dj = jnp.asarray(disks).astype(jnp.uint16)
+        m3 = jnp.asarray(mat3)
 
-        warped = warp_to_u16(
-            warp_unit_y_u16_batched(dj, mat3, out_h, out_w, cval=None)
-        )
-    else:
+        if _use_fast_warp(mat3):
+            from ..ops.warp_fast import warp_unit_y_u16_batched
 
-        def one(img):
-            # packed-pair u16 warp (disks are always uint16 here)
-            return warp_to_u16(
-                warp_projective_u16(
-                    img, m3, out_h, out_w,
-                    cval=img[0, 0].astype(jnp.float32) / 65536.0,
-                )
+            warped = warp_to_u16(
+                warp_unit_y_u16_batched(dj, mat3, out_h, out_w, cval=None)
             )
+        else:
 
-        warped = jax.vmap(one)(dj)
+            def one(img):
+                # packed-pair u16 warp (disks are always uint16 here)
+                return warp_to_u16(
+                    warp_projective_u16(
+                        img, m3, out_h, out_w,
+                        cval=img[0, 0].astype(jnp.float32) / 65536.0,
+                    )
+                )
+
+            warped = jax.vmap(one)(dj)
     new_center = (np.linalg.inv(mat) @ np.array([-1.0, -1.0]).T).T - np.array([tx, ty])
     new_radius = -1.0 * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
     if log is not None:

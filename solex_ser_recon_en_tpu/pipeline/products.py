@@ -141,7 +141,13 @@ def host_products_enabled() -> bool:
     if env == "0":
         return False
     if env != "1" and jax.default_backend() != "cpu":
-        return False
+        # an accelerator is attached — but when the feed policy already
+        # chose the full host pass (throttled link), the disks are
+        # host-side and host products keep the link idle entirely
+        from ..utils.placement import host_pipeline
+
+        if not host_pipeline():
+            return False
     try:
         import cv2  # noqa: F401
 

@@ -118,9 +118,10 @@ class ScanResult:
     basefich0: str
     mean_img: np.ndarray = None
     linefit: object = None
-    # the feed policy's small-ops placement decision for THIS scan; the
-    # post-processing stage re-asserts it on whatever thread runs it
+    # the feed policy's placement decisions for THIS scan; the
+    # post-processing stage re-asserts them on whatever thread runs it
     small_ops_host: bool = False
+    host_pipeline: bool = False
 
 
 def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -> ScanResult:
@@ -213,10 +214,15 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             if rate is not None and rate < 200e6:
                 feed = "host"
 
-    from ..utils.placement import set_small_ops_on_host
+    from ..utils.placement import set_host_pipeline, set_small_ops_on_host
 
     small_ops_host = feed in ("band", "host")
     set_small_ops_on_host(small_ops_host)  # this (reading) thread
+    # "host" (not "band"): disks end up host-side, so the bulk post-
+    # processing (warp, row stats, products) also stays host — the link
+    # carries nothing after recon on throttled-relay hosts
+    host_pipe = feed == "host"
+    set_host_pipeline(host_pipe)
 
     pinned = False
     if feed in ("band", "host") and isinstance(vid, _SerVideo):
@@ -341,6 +347,8 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 band_mode = True
                 small_ops_host = True
                 set_small_ops_on_host(True)
+                host_pipe = True
+                set_host_pipeline(True)
                 pin(file)
                 raw_proc = None
                 chunks = []
@@ -567,6 +575,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         mean_img=mean_img,
         linefit=lf,
         small_ops_host=small_ops_host,
+        host_pipeline=host_pipe,
     )
 
 
@@ -668,11 +677,12 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
     reference: Solex_recon.py:93-133 (solex_process).
     """
     timer = timer or StageTimer()
-    from ..utils.placement import set_small_ops_on_host
+    from ..utils.placement import set_host_pipeline, set_small_ops_on_host
 
     # may run on a pool thread (cli/main.py decode/process overlap):
-    # re-assert this scan's placement decision thread-locally
+    # re-assert this scan's placement decisions thread-locally
     set_small_ops_on_host(scan.small_ops_host)
+    set_host_pipeline(scan.host_pipeline)
     basefich0 = scan.basefich0
     log = RunLog(basefich0, options)
     if options.transversalium:

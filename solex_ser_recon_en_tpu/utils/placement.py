@@ -33,6 +33,35 @@ def small_ops_on_host() -> bool:
     return getattr(_TLS, "value", False)
 
 
+def set_host_pipeline(flag: bool) -> None:
+    """Full-host mode: the feed policy chose the host pass ("host" feed —
+    NOT "band", whose disks live on the accelerator), so the bulk stages
+    (warp, transversalium stats, product core) also run host-side and the
+    accelerator link carries nothing after recon.  Thread-local like the
+    small-ops flag and re-asserted per stage entry."""
+    _TLS.pipe = bool(flag)
+
+
+def host_pipeline() -> bool:
+    return getattr(_TLS, "pipe", False)
+
+
+def host_ops():
+    """Context manager placing bulk-stage jax ops per the host-pipeline
+    decision (same mechanics as small_ops)."""
+    if host_pipeline():
+        import jax
+
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return contextlib.nullcontext()
+        if jax.default_backend() == "cpu":
+            return contextlib.nullcontext()
+        return jax.default_device(cpu)
+    return contextlib.nullcontext()
+
+
 def small_ops():
     """Context manager placing the enclosed jax ops per the current policy."""
     if small_ops_on_host():
