@@ -55,6 +55,56 @@ def _finalize_mean_max(
     return mean, np.ascontiguousarray(mx16)
 
 
+def host_mean_max_frames(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean/max of an in-memory normalised (F, ih, iw) uint16 stack.
+
+    The host pass A for non-SER sources (AVI) on CPU-only hosts — same
+    truncating arithmetic as the reference accumulator
+    (solex_util.py:174-188)."""
+    n = frames.shape[0]
+    acc = frames.sum(axis=0, dtype=np.uint64)
+    mean = (acc.astype(np.float64) / n).astype(np.uint16)
+    return mean, frames.max(axis=0)
+
+
+def host_reconstruct_frames(
+    frames: np.ndarray,
+    fit_floor: np.ndarray,
+    fit_frac: np.ndarray,
+    shifts,
+    progress=None,
+    chunk_frames: int = 512,
+) -> np.ndarray:
+    """Multi-shift recon from an in-memory normalised frame stack.
+
+    float64, reference-exact (the same truncating store as
+    host_reconstruct; solex_util.py:113-134) — the pass B companion of
+    host_mean_max_frames for non-SER sources."""
+    from ..ops.recon import build_shift_indices
+
+    F, ih, iw = frames.shape
+    shifts = list(shifts)
+    ind_l, _ = build_shift_indices(fit_floor, fit_frac, shifts, iw)
+    ind_l = np.asarray(ind_l)
+    w_l = 1.0 - np.asarray(fit_frac, dtype=np.float64)
+    w_r = np.asarray(fit_frac, dtype=np.float64)
+    ys = np.arange(ih)
+    out = np.empty((len(shifts), ih, F), dtype=np.uint16)
+    for start in range(0, F, chunk_frames):
+        end = min(start + chunk_frames, F)
+        blk = frames[start:end]
+        for si in range(len(shifts)):
+            il = ind_l[si]
+            left = blk[:, ys, il].astype(np.float64)
+            right = blk[:, ys, il + 1].astype(np.float64)
+            out[si, :, start:end] = (left * w_l + right * w_r).T.astype(
+                np.uint16
+            )
+        if progress is not None:
+            progress(out[:, :, start:end], start, blk[-1])
+    return out
+
+
 def host_mean_max(r: SerReader, chunk_frames: int = 256) -> Tuple[np.ndarray, np.ndarray]:
     """Normalised-orientation mean/max of a SER scan, computed on host.
 

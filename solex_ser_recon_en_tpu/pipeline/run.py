@@ -214,6 +214,15 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             if rate is not None and rate < 200e6:
                 feed = "host"
 
+    if (feed == "auto" and options.mesh is None
+            and not isinstance(vid, _SerVideo)
+            and total_bytes <= 1024**3
+            and jax.default_backend() == "cpu"):
+        # non-SER (AVI) on a CPU-only backend: the in-memory host pass
+        # beats chunked XLA:CPU feeds the same way the memmap pass does
+        # for SER (measured: a 200-frame AVI dropped 117 -> ~25 ms e2e)
+        feed = "host"
+
     from ..utils.placement import set_host_pipeline, set_small_ops_on_host
 
     small_ops_host = feed in ("band", "host")
@@ -248,8 +257,14 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         os.environ.get("SOLEX_FUSEDBAND") == "1"
         or (not pinned and total_bytes > 256 * 1024**2)
     ) and os.environ.get("SOLEX_NO_FUSEDBAND") != "1"
+    mem_frames = None
     with timer.stage("mean/max"):
-        if feed in ("band", "host") and isinstance(vid, _SerVideo):
+        if feed == "host" and not isinstance(vid, _SerVideo):
+            from ..io.hostreduce import host_mean_max_frames
+
+            mem_frames = vid.read_all()
+            mean_img, max_img = host_mean_max_frames(mem_frames)
+        elif feed in ("band", "host") and isinstance(vid, _SerVideo):
             from ..io.hostreduce import (
                 host_mean_max,
                 host_mean_max_band,
@@ -383,7 +398,15 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         )
 
     with timer.stage("recon"):
-        if feed == "host" and band_mode:
+        if mem_frames is not None:
+            from ..io.hostreduce import host_reconstruct_frames
+
+            disk_list = host_reconstruct_frames(
+                mem_frames, lf.floor, lf.frac, shifts,
+                progress=_live_view(shifts, options),
+            )
+            mem_frames = None
+        elif feed == "host" and band_mode:
             import jax
 
             from ..io.hostreduce import (
@@ -405,13 +428,16 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                     vid._r, lf.floor, lf.frac, shifts, progress=live
                 )
             fused_band = None  # release the slab
-            if mesh is None:
+            if mesh is None and not host_pipe:
                 # start (async) uploads now for the shifts whose disks the
                 # post-processing warps — overlapped with the remaining host
                 # work.  Shifts that yield no product (the hidden fit shift)
                 # stay host-side: the ellipse fit runs on a host downscale
                 # and their 8 MB never crosses the link.  Oversized sweeps
                 # stop uploading at the budget and go per-shift on demand.
+                # (host_pipe: the warp/products run host-side — a committed
+                # accelerator array would drag the warp back onto the
+                # device, re-paying the link this mode exists to avoid.)
                 budget = 96 * 1024 * 1024
                 per_shift = []
                 for i, s in enumerate(shifts):

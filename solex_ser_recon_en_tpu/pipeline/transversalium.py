@@ -116,10 +116,10 @@ def _row_stats_host(img: np.ndarray, valid: np.ndarray) -> np.ndarray:
         rat = np.log(f / prev).astype(np.float32)
     rat = np.where(valid, rat, np.float32(0.0))
 
-    med = _masked_row_median_host(rat, valid)
-    d = np.abs(rat - med[:, None])
-    mdev = _masked_row_median_host(d, valid)
-    with np.errstate(invalid="ignore"):
+    with np.errstate(invalid="ignore"):  # inf-inf on all-masked rows
+        med = _masked_row_median_host(rat, valid)
+        d = np.abs(rat - med[:, None])
+        mdev = _masked_row_median_host(d, valid)
         s = np.where(mdev[:, None] > 0,
                      d / np.maximum(mdev[:, None], np.float32(1e-30)),
                      np.float32(0.0))
