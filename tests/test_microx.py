@@ -312,3 +312,86 @@ def test_wire_typing_into_real_tk_entry(microx_display):
         assert e.get() == "shift=5"
     finally:
         root.destroy()
+
+
+# ---------------------------------------------------------------------------
+# framebuffer drawing fidelity (protocol level, no Tk)
+
+def _setup_window(xs, s, setup, w=200, h=100, x=0, y=0, parent=None,
+                  wid_off=1):
+    rid_base = struct.unpack("<I", setup[4:8])[0]
+    wid = rid_base + wid_off
+    parent = parent if parent is not None else xs.root_id
+    payload = struct.pack("<IIhhHHHHII", wid, parent, x, y, w, h, 0, 1,
+                          xs.root_visual, 0)
+    s.sendall(_req(1, 24, payload))
+    s.sendall(_req(8, 0, struct.pack("<I", wid)))    # MapWindow
+    return wid
+
+
+def _fill(s, wid, gc, x, y, w, h):
+    s.sendall(_req(70, 0, struct.pack("<IIhhHH", wid, gc, x, y, w, h)))
+
+
+def _make_gc(s, setup, wid, fg, off=100):
+    gid = struct.unpack("<I", setup[4:8])[0] + off
+    s.sendall(_req(55, 0, struct.pack("<III", gid, wid, 0x04)
+                   + struct.pack("<I", fg)))         # foreground only
+    return gid
+
+
+def test_children_clip_parent_drawing():
+    """X11 semantics: a parent-window fill must not touch the pixels of a
+    mapped child window (a toplevel background repaint used to wipe
+    widget pixels in screenshots)."""
+    with MicroXServer() as xs:
+        s, setup = _connect(xs)
+        top = _setup_window(xs, s, setup, w=100, h=50, wid_off=1)
+        kid = _setup_window(xs, s, setup, w=20, h=10, x=30, y=20,
+                            parent=top, wid_off=2)
+        red = _make_gc(s, setup, kid, 0xFF0000, off=100)
+        _fill(s, kid, red, 0, 0, 20, 10)             # child turns red
+        gray = _make_gc(s, setup, top, 0x808080, off=101)
+        _fill(s, top, gray, 0, 0, 100, 50)           # parent repaint
+        s.sendall(_req(43, 0, b""))                  # sync
+        _recvn(s, 32)
+        snap = xs.snapshot(top)
+        assert tuple(snap[25, 40]) == (255, 0, 0), "child pixels wiped"
+        assert tuple(snap[5, 5]) == (128, 128, 128)
+        s.close()
+
+
+def test_resize_preserves_framebuffer_content():
+    with MicroXServer() as xs:
+        s, setup = _connect(xs)
+        top = _setup_window(xs, s, setup, w=80, h=40, wid_off=1)
+        blue = _make_gc(s, setup, top, 0x0000FF, off=100)
+        _fill(s, top, blue, 0, 0, 80, 40)
+        # ConfigureWindow: grow to 160x80 (mask: width|height = 0b1100)
+        s.sendall(_req(12, 0, struct.pack("<IH2xII", top, 0b1100, 160, 80)))
+        _fill(s, top, blue, 100, 50, 1, 1)           # touch -> realloc fb
+        s.sendall(_req(43, 0, b""))
+        _recvn(s, 32)
+        snap = xs.snapshot(top)
+        assert snap.shape[:2] == (80, 160)
+        assert tuple(snap[10, 10]) == (0, 0, 255), "content lost on resize"
+        s.close()
+
+
+def test_clear_area_zero_extent_clears_to_edge_only():
+    with MicroXServer() as xs:
+        s, setup = _connect(xs)
+        top = _setup_window(xs, s, setup, w=100, h=50, wid_off=1)
+        kid = _setup_window(xs, s, setup, w=100, h=10, x=0, y=40,
+                            parent=top, wid_off=2)
+        green = _make_gc(s, setup, kid, 0x00FF00, off=100)
+        _fill(s, kid, green, 0, 0, 100, 10)
+        # ClearArea(x=10, y=0, w=0, h=30) on the PARENT: w=0 means
+        # "to the right edge", and the fill must stop at y=30
+        s.sendall(_req(61, 0, struct.pack("<IhhHH", top, 10, 0, 0, 30)))
+        s.sendall(_req(43, 0, b""))
+        _recvn(s, 32)
+        snap = xs.snapshot(top)
+        assert tuple(snap[45, 50]) == (0, 255, 0), "child (sibling band) hit"
+        assert tuple(snap[10, 50]) == (217, 217, 217)  # default background
+        s.close()
