@@ -148,6 +148,21 @@ def correct_image(
 
 
 def _warp_dispatch(image, mat3, out_h, out_w, cval, integer_input):
+    from ..utils.placement import host_pipeline
+
+    if host_pipeline() and isinstance(image, np.ndarray):
+        # full-host mode: the numpy twin keeps even the warp off the
+        # accelerator (and off XLA:CPU dispatch overhead on small files)
+        from ..ops.warp import warp_projective_host, warp_to_u16_host
+
+        if integer_input:
+            arr = image.astype(np.float32) / 65536.0
+            cv = cval / 65536.0
+        else:
+            arr, cv = image, cval
+        return warp_to_u16_host(
+            warp_projective_host(arr, mat3, out_h, out_w, cv)
+        )
     if integer_input:
         if _use_fast_warp(mat3):
             # gather-free separable kernel (ops/warp_fast.py): ~5x the
@@ -206,30 +221,43 @@ def correct_images_batched(
     mat3 = mat3 @ np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]])
     out_h, out_w = int(math.ceil(new_h)), int(math.ceil(new_w))
 
-    from ..utils.placement import host_ops
+    from ..utils.placement import host_ops, host_pipeline
 
-    with host_ops():
-        dj = jnp.asarray(disks).astype(jnp.uint16)
-        m3 = jnp.asarray(mat3)
+    if host_pipeline() and isinstance(disks, np.ndarray):
+        # full-host mode: numpy warp twin, no accelerator/XLA dispatch
+        from ..ops.warp import warp_projective_host, warp_to_u16_host
 
-        if _use_fast_warp(mat3):
-            from ..ops.warp_fast import warp_unit_y_u16_batched
+        warped = np.stack([
+            warp_to_u16_host(warp_projective_host(
+                d.astype(np.float32) / 65536.0, mat3, out_h, out_w,
+                cval=float(d[0, 0]) / 65536.0,
+            ))
+            for d in disks.astype(np.uint16)
+        ])
+    else:
+        with host_ops():
+            dj = jnp.asarray(disks).astype(jnp.uint16)
+            m3 = jnp.asarray(mat3)
 
-            warped = warp_to_u16(
-                warp_unit_y_u16_batched(dj, mat3, out_h, out_w, cval=None)
-            )
-        else:
+            if _use_fast_warp(mat3):
+                from ..ops.warp_fast import warp_unit_y_u16_batched
 
-            def one(img):
-                # packed-pair u16 warp (disks are always uint16 here)
-                return warp_to_u16(
-                    warp_projective_u16(
-                        img, m3, out_h, out_w,
-                        cval=img[0, 0].astype(jnp.float32) / 65536.0,
-                    )
+                warped = warp_to_u16(
+                    warp_unit_y_u16_batched(dj, mat3, out_h, out_w,
+                                            cval=None)
                 )
+            else:
 
-            warped = jax.vmap(one)(dj)
+                def one(img):
+                    # packed-pair u16 warp (disks are always uint16 here)
+                    return warp_to_u16(
+                        warp_projective_u16(
+                            img, m3, out_h, out_w,
+                            cval=img[0, 0].astype(jnp.float32) / 65536.0,
+                        )
+                    )
+
+                warped = jax.vmap(one)(dj)
     new_center = (np.linalg.inv(mat) @ np.array([-1.0, -1.0]).T).T - np.array([tx, ty])
     new_radius = -1.0 * np.sqrt(np.abs(ratio / np.linalg.det(mat)))
     if log is not None:

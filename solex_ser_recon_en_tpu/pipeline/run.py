@@ -754,7 +754,15 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
         from ..geometry.correct import correct_images_batched
         import jax.numpy as jnp
 
-        stack = jnp.stack([jnp.asarray(scan.disk_list[j]) for j in idxs])
+        from ..utils.placement import host_pipeline
+
+        if host_pipeline():
+            # keep the stack numpy: jnp.asarray would commit it to the
+            # accelerator and drag the warp back across the link
+            stack = np.stack([np.asarray(scan.disk_list[j]) for j in idxs])
+        else:
+            stack = jnp.stack([jnp.asarray(scan.disk_list[j])
+                               for j in idxs])
         with timer.stage("warp"):
             warped, _, _ = correct_images_batched(stack, phi, ratio, log=log)
         for pos, j in enumerate(idxs):

@@ -90,3 +90,29 @@ def test_batched_host_products_match(monkeypatch):
         diff = np.abs(np.asarray(h_img, np.int64)
                       - np.asarray(d_img, np.int64))
         assert diff.max() <= 3
+
+
+def test_host_warp_twin_matches_device():
+    """The numpy warp twin (full-host mode) agrees with the device warp
+    within 1 LSB after the u16 store (reduction-order rounding only)."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.ops.warp import (
+        warp_projective,
+        warp_projective_host,
+        warp_to_u16,
+        warp_to_u16_host,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (120, 140)).astype(np.uint16)
+    mat3 = np.array([[1.02, 0.03, -2.0], [0.0, 1.0, 1.5], [0, 0, 1.0]])
+    f = img.astype(np.float32) / 65536.0
+    dev = np.asarray(warp_to_u16(
+        warp_projective(f, mat3, 130, 150, cval=float(f[0, 0]))
+    ))
+    host = warp_to_u16_host(
+        warp_projective_host(f, mat3, 130, 150, cval=float(f[0, 0]))
+    )
+    diff = np.abs(host.astype(np.int32) - dev.astype(np.int32))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
