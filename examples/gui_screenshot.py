@@ -110,26 +110,11 @@ def main(out_path: str = "demo_out/gui_main_window.png",
                              stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True)
         try:
-            import select
+            from solex_ser_recon_en_tpu.gui.microx import wait_for_line
 
-            t0 = time.monotonic()
-            line = ""
-            while "MAPPED" not in line:
-                # bounded wait: a blocking readline would defeat the
-                # timeout if the client wedges before printing anything
-                if time.monotonic() - t0 > 120:
-                    print("client never mapped")
-                    return 1
-                ready, _, _ = select.select([p.stdout], [], [], 0.5)
-                if not ready:
-                    if p.poll() is not None:
-                        print("client failed")
-                        return 1
-                    continue
-                line = p.stdout.readline()
-                if not line and p.poll() is not None:
-                    print("client failed")
-                    return 1
+            if not wait_for_line(p, "MAPPED", timeout_s=120):
+                print("client failed or never mapped")
+                return 1
             time.sleep(3)                     # let Tk finish painting
             snap = xs.snapshot()
             if snap is None:

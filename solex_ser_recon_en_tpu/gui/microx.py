@@ -102,6 +102,42 @@ def _pad4(n: int) -> int:
     return (4 - (n & 3)) & 3
 
 
+def wait_for_line(proc, token: str, timeout_s: float = 60.0) -> bool:
+    """Bounded wait for ``token`` in a subprocess's stdout lines.
+
+    Returns True when seen, False on timeout or child exit.  A bare
+    ``readline()`` would defeat any timeout when the child wedges before
+    printing anything — the read is select-bounded instead."""
+    import time
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        ready, _, _ = select.select([proc.stdout], [], [], 0.5)
+        if not ready:
+            if proc.poll() is not None:
+                return False
+            continue
+        line = proc.stdout.readline()
+        if token in line:
+            return True
+        if not line and proc.poll() is not None:
+            return False
+    return False
+
+
+def _socket_alive(path: str, timeout: float = 1.0) -> bool:
+    """True when something accepts connections on the unix socket."""
+    probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    probe.settimeout(timeout)
+    try:
+        probe.connect(path)
+        return True
+    except OSError:
+        return False
+    finally:
+        probe.close()
+
+
 class _Window:
     __slots__ = ("wid", "parent", "x", "y", "w", "h", "border", "depth",
                  "cls", "event_mask", "mapped", "props", "attrs", "children",
@@ -253,16 +289,7 @@ class MicroXServer:
         if os.path.exists(self._sock_path):
             # only reclaim a STALE socket — stealing a live display would
             # kill its clients (Xlib's XIO handler exits the process)
-            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            probe.settimeout(1)
-            try:
-                probe.connect(self._sock_path)
-                alive = True
-            except OSError:
-                alive = False
-            finally:
-                probe.close()
-            if alive:
+            if _socket_alive(self._sock_path):
                 raise RuntimeError(
                     f"display :{n} is in use by a live server")
             os.unlink(self._sock_path)
@@ -334,20 +361,13 @@ class MicroXServer:
                 path = f"/tmp/.X11-unix/X{cand}"
                 if not os.path.exists(path):
                     yield cand
-                    continue
-                # stale socket from a killed server: nothing accepting
-                probe = socket.socket(socket.AF_UNIX)
-                probe.settimeout(1)
-                try:
-                    probe.connect(path)
-                except OSError:
+                elif not _socket_alive(path):
+                    # stale socket from a killed server: reclaimable
                     try:
                         os.unlink(path)
                     except OSError:
                         continue
                     yield cand
-                finally:
-                    probe.close()
 
         if display is not None:
             candidates = [display]

@@ -178,15 +178,18 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
 
     feed = options.feed_mode
     if (feed == "auto" and options.mesh is None
-            and jax.default_backend() == "cpu"):
+            and jax.default_backend() == "cpu"
+            and (isinstance(vid, _SerVideo) or total_bytes <= 1024**3)):
         # no accelerator: a "device" feed would just memcpy the scan into
         # XLA:CPU buffers and rot90/normalise it there — strictly worse
-        # than the host pass (native single-sweep mean/max + float64
-        # recon straight off the memmap).  Measured on the bench scan,
-        # CPU-pinned: pass A 5.1 s via the device feed vs ~0.5-2 s host.
-        # (A mesh request keeps the sharded device feed: virtual CPU
-        # meshes exist exactly to exercise that path.)
-        feed = "host" if isinstance(vid, _SerVideo) else feed
+        # than the host pass (SER: native single-sweep mean/max + float64
+        # recon straight off the memmap, pass A 5.1 s -> ~0.5 s on the
+        # bench scan; non-SER: the in-memory pass, a 200-frame AVI
+        # dropped 117 -> ~25 ms).  Non-SER sources above 1 GB keep the
+        # chunked path (read_all would materialise the whole stack).
+        # A mesh request keeps the sharded device feed: virtual CPU
+        # meshes exist exactly to exercise that path.
+        feed = "host"
     if feed == "auto" and isinstance(vid, _SerVideo):
         from ..io.feeder import d2h_responsive
 
@@ -213,15 +216,6 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                 rate = probe_transfer_rate()
             if rate is not None and rate < 200e6:
                 feed = "host"
-
-    if (feed == "auto" and options.mesh is None
-            and not isinstance(vid, _SerVideo)
-            and total_bytes <= 1024**3
-            and jax.default_backend() == "cpu"):
-        # non-SER (AVI) on a CPU-only backend: the in-memory host pass
-        # beats chunked XLA:CPU feeds the same way the memmap pass does
-        # for SER (measured: a 200-frame AVI dropped 117 -> ~25 ms e2e)
-        feed = "host"
 
     from ..utils.placement import set_host_pipeline, set_small_ops_on_host
 

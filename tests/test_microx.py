@@ -208,19 +208,10 @@ def test_snapshot_renders_real_tk_content(tmp_path):
                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                              text=True)
         try:
-            import select
+            from solex_ser_recon_en_tpu.gui.microx import wait_for_line
 
-            t0 = time.monotonic()
-            line = ""
-            while "MAPPED" not in line:
-                # bounded wait (a bare readline would defeat the timeout)
-                assert time.monotonic() - t0 < 60, "client never mapped"
-                ready, _, _ = select.select([p.stdout], [], [], 0.5)
-                if not ready:
-                    assert p.poll() is None, "client died silently"
-                    continue
-                line = p.stdout.readline()
-                assert line or p.poll() is None, "client died"
+            assert wait_for_line(p, "MAPPED", timeout_s=60), \
+                "client died or never mapped"
             deadline = time.monotonic() + 20
             snap = None
             while time.monotonic() < deadline:
