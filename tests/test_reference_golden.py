@@ -268,9 +268,14 @@ def test_reference_two_step_agrees(ref_geometry):
     assert kept_ours.shape == kept_ref.shape
 
 
-def test_reference_image_process_agrees(ref_modules, tmp_path, monkeypatch):
+@pytest.mark.parametrize("host_products", ["0", "1"])
+def test_reference_image_process_agrees(ref_modules, tmp_path, monkeypatch,
+                                        host_products):
     """Full product stage vs the reference's image_process (CLAHE, stretches,
-    protus disc, rotation) — files suppressed via _nolog/save_fit."""
+    protus disc, rotation) — files suppressed via _nolog/save_fit.
+    Parametrised over BOTH product cores (the XLA programs and the
+    cv2/numpy host twin the CPU-only bench path takes)."""
+    monkeypatch.setenv("SOLEX_HOST_PRODUCTS", host_products)
     ref_su, _ = ref_modules
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.pipeline.products import image_process
@@ -300,9 +305,14 @@ def test_reference_image_process_agrees(ref_modules, tmp_path, monkeypatch):
     assert d_pr.max() <= 4, d_pr.max()
 
 
-def test_reference_single_image_process_agrees(ref_modules, ref_geometry, tmp_path):
+@pytest.mark.parametrize("host_products", ["0", "1"])
+def test_reference_single_image_process_agrees(ref_modules, ref_geometry,
+                                               tmp_path, monkeypatch,
+                                               host_products):
     """The whole post-circularisation path (transversalium + crop + products)
-    against the reference's single_image_process (Solex_recon.py:136-174)."""
+    against the reference's single_image_process (Solex_recon.py:136-174).
+    Parametrised over BOTH product cores (XLA programs / host twin)."""
+    monkeypatch.setenv("SOLEX_HOST_PRODUCTS", host_products)
     ref_su, _ = ref_modules
     sys.modules.setdefault("FreeSimpleGUI", types.ModuleType("FreeSimpleGUI"))
     import Solex_recon as ref_recon  # noqa: E402
