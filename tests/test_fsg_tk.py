@@ -107,13 +107,10 @@ def test_require_sg_resolves_some_toolkit():
         assert hasattr(sg, name)
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("DISPLAY"),
-    reason="window construction needs a display",
-)
-def test_main_window_constructs_on_fsg_tk(monkeypatch):  # pragma: no cover
-    """With a display: the REAL main window builds and round-trips one
-    event on the in-repo tkinter backend, no FreeSimpleGUI involved."""
+def test_main_window_constructs_on_fsg_tk(microx_display, monkeypatch):
+    """On the in-repo display (gui/microx.py): the REAL main window builds
+    and round-trips one event on the in-repo tkinter backend, no
+    FreeSimpleGUI involved."""
     import sys
 
     monkeypatch.delitem(sys.modules, "FreeSimpleGUI", raising=False)
