@@ -37,12 +37,22 @@ def real_display(microx_display):
 
 
 def test_without_display_tk_fails_with_microx_it_works():
-    """The environment record: DISPLAY is unset in this image and Tk()
-    genuinely cannot construct — until MicroX provides the display."""
-    if os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
-        pytest.skip("environment has a real display; record not applicable")
-    with pytest.raises(tkinter.TclError):
-        tkinter.Tk()
+    """The environment record: without a display Tk() genuinely cannot
+    construct — MicroX is what provides one.  Checked in a subprocess
+    with DISPLAY scrubbed, so it holds even when the session display
+    fixture is already up."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("DISPLAY", "WAYLAND_DISPLAY")}
+    env["PYTHONPATH"] = ""  # stdlib-only child: no accelerator preload
+    r = subprocess.run(
+        [sys.executable, "-c", "import tkinter; tkinter.Tk()"],
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode != 0
+    assert "display" in r.stderr.lower()
 
 
 def test_headless_tcl_round_trip():
