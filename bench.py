@@ -669,7 +669,11 @@ def main() -> None:
     except Exception as e:  # never mask the headline
         result["device_only_frames_per_s"] = None
         result["device_only_error"] = str(e)[:200]
-    if os.environ.get("SOLEX_BENCH_SKIP_DECOMP") != "1":
+    if unreachable:
+        # "stage the scan in HBM" is meaningless without an accelerator,
+        # and the XLA:CPU legs cost minutes of driver time
+        result["device_attached"] = {"skipped": "tpu unreachable"}
+    elif os.environ.get("SOLEX_BENCH_SKIP_DECOMP") != "1":
         try:
             result["device_attached"] = device_attached_decomposition()
         except Exception as e:  # never mask the headline
