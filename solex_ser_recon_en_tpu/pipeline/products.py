@@ -13,14 +13,16 @@ import numpy as np
 
 from ..config import Options, output_path
 from ..io.fits import write_fits
-from ..io.png import write_png, write_png_streaming
+from ..io.png import write_png_streaming
 
 
 def _save_png_sync(path: str, img) -> None:
-    if hasattr(img, "copy_to_host_async"):
-        write_png_streaming(path, img)
-    else:
-        write_png(path, np.asarray(img))
+    # one encoder for BOTH residencies: identical pixels must give
+    # identical bytes whether a product came back as a device array or
+    # stayed numpy (the host-pipeline mode mixes the two across the
+    # sequential and batched sweep paths; tests/test_sweep_batched.py
+    # asserts byte-identical files)
+    write_png_streaming(path, img)
 
 
 def _save_png(path: str, img) -> None:
