@@ -158,30 +158,65 @@ def host_products_enabled() -> bool:
         return False
 
 
+def _np_percentile_from_counts(counts: np.ndarray, n: int, q: float) -> float:
+    """``float(np.percentile(img, q))`` twin from a uint16 value histogram.
+
+    Replicates numpy's linear-interpolation quantile in float64 — the
+    virtual index ``q/100 * (n-1)`` and the ``_lerp`` branch that switches
+    to ``b - (b-a)*(1-t)`` at t >= 0.5 — on the two order statistics read
+    from the histogram CDF.  Bit-identical to np.percentile for integer
+    images (fuzz-tested in tests/test_host_products.py); the histogram
+    costs one pass over the u16 image where np.percentile pays a float64
+    cast + introselect (~4x slower on the 4.3 M-px product frames).
+    """
+    virtual = np.float64(q) / 100.0 * (n - 1)
+    lo = int(np.floor(virtual))
+    hi = int(np.ceil(virtual))
+    c = np.cumsum(counts)
+    a = np.float64(np.searchsorted(c, lo + 1, side="left"))
+    b = np.float64(np.searchsorted(c, hi + 1, side="left"))
+    t = np.float64(virtual - lo)
+    if t >= 0.5:
+        return float(b - (b - a) * (1.0 - t))
+    return float(a + (b - a) * t)
+
+
+def _stretch_lut(img: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """The reference's linear stretch (solex_util.py:532-541) as a uint16
+    value LUT: the stretch depends only on the pixel value, so computing
+    the float32 form once per possible value and gathering is bit-identical
+    to the full-image float32 pass at a fraction of the memory traffic."""
+    vals = np.arange(65536, dtype=np.float32)
+    x = 65535.0 * (vals - lo) / np.float32(hi - lo)
+    lut = np.clip(x, 0, 65535).astype(np.uint16)
+    return lut[img]
+
+
 def _products_body_host(f: np.ndarray):
     """cv2/numpy twin of ``_products_body`` (reference-exact forms).
 
     Output contract identical: (cl1, cc, high_contrast, protus), all
     uint16.  CLAHE is bit-identical to the device kernel (both match
-    cv2); the stretch thresholds use np.percentile — the reference's own
-    call — so they can differ from the device histogram-CDF percentiles
-    by ≤1 LSB (docs/PARITY.md deviation 7).
+    cv2); the stretch thresholds follow np.percentile — the reference's
+    own call, evaluated exactly via value histograms — so they can differ
+    from the device histogram-CDF percentiles by ≤1 LSB (docs/PARITY.md
+    deviation 7).  The stretches run as value LUTs (bit-identical to the
+    float32 image passes, see _stretch_lut).
     """
     import cv2
 
     f = np.ascontiguousarray(f, dtype=np.uint16)
     cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
-    bright = max(float(np.percentile(f, 99.9999)), 1.0)
-    dark_clahe = float(np.percentile(cl1, 10.0))
-    bright_clahe = max(float(cl1.max()), dark_clahe + 1.0)
+    hist_f = np.bincount(f.ravel(), minlength=65536)
+    hist_c = np.bincount(cl1.ravel(), minlength=65536)
+    bright = max(_np_percentile_from_counts(hist_f, f.size, 99.9999), 1.0)
+    dark_clahe = _np_percentile_from_counts(hist_c, cl1.size, 10.0)
+    cl1_max = float(65535 - int(np.argmax(hist_c[::-1] > 0)))
+    bright_clahe = max(cl1_max, dark_clahe + 1.0)
 
-    def stretch(img, lo, hi):
-        x = 65535.0 * (img.astype(np.float32) - lo) / np.float32(hi - lo)
-        return np.clip(x, 0, 65535).astype(np.uint16)
-
-    cc = stretch(cl1, dark_clahe, bright_clahe)
-    frame_hc = stretch(f, bright * 0.25, bright)
-    frame_protus = stretch(f, 0.0, max(bright * 0.18, 1.0))
+    cc = _stretch_lut(cl1, dark_clahe, bright_clahe)
+    frame_hc = _stretch_lut(f, bright * 0.25, bright)
+    frame_protus = _stretch_lut(f, 0.0, max(bright * 0.18, 1.0))
     return cl1, cc, frame_hc, frame_protus
 
 

@@ -116,3 +116,47 @@ def test_host_warp_twin_matches_device():
     )
     diff = np.abs(host.astype(np.int32) - dev.astype(np.int32))
     assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_host_core_lut_forms_bit_exact_vs_straight_numpy():
+    """The host core's value-LUT stretches and histogram percentiles must be
+    BIT-identical to the straight numpy forms they replace (the reference's
+    own calls: np.percentile + a float32 image stretch)."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        f = (
+            _disk_image(rng)
+            if trial % 2 == 0
+            else rng.integers(0, 65536, size=(173, 211), dtype=np.uint16)
+        )
+        cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
+        bright = max(float(np.percentile(f, 99.9999)), 1.0)
+        dark_clahe = float(np.percentile(cl1, 10.0))
+        bright_clahe = max(float(cl1.max()), dark_clahe + 1.0)
+
+        def stretch(img, lo, hi):
+            x = 65535.0 * (img.astype(np.float32) - lo) / np.float32(hi - lo)
+            return np.clip(x, 0, 65535).astype(np.uint16)
+
+        want = (
+            cl1,
+            stretch(cl1, dark_clahe, bright_clahe),
+            stretch(f, bright * 0.25, bright),
+            stretch(f, 0.0, max(bright * 0.18, 1.0)),
+        )
+        got = products._products_body_host(f)
+        for w_img, g_img in zip(want, got):
+            np.testing.assert_array_equal(w_img, g_img)
+
+
+def test_histogram_percentile_twin_fuzz():
+    """_np_percentile_from_counts == float(np.percentile) for u16 data."""
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        n = int(rng.integers(3, 20000))
+        img = rng.integers(0, 65536, size=n, dtype=np.uint16)
+        counts = np.bincount(img, minlength=65536)
+        for q in (99.9999, 10.0, 0.1, 50.0, float(rng.uniform(0, 100))):
+            assert products._np_percentile_from_counts(counts, n, q) == float(
+                np.percentile(img, q)
+            )
