@@ -12,6 +12,7 @@
 // framework silently falls back to the pure-Python mmap reader when the
 // shared library is unavailable.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -364,6 +365,109 @@ int ser_recon_f64(const uint8_t* src, int64_t frame_stride,
   }
   return 0;
 }
+
+// Projective bilinear warp, float32, numpy-twin-exact.
+//
+// Mirrors ops/warp.py:warp_projective_host + warp_to_u16_host STATEMENT FOR
+// STATEMENT in float32 (same left-associated coordinate sums, the same
+// four masked cval taps weighted in the same multiply order, the same
+// *65536 clip-truncate u16 store), so the output is BIT-identical to the
+// numpy twin — which itself tracks the device warp to <=1 LSB.  The numpy
+// twin pays ~15 full-image float32 temporaries (masks, clipped index
+// planes, four gathered tap planes); this loop keeps everything in
+// registers — 430 -> ~45 ms on the 2074x2100 bench disk.
+//
+// fp-contract off: a fused multiply-add rounds differently from numpy's
+// separate multiply and add, which would break the bit-exactness contract.
+}  // extern "C"
+
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+
+// src_f32: (h, w_in) C-contiguous; src_u16 variant converts v/65536.0f
+// inline (exact power-of-two scale, identical to numpy's astype/divide).
+// mat3: 9 doubles, row-major.  out: (out_h, out_w) uint16.
+static void warp_body(const float* __restrict srcf,
+                      const uint16_t* __restrict srcu, int64_t h,
+                      int64_t w_in, const double* mat3, int64_t out_h,
+                      int64_t out_w, float cval, uint16_t* __restrict out) {
+  const float m00 = static_cast<float>(mat3[0]);
+  const float m01 = static_cast<float>(mat3[1]);
+  const float m02 = static_cast<float>(mat3[2]);
+  const float m10 = static_cast<float>(mat3[3]);
+  const float m11 = static_cast<float>(mat3[4]);
+  const float m12 = static_cast<float>(mat3[5]);
+  const float m20 = static_cast<float>(mat3[6]);
+  const float m21 = static_cast<float>(mat3[7]);
+  const float m22 = static_cast<float>(mat3[8]);
+  for (int64_t y = 0; y < out_h; ++y) {
+    const float gy = static_cast<float>(y);
+    uint16_t* __restrict orow = out + y * out_w;
+    for (int64_t x = 0; x < out_w; ++x) {
+      const float gx = static_cast<float>(x);
+      const float w = m20 * gx + m21 * gy + m22;
+      const float sx = (m00 * gx + m01 * gy + m02) / w;
+      const float sy = (m10 * gx + m11 * gy + m12) / w;
+      const float x0 = floorf(sx);
+      const float y0 = floorf(sy);
+      const float dx = sx - x0;
+      const float dy = sy - y0;
+      const int64_t x0i = static_cast<int64_t>(static_cast<int32_t>(x0));
+      const int64_t y0i = static_cast<int64_t>(static_cast<int32_t>(y0));
+      float s[4];
+      const int64_t ys[2] = {y0i, y0i + 1};
+      const int64_t xs[2] = {x0i, x0i + 1};
+      for (int ti = 0; ti < 4; ++ti) {
+        const int64_t yi = ys[ti >> 1];
+        const int64_t xi = xs[ti & 1];
+        if (yi >= 0 && yi < h && xi >= 0 && xi < w_in) {
+          const int64_t idx = yi * w_in + xi;
+          s[ti] = srcf ? srcf[idx]
+                       : static_cast<float>(srcu[idx]) / 65536.0f;
+        } else {
+          s[ti] = cval;
+        }
+      }
+      const float ody = 1.0f - dy;
+      const float odx = 1.0f - dx;
+      const float t0 = s[0] * ody * odx;
+      const float t1 = s[1] * ody * dx;
+      const float t2 = s[2] * dy * odx;
+      const float t3 = s[3] * dy * dx;
+      const float acc = ((t0 + t1) + t2) + t3;
+      float v = acc * 65536.0f;
+      if (v < 0.0f) v = 0.0f;
+      if (v > 65535.0f) v = 65535.0f;
+      orow[x] = static_cast<uint16_t>(v);
+    }
+  }
+}
+
+#pragma GCC pop_options
+
+extern "C" {
+
+// numpy-twin-exact warp, float32 [0,1) source -> uint16 output.
+int warp_f32_u16(const float* src, int64_t h, int64_t w_in,
+                 const double* mat3, int64_t out_h, int64_t out_w,
+                 float cval, uint16_t* out) {
+  if (!src || !mat3 || !out || h <= 0 || w_in <= 0) return -1;
+  warp_body(src, nullptr, h, w_in, mat3, out_h, out_w, cval, out);
+  return 0;
+}
+
+// Same, uint16 source converted /65536 inline (one less image-sized pass).
+int warp_u16_u16(const uint16_t* src, int64_t h, int64_t w_in,
+                 const double* mat3, int64_t out_h, int64_t out_w,
+                 float cval, uint16_t* out) {
+  if (!src || !mat3 || !out || h <= 0 || w_in <= 0) return -1;
+  warp_body(nullptr, src, h, w_in, mat3, out_h, out_w, cval, out);
+  return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Zero-copy pointer to frame payload (valid until ser_close).
 const uint8_t* ser_data(void* handle) {

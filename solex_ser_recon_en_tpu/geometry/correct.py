@@ -151,18 +151,17 @@ def _warp_dispatch(image, mat3, out_h, out_w, cval, integer_input):
     from ..utils.placement import host_pipeline
 
     if host_pipeline() and isinstance(image, np.ndarray):
-        # full-host mode: the numpy twin keeps even the warp off the
-        # accelerator (and off XLA:CPU dispatch overhead on small files)
-        from ..ops.warp import warp_projective_host, warp_to_u16_host
+        # full-host mode: the native kernel (or its numpy twin) keeps even
+        # the warp off the accelerator (and off XLA:CPU dispatch overhead)
+        from ..ops.warp import warp_host_u16
 
         if integer_input:
-            arr = image.astype(np.float32) / 65536.0
+            if image.dtype != np.uint16:
+                image = image.astype(np.float32) / 65536.0
             cv = cval / 65536.0
         else:
-            arr, cv = image, cval
-        return warp_to_u16_host(
-            warp_projective_host(arr, mat3, out_h, out_w, cv)
-        )
+            cv = cval
+        return warp_host_u16(image, mat3, out_h, out_w, cv)
     if integer_input:
         if _use_fast_warp(mat3):
             # gather-free separable kernel (ops/warp_fast.py): ~5x the
@@ -224,14 +223,13 @@ def correct_images_batched(
     from ..utils.placement import host_ops, host_pipeline
 
     if host_pipeline() and isinstance(disks, np.ndarray):
-        # full-host mode: numpy warp twin, no accelerator/XLA dispatch
-        from ..ops.warp import warp_projective_host, warp_to_u16_host
+        # full-host mode: native warp kernel (numpy-twin fallback), no
+        # accelerator/XLA dispatch
+        from ..ops.warp import warp_host_u16
 
         warped = np.stack([
-            warp_to_u16_host(warp_projective_host(
-                d.astype(np.float32) / 65536.0, mat3, out_h, out_w,
-                cval=float(d[0, 0]) / 65536.0,
-            ))
+            warp_host_u16(d, mat3, out_h, out_w,
+                          cval=float(d[0, 0]) / 65536.0)
             for d in disks.astype(np.uint16)
         ])
     else:

@@ -147,8 +147,58 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,    # out_stride (elements, = F_total)
             ctypes.c_int,      # do_prefetch
         ]
+        _warp_args = [
+            ctypes.c_void_p,   # src
+            ctypes.c_int64,    # h
+            ctypes.c_int64,    # w_in
+            ctypes.c_void_p,   # mat3 (9,) f64 row-major
+            ctypes.c_int64,    # out_h
+            ctypes.c_int64,    # out_w
+            ctypes.c_float,    # cval
+            ctypes.c_void_p,   # out (out_h, out_w) u16
+        ]
+        lib.warp_f32_u16.restype = ctypes.c_int
+        lib.warp_f32_u16.argtypes = _warp_args
+        lib.warp_u16_u16.restype = ctypes.c_int
+        lib.warp_u16_u16.argtypes = _warp_args
         _lib = lib
         return _lib
+
+
+def native_warp_u16(
+    image: np.ndarray, mat3: np.ndarray, out_h: int, out_w: int, cval: float
+) -> Optional[np.ndarray]:
+    """Host projective bilinear warp -> uint16, BIT-identical to the numpy
+    twin (ops/warp.py:warp_projective_host + warp_to_u16_host) at ~1/10 the
+    memory traffic (native/ser_io.cpp:warp_body).  ``image`` is float32
+    [0,1) or uint16 (converted /65536 in the kernel).  Returns None when
+    the native library is unavailable — the caller falls back to the twin.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w_in = image.shape
+    m = np.ascontiguousarray(mat3, dtype=np.float64)
+    out = np.empty((int(out_h), int(out_w)), np.uint16)
+    if image.dtype == np.uint16:
+        fn = lib.warp_u16_u16
+        src = np.ascontiguousarray(image)
+    else:
+        fn = lib.warp_f32_u16
+        src = np.ascontiguousarray(image, dtype=np.float32)
+    rc = fn(
+        src.ctypes.data_as(ctypes.c_void_p),
+        h,
+        w_in,
+        m.ctypes.data_as(ctypes.c_void_p),
+        int(out_h),
+        int(out_w),
+        float(cval),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def native_recon_chunk(

@@ -206,3 +206,29 @@ def warp_to_u16_host(warped01: "np.ndarray"):
     import numpy as np
 
     return np.clip(warped01 * 65536.0, 0, 65535).astype(np.uint16)
+
+
+def warp_host_u16(
+    image: "np.ndarray",
+    mat3: "np.ndarray",
+    out_h: int,
+    out_w: int,
+    cval: float,
+):
+    """Host-mode warp straight to uint16.
+
+    Takes the native kernel when available (native/ser_io.cpp:warp_body —
+    BIT-identical to the numpy twin below, ~10x less memory traffic:
+    430 -> ~50 ms on the bench disk), else the numpy twin + u16 store.
+    ``image`` is uint16 or float32 [0,1); ``cval`` is on the [0,1) scale.
+    """
+    import numpy as np
+
+    from ..io.native import native_warp_u16
+
+    out = native_warp_u16(image, mat3, out_h, out_w, cval)
+    if out is not None:
+        return out
+    if image.dtype == np.uint16:
+        image = image.astype(np.float32) / 65536.0
+    return warp_to_u16_host(warp_projective_host(image, mat3, out_h, out_w, cval))

@@ -140,3 +140,51 @@ def test_stale_cached_so_never_shadows_new_source(tmp_path, monkeypatch):
     left = {p.name for p in cache.iterdir()}
     assert "libser_io.so" not in left
     assert "libser_io-deadbeef.so" in left
+
+
+def test_native_warp_bit_identical_to_numpy_twin():
+    """warp_body (native) must be BIT-identical to the numpy twin for both
+    source dtypes, on a pipeline-shaped unit-y matrix AND a general
+    projective one (the kernel mirrors the twin statement for statement
+    with fp-contract off)."""
+    from solex_ser_recon_en_tpu.io.native import native_warp_u16
+    from solex_ser_recon_en_tpu.ops.warp import (
+        warp_projective_host,
+        warp_to_u16_host,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65536, size=(233, 211), dtype=np.uint16)
+    mats = [
+        np.array([[0.97, 0.08, -12.3], [0.0, 1.0, 4.7], [0.0, 0.0, 1.0]]),
+        np.array([[1.02, -0.05, 8.0], [0.03, 0.98, -6.0],
+                  [1e-5, -2e-5, 1.0]]),
+    ]
+    out_h, out_w = 240, 215
+    cval = float(img[0, 0]) / 65536.0
+    arr = img.astype(np.float32) / 65536.0
+    for mat3 in mats:
+        want = warp_to_u16_host(
+            warp_projective_host(arr, mat3, out_h, out_w, cval)
+        )
+        got_f32 = native_warp_u16(arr, mat3, out_h, out_w, cval)
+        got_u16 = native_warp_u16(img, mat3, out_h, out_w, cval)
+        assert got_f32 is not None and got_u16 is not None
+        np.testing.assert_array_equal(want, got_f32)
+        np.testing.assert_array_equal(want, got_u16)
+
+
+def test_warp_host_u16_fallback_matches(monkeypatch):
+    """warp_host_u16 without the native library falls back to the numpy
+    twin and returns the same bytes."""
+    from solex_ser_recon_en_tpu.io import native
+    from solex_ser_recon_en_tpu.ops import warp as warp_mod
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 65536, size=(64, 80), dtype=np.uint16)
+    mat3 = np.array([[0.99, 0.02, -1.5], [0.0, 1.0, 0.8], [0.0, 0.0, 1.0]])
+    with_native = warp_mod.warp_host_u16(img, mat3, 70, 85, 0.01)
+    monkeypatch.setattr(native, "native_warp_u16",
+                        lambda *a, **k: None)
+    without = warp_mod.warp_host_u16(img, mat3, 70, 85, 0.01)
+    np.testing.assert_array_equal(with_native, without)
