@@ -12,6 +12,7 @@
 // framework silently falls back to the pure-Python mmap reader when the
 // shared library is unavailable.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>

@@ -90,7 +90,12 @@ def _masked_row_median_host(x: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """numpy twin of ops/rowstats._masked_row_median — EXACT semantics:
     invalid entries pushed to +inf, NaNs (0/0 pixels) sort last and stay
     counted in n (np.nanmedian would silently drop them, diverging from
-    the device program by up to 1e-3 in the gain — observed)."""
+    the device program by up to 1e-3 in the gain — observed).
+
+    Negative result (round 3): a native nth_element selection kernel
+    measured ~60 ms vs ~43 ms for this full-sort form on the bench disk —
+    numpy's AVX-512 row sort beats scalar selection; the kernel was
+    removed (docs/PERF.md)."""
     big = np.where(valid, x, np.float32(np.inf))
     s = np.sort(big, axis=1)
     n = valid.sum(axis=1)
