@@ -560,24 +560,24 @@ def run_config(n: int, paired: bool = True) -> dict:
         folder = os.path.join(BENCH_DIR, "batch50")
         _ensure_mixed_batch(folder, 50)
         files = sorted(os.listdir(folder))
-        fresh_dirs()
-        opts = Options(shift=[0], clahe_only=True, input_dir=folder,
-                       output_dir=outdir)
-        t0 = time.perf_counter()
-        done = handle_folder(opts)
-        dt = time.perf_counter() - t0
-        # throughput over files actually processed, not directory entries
-        total_frames = _BATCH_FRAMES * done
-        out = {"metric": "config5_folder_batch_50_mixed",
-               "value": round(dt, 2), "unit": "s", "files": done,
-               "files_in_folder": len(files),
-               "aggregate_frames_per_s": round(total_frames / dt, 1)}
-        if paired:
+
+        def batch_once() -> tuple:
+            fresh_dirs()
+            opts = Options(shift=[0], clahe_only=True, input_dir=folder,
+                           output_dir=outdir)
+            t0 = time.perf_counter()
+            done = handle_folder(opts)
+            return time.perf_counter() - t0, done
+
+        def cpu_batch_once(done: int):
             # live paired CPU replica over the same corpus (the reference's
-            # Pool(4) degenerates to sequential on this 1-core host)
+            # Pool(4) degenerates to sequential on this 1-core host).  The
+            # replica omits the ellipse fit + warp the pipeline runs per
+            # file — its ratio is a LOWER bound.
             from solex_ser_recon_en_tpu.utils.cpu_reference import (
                 cpu_pipeline as _cp,
             )
+
             t0 = time.perf_counter()
             cpu_done = 0
             for f in files:
@@ -588,11 +588,36 @@ def run_config(n: int, paired: bool = True) -> dict:
                 except Exception:
                     pass
             cpu_dt = time.perf_counter() - t0
-            if cpu_done:
-                # normalise to per-file cost in case of skips
-                cpu_total = cpu_dt * (done / cpu_done)
-                out["cpu_reference_s"] = round(cpu_total, 2)
-                out["vs_baseline"] = round(cpu_total / dt, 2)
+            # normalise to per-file cost in case of skips
+            return cpu_dt * (done / cpu_done) if cpu_done else None
+
+        # same shape as paired_result: one untimed warmup batch (per-shape
+        # compiles + page cache), then best-of-2 timed batches with the
+        # live replica legs sandwiched in between — a lone pair can land on
+        # opposite sides of a weather flip
+        batch_once()
+        dt1, done = batch_once()
+        cpu_runs = []
+        if paired:
+            c = cpu_batch_once(done)
+            if c is not None:
+                cpu_runs.append(c)
+        dt2, done2 = batch_once()
+        if paired:
+            c = cpu_batch_once(done2)
+            if c is not None:
+                cpu_runs.append(c)
+        dt = min(dt1, dt2)
+        total_frames = _BATCH_FRAMES * done
+        out = {"metric": "config5_folder_batch_50_mixed",
+               "value": round(dt, 2), "unit": "s", "files": done,
+               "files_in_folder": len(files),
+               "runs_s": [round(dt1, 2), round(dt2, 2)],
+               "aggregate_frames_per_s": round(total_frames / dt, 1)}
+        if cpu_runs:
+            out["cpu_runs_s"] = [round(c, 2) for c in cpu_runs]
+            out["cpu_reference_s"] = round(min(cpu_runs), 2)
+            out["vs_baseline"] = round(min(cpu_runs) / dt, 2)
         return out
     raise SystemExit(f"unknown config {n}")
 
