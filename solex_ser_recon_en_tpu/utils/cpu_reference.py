@@ -192,7 +192,8 @@ def cpu_detect_bounds(max_img: np.ndarray):
 
 
 def cpu_transversalium(disk: np.ndarray, y1: int, y2: int,
-                       trans_strength: int = 301) -> np.ndarray:
+                       trans_strength: int = 301,
+                       correction_out: list = None) -> np.ndarray:
     """correct_transversalium2 replica (solex_util.py:383-516): a Python
     per-row loop over the band computing the MAD-outlier-rejected mean of
     the row-pair log ratio (the reference's cost structure), then savgol
@@ -228,6 +229,8 @@ def cpu_transversalium(disk: np.ndarray, y1: int, y2: int,
     corr_t = 1.0 + (corr - 1.0) * tukey_taper(n)
     c = np.ones(h)
     c[y1:y2] = corr_t
+    if correction_out is not None:
+        correction_out.append(c)
     return np.clip(disk.astype(np.float64) * c[:, None], 0, 65535).astype(
         np.uint16
     )
@@ -291,6 +294,27 @@ def cpu_pipeline(
             cv2.imwrite(base + name, np.asarray(arr))
 
     fits("_mean.fits", mean_img)
+    if base and not clahe_only and not protus:
+        # the reference renders the spectral-line diagnostic figure in
+        # every non-clahe/protus-only mode (solex_util.py:263-273): a
+        # FULL-RESOLUTION imshow of the mean image at dpi 400.  The
+        # replica must pay the same cost for the pairing to be honest
+        # (the pipeline's own figure decimates the background and saves
+        # at dpi 200 — pipeline/plots.py).
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.figure
+
+        fig = matplotlib.figure.Figure()
+        ax = fig.add_subplot(1, 1, 1)
+        ax.imshow(mean_img, cmap="gray")
+        curve = fit[:, 0] + fit[:, 1]
+        ax.plot(curve, np.arange(len(curve)), label="polynomial fit")
+        ax.legend(loc="center left", bbox_to_anchor=(1, 0.5))
+        ax.set_aspect(0.1)
+        fig.tight_layout()
+        fig.savefig(base + "_spectral_line_data.png", dpi=400)
     disks = cpu_recon(path, fit, shifts)
     if flip_x:
         disks = [d[:, ::-1] for d in disks]
@@ -300,7 +324,23 @@ def cpu_pipeline(
         fits(tag + "_circular.fits", d)   # warp omitted; same write cost
         if transversalium:
             y1, y2 = cpu_detect_bounds(max_img)
-            d = cpu_transversalium(d, y1, y2)
+            cout = []
+            d = cpu_transversalium(d, y1, y2, correction_out=cout)
+            if base and cout and not clahe_only and not protus:
+                # the reference also saves the correction-factor figure in
+                # this mode (solex_util.py:482-488, dpi 300)
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.figure
+
+                fig = matplotlib.figure.Figure()
+                ax = fig.add_subplot(1, 1, 1)
+                ax.plot(cout[0])
+                ax.set_xlabel("y")
+                ax.set_ylabel("transversalium correction factor")
+                fig.savefig(base + tag + "_transversalium_correction.png",
+                            dpi=300)
             fits(tag + "_detransversaliumed.fits", d)
         if fixed_width is not None:
             d = cpu_crop_width(d, fixed_width)
