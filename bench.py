@@ -537,7 +537,7 @@ def run_config(n: int, paired: bool = True) -> dict:
             lambda: Options(shift=[0], save_fit=True, transversalium=True,
                             output_dir=outdir),
             dict(shifts=[0], transversalium=True, save_fits=True,
-                 protus=True),
+                 protus=True, figures=True),
         )
     if n == 3:  # Doppler sweep
         sweep = list(range(-10, 11, 5))

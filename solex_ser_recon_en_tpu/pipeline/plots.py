@@ -15,12 +15,15 @@ matplotlib.use("Agg")
 import matplotlib.figure  # noqa: E402
 
 
-def _bg(img, max_px: float = 1.5e6):
+def _bg(img, max_px: float = 2.5e5):
     """Strided downsample of a plot background image.
 
     Full-resolution imshow at dpi 300-400 costs minutes of host CPU on slow
     hosts for zero diagnostic value; the stride keeps the image coordinate
-    frame via the returned extent so overlays stay aligned.
+    frame via the returned extent so overlays stay aligned.  0.25 Mpx at
+    dpi 110-120 keeps the figures legible while Agg's per-pixel resample
+    stays off the per-file budget (the three figures cost ~0.9 s of the
+    single host core at the previous 1.5 Mpx / dpi 150-300).
     """
     img = np.asarray(img)
     h, w = img.shape[:2]
@@ -46,7 +49,7 @@ def save_spectral_line_plot(path, mean_img, linefit) -> None:
     ax.legend(loc="center left", bbox_to_anchor=(1, 0.5))
     ax.set_aspect(0.1)
     fig.tight_layout()
-    fig.savefig(path, dpi=200)
+    fig.savefig(path, dpi=120)
 
 
 def save_ellipse_fit_plot(path, image_u16, geo) -> None:
@@ -79,7 +82,7 @@ def save_ellipse_fit_plot(path, image_u16, geo) -> None:
     for x in (geo.borders[0], geo.borders[2]):
         ax[1][0].axvline(x=x)
     ax[1][0].set_title("geometrically corrected image", fontsize=11)
-    fig.savefig(path, dpi=150)
+    fig.savefig(path, dpi=110)
 
 
 def save_transversalium_plot(path, c) -> None:
@@ -88,4 +91,4 @@ def save_transversalium_plot(path, c) -> None:
     ax.plot(c)
     ax.set_xlabel("y")
     ax.set_ylabel("transversalium correction factor")
-    fig.savefig(path, dpi=300)
+    fig.savefig(path, dpi=120)

@@ -260,6 +260,7 @@ def cpu_pipeline(
     flip_x: bool = False,
     fixed_width: int = None,
     clahe_only: bool = False,
+    figures: bool = None,
 ) -> float:
     """Run the replica end-to-end; returns elapsed seconds.
 
@@ -294,7 +295,13 @@ def cpu_pipeline(
             cv2.imwrite(base + name, np.asarray(arr))
 
     fits("_mean.fits", mean_img)
-    if base and not clahe_only and not protus:
+    if figures is None:
+        # reference gate: every mode that is not clahe-only/protus-ONLY
+        # (solex_util.py:263).  The ``protus`` kwarg here also covers
+        # configs that merely ADD the protus product (reference still
+        # renders figures there) — those pass figures=True explicitly.
+        figures = not clahe_only and not protus
+    if base and figures:
         # the reference renders the spectral-line diagnostic figure in
         # every non-clahe/protus-only mode (solex_util.py:263-273): a
         # FULL-RESOLUTION imshow of the mean image at dpi 400.  The
@@ -326,7 +333,7 @@ def cpu_pipeline(
             y1, y2 = cpu_detect_bounds(max_img)
             cout = []
             d = cpu_transversalium(d, y1, y2, correction_out=cout)
-            if base and cout and not clahe_only and not protus:
+            if base and cout and figures:
                 # the reference also saves the correction-factor figure in
                 # this mode (solex_util.py:482-488, dpi 300)
                 import matplotlib
