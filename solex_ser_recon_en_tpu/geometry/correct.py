@@ -211,7 +211,12 @@ def correct_images_batched(
     mat3 = np.zeros((3, 3))
     mat3[:2, :2] = mat
     mat3[2, 2] = 1.0
-    k, h, w = disks.shape
+    if isinstance(disks, (list, tuple)):
+        # host-mode callers pass a LIST of per-shift disks so no (K, H, W)
+        # stack copy is ever materialised (uniform shapes by construction)
+        k, (h, w) = len(disks), disks[0].shape
+    else:
+        k, h, w = disks.shape
     corners = np.array([[0, 0], [0, h], [w, 0], [w, h]], dtype=np.float64)
     new_corners = (np.linalg.inv(mat) @ corners.T).T
     new_h = float(np.max(new_corners[:, 1]) - np.min(new_corners[:, 1]))
@@ -222,16 +227,19 @@ def correct_images_batched(
 
     from ..utils.placement import host_ops, host_pipeline
 
-    if host_pipeline() and isinstance(disks, np.ndarray):
+    if host_pipeline() and isinstance(disks, (np.ndarray, list, tuple)):
         # full-host mode: native warp kernel (numpy-twin fallback), no
-        # accelerator/XLA dispatch
+        # accelerator/XLA dispatch; each shift warps straight into its row
+        # of one preallocated stack
         from ..ops.warp import warp_host_u16
 
-        warped = np.stack([
+        warped = np.empty((k, out_h, out_w), np.uint16)
+        for i in range(k):
+            d = np.asarray(disks[i])
+            if d.dtype != np.uint16:
+                d = d.astype(np.uint16)
             warp_host_u16(d, mat3, out_h, out_w,
-                          cval=float(d[0, 0]) / 65536.0)
-            for d in disks.astype(np.uint16)
-        ])
+                          cval=float(d[0, 0]) / 65536.0, out=warped[i])
     else:
         with host_ops():
             dj = jnp.asarray(disks).astype(jnp.uint16)

@@ -166,20 +166,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def native_warp_u16(
-    image: np.ndarray, mat3: np.ndarray, out_h: int, out_w: int, cval: float
+    image: np.ndarray, mat3: np.ndarray, out_h: int, out_w: int, cval: float,
+    out: Optional[np.ndarray] = None,
 ) -> Optional[np.ndarray]:
     """Host projective bilinear warp -> uint16, BIT-identical to the numpy
     twin (ops/warp.py:warp_projective_host + warp_to_u16_host) at ~1/10 the
     memory traffic (native/ser_io.cpp:warp_body).  ``image`` is float32
-    [0,1) or uint16 (converted /65536 in the kernel).  Returns None when
-    the native library is unavailable — the caller falls back to the twin.
+    [0,1) or uint16 (converted /65536 in the kernel).  ``out`` lets a
+    batched caller write straight into a preallocated (out_h, out_w)
+    uint16 view (e.g. one row of a (K, H, W) stack) instead of paying a
+    stack copy afterwards.  Returns None when the native library is
+    unavailable — the caller falls back to the twin.
     """
     lib = get_lib()
     if lib is None:
         return None
     h, w_in = image.shape
     m = np.ascontiguousarray(mat3, dtype=np.float64)
-    out = np.empty((int(out_h), int(out_w)), np.uint16)
+    if out is None:
+        out = np.empty((int(out_h), int(out_w)), np.uint16)
+    else:
+        assert (out.shape == (int(out_h), int(out_w))
+                and out.dtype == np.uint16 and out.flags.c_contiguous)
     if image.dtype == np.uint16:
         fn = lib.warp_u16_u16
         src = np.ascontiguousarray(image)

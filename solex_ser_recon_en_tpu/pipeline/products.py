@@ -258,7 +258,10 @@ def products_core_batched(stack, gains=None):
                     for f, g in zip(stack, np.asarray(gains))]
         else:
             outs = [_products_body_host(f) for f in stack]
-        return tuple(np.stack(col) for col in zip(*outs))
+        # lists, not np.stack: consumers index per shift, and stacking
+        # K full-size uint16 products costs ~45 ms of pure copy each on
+        # the single host core (np.asarray(col) recovers an array)
+        return tuple(list(col) for col in zip(*outs))
     if gains is not None:
         return jax.vmap(_products_core_gained)(
             jnp.asarray(stack), jnp.asarray(gains, dtype=jnp.float32)

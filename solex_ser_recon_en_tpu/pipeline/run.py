@@ -751,9 +751,11 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
         from ..utils.placement import host_pipeline
 
         if host_pipeline():
-            # keep the stack numpy: jnp.asarray would commit it to the
-            # accelerator and drag the warp back across the link
-            stack = np.stack([np.asarray(scan.disk_list[j]) for j in idxs])
+            # keep the disks numpy (jnp.asarray would commit them to the
+            # accelerator and drag the warp back across the link) and pass
+            # a LIST — the host warp writes each shift into one
+            # preallocated output stack, no input stack copy
+            stack = [np.asarray(scan.disk_list[j]) for j in idxs]
         else:
             stack = jnp.stack([jnp.asarray(scan.disk_list[j])
                                for j in idxs])
@@ -904,12 +906,22 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
     """
     import jax.numpy as jnp
 
-    from .products import products_core_batched
+    from .products import host_products_enabled, products_core_batched
 
-    stack = jnp.stack([jnp.asarray(f) for (_, _, f) in pending])
-    if not jnp.issubdtype(stack.dtype, jnp.integer):
-        stack = jnp.clip(stack, 0, 65535)
-    stack = stack.astype(jnp.uint16)
+    if host_products_enabled():
+        # host-core sweep: the pending frames are already numpy (native
+        # warp) and every consumer below is a host twin — a jnp.stack
+        # here would copy the (K, H, W) slab into XLA:CPU buffers only
+        # for products_core_batched to pull it straight back out
+        stack = np.stack([np.asarray(f) for (_, _, f) in pending])
+        if not np.issubdtype(stack.dtype, np.integer):
+            stack = np.clip(stack, 0, 65535)
+        stack = stack.astype(np.uint16, copy=False)
+    else:
+        stack = jnp.stack([jnp.asarray(f) for (_, _, f) in pending])
+        if not jnp.issubdtype(stack.dtype, jnp.integer):
+            stack = jnp.clip(stack, 0, 65535)
+        stack = stack.astype(jnp.uint16)
 
     from ..io.writers import submit as submit_write
 
