@@ -553,8 +553,11 @@ def run_config(n: int, paired: bool = True) -> dict:
             lambda: Options(shift=[0], transversalium=False, flip_x=True,
                             fixed_width=1800, img_rotate=90,
                             disk_display=True, output_dir=outdir),
+            # figures=True: the reference's -p protus mode sets
+            # disk_display, NOT protus_only (SHG_MAIN.py:49-50), so its
+            # figure gate (solex_util.py:263) still renders them
             dict(shifts=[0], protus=True, flip_x=True, fixed_width=1800,
-                 img_rotate=90),
+                 img_rotate=90, figures=True),
         )
     if n == 5:  # folder batch over 50 mixed SER+AVI scans (BASELINE spec)
         folder = os.path.join(BENCH_DIR, "batch50")
