@@ -21,13 +21,94 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np  # noqa: E402
 
 
+def host_main(args) -> None:
+    """Host-kernel shootout (CPU-only / host-pipeline fast paths): each
+    native kernel A/B'd against the numpy form it replaces, interleaved in
+    one process so both sides see the same memory weather."""
+    import tempfile
+
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+    from solex_ser_recon_en_tpu.io.native import NativeSerReader, get_lib
+    from solex_ser_recon_en_tpu.io.hostreduce import host_mean_max
+    from solex_ser_recon_en_tpu.io.ser import SerReader
+    from solex_ser_recon_en_tpu.ops.warp import (
+        warp_host_u16,
+        warp_projective_host,
+        warp_to_u16_host,
+    )
+    from solex_ser_recon_en_tpu.pipeline import products
+
+    F, ih, iw = args.frames, args.ih, args.iw
+    print(f"host kernels: native lib {'OK' if get_lib() else 'MISSING'}; "
+          f"scan ({F}, {ih}, {iw}) u16 {F * ih * iw * 2 / 1e9:.2f} GB")
+    rng = np.random.default_rng(0)
+
+    def bench(tag, fn, n=args.reps):
+        fn()  # warm (page cache / LUT build)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        dt = (time.perf_counter() - t0) / n
+        print(f"{tag:46s} {dt * 1e3:8.1f} ms")
+        return dt
+
+    with tempfile.TemporaryDirectory() as td:
+        scan = SyntheticScan(ih=ih, iw=iw, frames=F, depth=16)
+        path = td + "/host_bench.ser"
+        scan.write(path, transpose_to_wide=True)
+        rdr = NativeSerReader(path)
+        bench("pass A: native tile-major fused sum+max", lambda: rdr.mean_max())
+
+        def np_two_pass():
+            a = SerReader(path).raw_frames()
+            np.add.reduce(a, axis=0, dtype=np.uint64)
+            np.maximum.reduce(a, axis=0)
+
+        bench("pass A: numpy two-pass (mmap)", np_two_pass, n=1)
+
+    H, W = ih + 26, 2100
+    img = rng.integers(0, 60000, size=(H, W), dtype=np.uint16)
+    mat3 = np.array([[0.99, 0.02, -3.0], [0.0, 1.0, -8.0], [0, 0, 1.0]])
+    bench("warp: native kernel (u16 in, u16 out)",
+          lambda: warp_host_u16(img, mat3, H, W, 0.1))
+    arr = img.astype(np.float32) / 65536.0
+    bench("warp: numpy twin (4 masked tap planes)",
+          lambda: warp_to_u16_host(
+              warp_projective_host(arr, mat3, H, W, 0.1)), n=1)
+
+    bench("product core: LUT stretches + hist pctl",
+          lambda: products._products_body_host(img))
+
+    def straight_numpy_core():
+        import cv2
+
+        cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(img)
+        bright = max(float(np.percentile(img, 99.9999)), 1.0)
+        dark = float(np.percentile(cl1, 10.0))
+        hi = max(float(cl1.max()), dark + 1.0)
+        for im, lo, h2 in ((cl1, dark, hi), (img, bright * 0.25, bright),
+                           (img, 0.0, max(bright * 0.18, 1.0))):
+            x = 65535.0 * (im.astype(np.float32) - lo) / np.float32(h2 - lo)
+            np.clip(x, 0, 65535).astype(np.uint16)
+
+    bench("product core: straight numpy forms", straight_numpy_core)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2000)
     ap.add_argument("--ih", type=int, default=2048)
     ap.add_argument("--iw", type=int, default=300)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--host", action="store_true",
+                    help="shoot out the HOST fast-path kernels instead "
+                         "(native sweep/warp, LUT product core vs their "
+                         "numpy forms)")
     args = ap.parse_args()
+
+    if args.host:
+        host_main(args)
+        return
 
     import jax
     import jax.numpy as jnp
