@@ -192,7 +192,7 @@ def _stretch_lut(img: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return lut[img]
 
 
-def _products_body_host(f: np.ndarray):
+def _products_body_host(f: np.ndarray, want=(True, True)):
     """cv2/numpy twin of ``_products_body`` (reference-exact forms).
 
     Output contract identical: (cl1, cc, high_contrast, protus), all
@@ -202,28 +202,41 @@ def _products_body_host(f: np.ndarray):
     from the device histogram-CDF percentiles by ≤1 LSB (docs/PARITY.md
     deviation 7).  The stretches run as value LUTs (bit-identical to the
     float32 image passes, see _stretch_lut).
+
+    ``want`` = (high_contrast, protus): products nothing will consume
+    (clahe_only save runs with no display, solex_util.py:556-566 writes
+    only _clahe.png there) come back as None, skipping their LUT gathers
+    AND the full-image brightness histogram both depend on.  The device
+    program (`_products_body`) keeps computing all four — on TPU they
+    fuse into the one pass and only downloads cost anything.
     """
     import cv2
 
     f = np.ascontiguousarray(f, dtype=np.uint16)
     cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
-    hist_f = np.bincount(f.ravel(), minlength=65536)
     hist_c = np.bincount(cl1.ravel(), minlength=65536)
-    bright = max(_np_percentile_from_counts(hist_f, f.size, 99.9999), 1.0)
     dark_clahe = _np_percentile_from_counts(hist_c, cl1.size, 10.0)
     cl1_max = float(65535 - int(np.argmax(hist_c[::-1] > 0)))
     bright_clahe = max(cl1_max, dark_clahe + 1.0)
-
     cc = _stretch_lut(cl1, dark_clahe, bright_clahe)
-    frame_hc = _stretch_lut(f, bright * 0.25, bright)
-    frame_protus = _stretch_lut(f, 0.0, max(bright * 0.18, 1.0))
+
+    want_hc, want_protus = want
+    frame_hc = frame_protus = None
+    if want_hc or want_protus:
+        hist_f = np.bincount(f.ravel(), minlength=65536)
+        bright = max(_np_percentile_from_counts(hist_f, f.size, 99.9999), 1.0)
+        if want_hc:
+            frame_hc = _stretch_lut(f, bright * 0.25, bright)
+        if want_protus:
+            frame_protus = _stretch_lut(f, 0.0, max(bright * 0.18, 1.0))
     return cl1, cc, frame_hc, frame_protus
 
 
-def _products_core_gained_host(f: np.ndarray, gain: np.ndarray):
+def _products_core_gained_host(f: np.ndarray, gain: np.ndarray,
+                               want=(True, True)):
     out = f.astype(np.float32) * np.asarray(gain, np.float32)[:, None]
     detrans = np.clip(out, 0, 65535).astype(np.uint16)
-    return (detrans,) + _products_body_host(detrans)
+    return (detrans,) + _products_body_host(detrans, want)
 
 
 @jax.jit
@@ -242,7 +255,7 @@ def _products_core_gained(fj: jnp.ndarray, gain: jnp.ndarray):
     return (detrans,) + _products_body(detrans)
 
 
-def products_core_batched(stack, gains=None):
+def products_core_batched(stack, gains=None, want=(True, True)):
     """(K, H, W) uint16 stack -> the product stacks in ONE vmapped device
     program (Doppler sweeps share geometry, so per-shift percentile
     + CLAHE + stretches batch cleanly; reference runs them sequentially
@@ -250,14 +263,17 @@ def products_core_batched(stack, gains=None):
 
     With ``gains`` (K, H) the transversalium row multiply is fused in and
     the return gains a leading ``detrans`` stack (see _products_core_gained).
+    ``want`` = (high_contrast, protus) skips unconsumed stretch products on
+    the HOST core only (see _products_body_host); the vmapped device
+    program always computes all four.
     """
     if host_products_enabled():
         stack = np.asarray(stack)
         if gains is not None:
-            outs = [_products_core_gained_host(f, g)
+            outs = [_products_core_gained_host(f, g, want)
                     for f, g in zip(stack, np.asarray(gains))]
         else:
-            outs = [_products_body_host(f) for f in stack]
+            outs = [_products_body_host(f, want) for f in stack]
         # lists, not np.stack: consumers index per shift, and stacking
         # K full-size uint16 products costs ~45 ms of pure copy each on
         # the single host core (np.asarray(col) recovers an array)
@@ -267,6 +283,28 @@ def products_core_batched(stack, gains=None):
             jnp.asarray(stack), jnp.asarray(gains, dtype=jnp.float32)
         )
     return jax.vmap(_products_core)(jnp.asarray(stack))
+
+
+def needed_products(options, save: bool = True):
+    """(high_contrast, protus) consumption gates for one image_process call.
+
+    Mirrors the save gates (solex_util.py:556-566 semantics), the display,
+    and the (cc, protus) return contract used by library callers (analyser
+    preview/save pass save=False).  Shared by image_process and the
+    Doppler-sweep batcher so a core that skipped a product is never asked
+    to save it.
+    """
+    protus_needed = (
+        not save
+        or (not options._nolog and
+            (options.protus_only or not options.clahe_only))
+        or options.flag_display
+    )
+    hc_needed = options.flag_display or (
+        save and not options._nolog
+        and not options.clahe_only and not options.protus_only
+    )
+    return (hc_needed, protus_needed)
 
 
 def image_process(
@@ -282,7 +320,9 @@ def image_process(
     """CLAHE + stretches + protus + rotation + product files.
 
     reference: solex_util.py:527-588.  Returns (clahe_image, protus_image)
-    after rotation, both uint16.  ``core_out`` lets a Doppler-sweep caller
+    after rotation, both uint16 — protus_image is None on host-core runs
+    where nothing consumes it (a clahe_only save with no display; the
+    reference computes it there too but discards it unsaved).  ``core_out`` lets a Doppler-sweep caller
     pass precomputed (cl1, cc, hc, protus) from ONE vmapped device program
     over the whole shift stack (pipeline/run.py) instead of K sequential
     programs.  ``gain`` (H,) fuses the transversalium row multiply into the
@@ -295,6 +335,8 @@ def image_process(
     # twin instead (host_products_enabled): same outputs, ~5x faster
     # where there is no MXU to shape the programs for.
     host_core = core_out is None and host_products_enabled()
+    want = needed_products(options, save)
+    hc_needed, protus_needed = want
     xp = np if host_core else jnp
     fj = xp.asarray(frame)
     if not jnp.issubdtype(fj.dtype, jnp.integer):
@@ -308,7 +350,7 @@ def image_process(
     if gain is not None and core_out is None:
         if host_core:
             fj, cl1, cc, frame_hc, frame_protus = _products_core_gained_host(
-                fj, gain
+                fj, gain, want
             )
         else:
             fj, cl1, cc, frame_hc, frame_protus = _products_core_gained(
@@ -317,21 +359,15 @@ def image_process(
     elif core_out is not None:
         cl1, cc, frame_hc, frame_protus = core_out
     elif host_core:
-        cl1, cc, frame_hc, frame_protus = _products_body_host(fj)
+        cl1, cc, frame_hc, frame_protus = _products_body_host(fj, want)
     else:
         cl1, cc, frame_hc, frame_protus = _products_core(fj)
     frame_raw = fj
 
-    # the protus product is only materialised (disc paint costs a host
-    # round trip) when something will consume it — a file write or the
-    # live display; reference reaches image_process unconditionally but
-    # clahe_only saves no protus png (solex_util.py:556-566)
-    protus_needed = (
-        not save  # library callers (analyser preview/save) consume it
-        or (not options._nolog and
-            (options.protus_only or not options.clahe_only))
-        or options.flag_display
-    )
+    # the protus disc is only painted (a host round trip on device paths)
+    # when something will consume it — a file write or the live display;
+    # reference reaches image_process unconditionally but clahe_only saves
+    # no protus png (solex_util.py:556-566)
     if protus_needed and circle != NO_CIRCLE and options.disk_display:
         x0, y0 = int(circle[0]), int(circle[1])
         r = int(circle[2]) + options.delta_radius
@@ -351,8 +387,10 @@ def image_process(
 
     if k:
         frame_raw = _rot(frame_raw)
-        frame_hc = _rot(frame_hc)
-        frame_protus = _rot(frame_protus)
+        frame_hc = _rot(frame_hc) if frame_hc is not None else None
+        frame_protus = (
+            _rot(frame_protus) if frame_protus is not None else None
+        )
         cc = _rot(cc)
 
     if save and not options._nolog:

@@ -906,7 +906,11 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
     """
     import jax.numpy as jnp
 
-    from .products import host_products_enabled, products_core_batched
+    from .products import (
+        host_products_enabled,
+        needed_products,
+        products_core_batched,
+    )
 
     if host_products_enabled():
         # host-core sweep: the pending frames are already numpy (native
@@ -948,8 +952,10 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
         gains = None
 
     # with gains, the row multiply is fused into the product program and its
-    # detransversaliumed output comes back as the leading stack
-    cores = products_core_batched(stack, gains)
+    # detransversaliumed output comes back as the leading stack; the want
+    # gates match image_process's own (needed_products), so a host core
+    # never computes a stretch product no shift will save or display
+    cores = products_core_batched(stack, gains, want=needed_products(options))
     if gains is not None:
         detrans, cores = cores[0], cores[1:]
         show_plots = (

@@ -160,3 +160,67 @@ def test_histogram_percentile_twin_fuzz():
             assert products._np_percentile_from_counts(counts, n, q) == float(
                 np.percentile(img, q)
             )
+
+
+def test_want_gates_skip_unconsumed_products():
+    """want=(hc, protus) skips exactly the unrequested stretch products and
+    leaves the computed ones bit-identical to the full-want core."""
+    rng = np.random.default_rng(9)
+    f = _disk_image(rng)
+    full = products._products_body_host(f)
+    cl1, cc, hc, protus = products._products_body_host(f, (False, False))
+    assert hc is None and protus is None
+    np.testing.assert_array_equal(cl1, full[0])
+    np.testing.assert_array_equal(cc, full[1])
+    _, _, hc_only, protus_none = products._products_body_host(f, (True, False))
+    assert protus_none is None
+    np.testing.assert_array_equal(hc_only, full[2])
+    _, _, hc_none, protus_only = products._products_body_host(f, (False, True))
+    assert hc_none is None
+    np.testing.assert_array_equal(protus_only, full[3])
+
+
+def test_needed_products_gates_match_save_behaviour(tmp_path):
+    """A clahe_only host-core run computes no protus/high-contrast (returns
+    protus=None) yet writes the same _clahe.png as always."""
+    from solex_ser_recon_en_tpu.config import Options
+    from solex_ser_recon_en_tpu.pipeline.products import (
+        image_process,
+        needed_products,
+    )
+    from solex_ser_recon_en_tpu.geometry.correct import NO_CIRCLE
+
+    assert needed_products(Options(shift=[0], clahe_only=True)) == (False, False)
+    assert needed_products(Options(shift=[0])) == (True, True)
+    assert needed_products(Options(shift=[0], protus_only=True)) == (False, True)
+    assert needed_products(Options(shift=[0], clahe_only=True),
+                           save=False) == (False, True)
+
+    rng = np.random.default_rng(10)
+    f = _disk_image(rng)
+    import os
+    old = os.environ.get("SOLEX_HOST_PRODUCTS")
+    os.environ["SOLEX_HOST_PRODUCTS"] = "1"
+    try:
+        opts = Options(shift=[0], clahe_only=True, output_dir=str(tmp_path))
+        cc, protus = image_process(f, NO_CIRCLE, opts, basefich="lazy")
+        assert protus is None
+        full_opts = Options(shift=[0], output_dir=str(tmp_path))
+        cc_full, protus_full = image_process(
+            f, NO_CIRCLE, full_opts, basefich="full"
+        )
+        assert protus_full is not None
+        np.testing.assert_array_equal(np.asarray(cc), np.asarray(cc_full))
+    finally:
+        if old is None:
+            os.environ.pop("SOLEX_HOST_PRODUCTS", None)
+        else:
+            os.environ["SOLEX_HOST_PRODUCTS"] = old
+    from solex_ser_recon_en_tpu.io.writers import barrier
+
+    barrier()
+    from solex_ser_recon_en_tpu.io import read_image
+
+    a = read_image(str(tmp_path / "lazy_clahe.png"))
+    b = read_image(str(tmp_path / "full_clahe.png"))
+    np.testing.assert_array_equal(a, b)
