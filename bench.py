@@ -28,9 +28,11 @@ see the same ambient weather — a cached clean-window CPU number against a
 congested-window TPU run (or vice versa) would be meaningless, and one such
 pairing recorded a 9x distortion.  The replica
 (solex_ser_recon_en_tpu/utils/cpu_reference.py) reproduces the reference's
-per-frame hot loops exactly (the reference itself cannot run here — its GUI
-deps are absent).  Any previously cached clean-window CPU measurement is
-disclosed as ``cpu_reference_clean_s``.
+per-frame hot loops exactly plus its always-on geometry stage (hidden
+shift-10/0 disks, ellipse fit, one circularisation warp per requested
+shift + one inside the fit — cpu_ellipse_warp; the reference itself cannot
+run here — its GUI deps are absent).  Any previously cached clean-window
+CPU measurement is disclosed as ``cpu_reference_clean_s``.
 """
 
 import json
@@ -161,6 +163,12 @@ def run_paired(n_runs: int = N_RUNS, n_cpu: int = 3) -> dict:
     }
 
 
+#: bump when the replica's per-run WORKLOAD changes (a cached best from a
+#: cheaper replica is not comparable) — v2: geometry stage added
+#: (cpu_ellipse_warp: hidden shifts, ellipse fit, per-shift warps)
+REPLICA_WORKLOAD = 2
+
+
 def cpu_baseline_clean_seconds(session_best: float = None):
     """Best CPU-replica measurement ever observed on this host, for
     disclosure only (vs_baseline uses the live weather-paired runs).
@@ -168,7 +176,9 @@ def cpu_baseline_clean_seconds(session_best: float = None):
     prev = None
     try:
         with open(BASELINE_CACHE) as f:
-            prev = json.load(f)["seconds"]
+            cache = json.load(f)
+            if cache.get("workload") == REPLICA_WORKLOAD:
+                prev = cache["seconds"]
     except Exception:
         pass
     candidates = [x for x in (prev, session_best) if x is not None]
@@ -177,6 +187,7 @@ def cpu_baseline_clean_seconds(session_best: float = None):
         try:
             with open(BASELINE_CACHE, "w") as f:
                 json.dump({"seconds": best, "frames": FRAMES,
+                           "workload": REPLICA_WORKLOAD,
                            "host_memcpy_gbps": host_congestion_probe()}, f)
         except OSError:
             pass
@@ -476,8 +487,10 @@ def run_config(n: int, paired: bool = True) -> dict:
     with a LIVE run of the CPU-replica doing the same per-config work
     (same FITS/PNG writes, transversalium, protus paint, crop, sweep),
     so every config carries its own ``vs_baseline`` in the same weather.
-    The replica still omits the ellipse fit + warp — paired speedups are
-    lower bounds.
+    The replica includes the reference's always-on geometry stage (hidden
+    shift-10/0 disks, ellipse fit, one circularisation warp per requested
+    shift + one inside the fit, the 4-panel figure in figure modes) —
+    see utils/cpu_reference.cpu_ellipse_warp.
     """
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.pipeline.run import process_file
@@ -574,9 +587,9 @@ def run_config(n: int, paired: bool = True) -> dict:
 
         def cpu_batch_once(done: int):
             # live paired CPU replica over the same corpus (the reference's
-            # Pool(4) degenerates to sequential on this 1-core host).  The
-            # replica omits the ellipse fit + warp the pipeline runs per
-            # file — its ratio is a LOWER bound.
+            # Pool(4) degenerates to sequential on this 1-core host),
+            # including the per-file ellipse fit + warps the reference
+            # always runs (utils/cpu_reference.cpu_ellipse_warp)
             from solex_ser_recon_en_tpu.utils.cpu_reference import (
                 cpu_pipeline as _cp,
             )

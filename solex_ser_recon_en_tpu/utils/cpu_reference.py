@@ -236,6 +236,100 @@ def cpu_transversalium(disk: np.ndarray, y1: int, y2: int,
     )
 
 
+def cpu_ellipse_warp(disks, requested_idx, figures: bool = False,
+                     base: str = None):
+    """Replica of the reference's geometry stage.
+
+    The reference runs this in EVERY mode without ``-x``
+    (Solex_recon.py:105-133): ellipse fit on the hidden shift-10 disk with
+    one full-resolution circularisation warp inside the fit
+    (ellipse_to_circle.py:294-342), then one warp per requested shift
+    (Solex_recon.py:123), plus the 4-panel ``_ellipse_fit.png`` diagnostic
+    (three full-resolution imshows, dpi 300, ellipse_to_circle.py:316-341)
+    whenever not clahe/protus-only.
+
+    Cost-conservative stand-ins where the reference's own libs are absent
+    in this image: the repo's host edge/ellipse chain (the same
+    flood/canny/label/hull/conic-LSQ algorithms the reference runs via
+    skimage/scipy/lsq-ellipse) and the float32 numpy warp twin
+    (ops/warp.py:warp_projective_host) — the reference's
+    skimage.transform.warp does the same four-tap bilinear work in
+    float64 and costs more.  On fit failure the reference degrades to no
+    correction (README.md:110); the replica mirrors that.
+
+    Returns (warped requested disks, circle or None).
+    """
+    from ..geometry.correct import correction_geometry
+    from ..geometry.edges import downscale_local_mean, get_edge_list
+    from ..geometry.ellipse import two_step
+    from ..ops.warp import warp_projective_host, warp_to_u16_host
+
+    def _warp(img01: np.ndarray, mat3, oh: int, ow: int) -> np.ndarray:
+        return warp_to_u16_host(
+            warp_projective_host(
+                img01.astype(np.float32), mat3, oh, ow,
+                cval=float(img01[0, 0]),
+            )
+        )
+
+    image = disks[0] / 65536.0  # float64 full image (ellipse_to_circle:299)
+    try:
+        small = downscale_local_mean(image, 4)
+        X, raw_X = get_edge_list(small)
+        X = X * 4
+        raw_X = raw_X * 4
+        center_yx, height, phi, ratio, X_f, ell_pts = two_step(X)
+        if (len(X_f) < 20 or height < 8
+                or height > 2.0 * max(image.shape)
+                or not (0 <= center_yx[0] < image.shape[0])
+                or not (0 <= center_yx[1] < image.shape[1])):
+            # degenerate fit (featureless input / spurious edge specks) —
+            # the reference's LsqEllipse raises on such edge sets and the
+            # run degrades to no correction (README.md:110)
+            raise ValueError("degenerate ellipse fit")
+        center = np.array([center_yx[1], center_yx[0]])
+        circle, mat3, oh, ow = correction_geometry(
+            image.shape, phi, ratio, center, height
+        )
+    except Exception:
+        return [disks[i] for i in requested_idx], None
+
+    fix_img = _warp(image, mat3, oh, ow)  # the fit's own warp (:308)
+    if figures and base is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.figure
+
+        fig = matplotlib.figure.Figure()
+        ax = [
+            [fig.add_subplot(2, 2, 1), fig.add_subplot(2, 2, 2)],
+            [fig.add_subplot(2, 2, 3), fig.add_subplot(2, 2, 4)],
+        ]
+        fig.tight_layout()
+        ax[0][0].imshow(image, cmap="gray")
+        ax[0][0].set_title("uncorrected image", fontsize=11)
+        ax[0][0].set_aspect("equal")
+        ax[0][1].set_aspect("equal")
+        ax[0][1].imshow(image, cmap="gray")
+        ax[0][1].plot(raw_X[:, 1], raw_X[:, 0], "ro", label="edge detection")
+        ax[0][1].legend(prop={"size": 6})
+        ax[1][1].set_aspect("equal")
+        ax[1][1].plot(X_f[:, 1], X_f[:, 0], "ro", label="filtered edges")
+        ax[1][1].plot(ell_pts[:, 1], ell_pts[:, 0], color="b",
+                      label="ellipse fit")
+        ax[1][1].set_ylim([image.shape[0], 0])
+        ax[1][1].legend(prop={"size": 6})
+        ax[1][0].set_aspect("equal")
+        ax[1][0].imshow(fix_img, cmap="gray")
+        ax[1][0].set_title("geometrically corrected image", fontsize=11)
+        fig.savefig(base + "_ellipse_fit.png", dpi=300)
+
+    # one warp per REQUESTED shift (Solex_recon.py:120-123, disk/65536)
+    return [_warp(disks[i] / 65536.0, mat3, oh, ow)
+            for i in requested_idx], circle
+
+
 def cpu_crop_width(disk: np.ndarray, fixed_width: int) -> np.ndarray:
     """Fixed-width crop/pad around the frame centre (Solex_recon.py:155-171
     cost replica — no fitted circle here, so centre = w/2)."""
@@ -261,15 +355,19 @@ def cpu_pipeline(
     fixed_width: int = None,
     clahe_only: bool = False,
     figures: bool = None,
+    ellipse: bool = True,
 ) -> float:
     """Run the replica end-to-end; returns elapsed seconds.
 
     The keyword extensions replicate the extra work of BASELINE configs
     2-5 (transversalium + the five FITS writes; protus paint + rotate +
-    fixed-width crop; multi-shift product loops).  Deliberately
-    conservative: the ellipse fit and circularisation warp are NOT
-    replicated (the replica's denominator undercounts the reference's
-    true cost), so paired speedups are lower bounds.
+    fixed-width crop; multi-shift product loops).  ``ellipse`` replicates
+    the reference's always-on geometry stage (hidden shift-10/0 disks,
+    ellipse fit, one circularisation warp per requested shift + one inside
+    the fit, the 4-panel diagnostic in figure modes — see cpu_ellipse_warp;
+    pass False to model a ``-x`` ratio_fixe run).  The warp stand-in runs
+    in float32 where the reference's skimage warp runs float64, so paired
+    speedups remain (mildly) conservative.
     """
     import os
 
@@ -322,13 +420,27 @@ def cpu_pipeline(
         ax.set_aspect(0.1)
         fig.tight_layout()
         fig.savefig(base + "_spectral_line_data.png", dpi=400)
-    disks = cpu_recon(path, fit, shifts)
+    if ellipse:
+        # the reference reconstructs the hidden ellipse-fit/line-centre
+        # disks in every run (Solex_recon.py:54-55 prepends [10, 0])
+        shifts_all = list(dict.fromkeys([10, 0] + list(shifts)))
+        requested_idx = [shifts_all.index(s) for s in shifts]
+    else:
+        shifts_all, requested_idx = list(shifts), list(range(len(shifts)))
+    disks = cpu_recon(path, fit, shifts_all)
     if flip_x:
         disks = [d[:, ::-1] for d in disks]
+    raw_disks = [disks[i] for i in requested_idx]
+    if ellipse:
+        disks, _circle = cpu_ellipse_warp(
+            disks, requested_idx, figures=bool(figures), base=base
+        )
+    else:
+        disks = raw_disks
     for i, d in enumerate(disks):
         tag = f"_shift={shifts[i]}"
-        fits(tag + "_raw.fits", d)
-        fits(tag + "_circular.fits", d)   # warp omitted; same write cost
+        fits(tag + "_raw.fits", raw_disks[i])
+        fits(tag + "_circular.fits", d)
         if transversalium:
             y1, y2 = cpu_detect_bounds(max_img)
             cout = []

@@ -117,3 +117,40 @@ def test_products_match_reference_cv2(golden_scan):
     cc_ref, hc_ref = ref.cpu_products(disk)
     assert np.abs(cc.astype(int) - cc_ref.astype(int)).max() <= 4
     assert np.abs(hc.astype(int) - hc_ref.astype(int)).max() <= 4
+
+
+def test_cpu_replica_ellipse_warp_stage():
+    """The replica's geometry stage (cpu_ellipse_warp) fits a clean disk
+    and circularises the requested shifts — the paired vs_baseline
+    denominator charges the reference the warps it always runs
+    (Solex_recon.py:105-133); a featureless disk degrades to the unwarped
+    passthrough the reference's fit-failure path takes."""
+    yy, xx = np.mgrid[0:240, 0:260].astype(np.float64)
+    # tilted ellipse disk, reference-scale brightness
+    e = (((xx - 130) + 0.15 * (yy - 120)) / 80) ** 2 + ((yy - 120) / 95) ** 2
+    disk = np.where(e < 1.0, 42000, 900).astype(np.uint16)
+    warped, circle = ref.cpu_ellipse_warp([disk, disk], [1])
+    assert circle is not None
+    assert len(warped) == 1 and warped[0].dtype == np.uint16
+    # circularisation keeps the disk area (radius between the axes)
+    assert 70 <= circle[2] <= 110
+    # edge-free input: fit fails, disks pass through unwarped (the
+    # reference's manual-fallback path, README.md:110)
+    flat = np.zeros((64, 64), np.uint16)
+    warped, circle = ref.cpu_ellipse_warp([flat, flat], [1])
+    assert circle is None
+    np.testing.assert_array_equal(warped[0], flat)
+
+
+def test_cpu_replica_hidden_shifts_and_figures(golden_scan, tmp_path):
+    """cpu_pipeline reconstructs the reference's hidden [10, 0] shifts and
+    emits the 4-panel _ellipse_fit.png in figure modes when the fit
+    succeeds (ellipse_to_circle.py:316-341) — or no figure when it falls
+    back; either way the run completes with the product set."""
+    out = tmp_path / "fig"
+    out.mkdir()
+    dt = ref.cpu_pipeline(golden_scan, [0], save_dir=str(out), figures=True)
+    assert dt > 0
+    names = {p.name for p in out.iterdir()}
+    assert "g_shift=0_clahe.png" in names
+    assert "g_spectral_line_data.png" in names
