@@ -672,6 +672,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--decomp":
         ensure_scan()
+        if not unreachable:
+            from solex_ser_recon_en_tpu.io.feeder import d2h_responsive
+
+            if not d2h_responsive(20.0):
+                print(json.dumps({"skipped": "d2h readback stalled"}))
+                return
         out = device_attached_decomposition()
         if unreachable:
             out["tpu_unreachable"] = True
@@ -705,15 +711,36 @@ def main() -> None:
     # (or CPU-fallback) later leg can never cost the driver the result;
     # the final line repeats it with everything folded in
     print(json.dumps(result), flush=True)
-    try:
-        result["device_only_frames_per_s"] = round(device_only_fps(), 1)
-    except Exception as e:  # never mask the headline
+    # The device-only legs end in raw checksum readbacks with no canary in
+    # front of them; on a relay whose DOWNLOAD direction has stalled
+    # (uploads can still run at full rate) they hang unboundedly — observed
+    # this exact failure: 10+ min inside device_only_fps after the canary
+    # had already routed the headline runs to the host pipeline.  Gate both
+    # legs on the same D2H canary process_file uses (generous deadline:
+    # skipping costs real data; a normally-attached chip answers in us).
+    d2h_ok = not unreachable
+    if d2h_ok:
+        from solex_ser_recon_en_tpu.io.feeder import d2h_responsive
+
+        d2h_ok = d2h_responsive(20.0)
+    if not d2h_ok:
         result["device_only_frames_per_s"] = None
-        result["device_only_error"] = str(e)[:200]
-    if unreachable:
-        # "stage the scan in HBM" is meaningless without an accelerator,
-        # and the XLA:CPU legs cost minutes of driver time
-        result["device_attached"] = {"skipped": "tpu unreachable"}
+        result["device_only_skipped"] = (
+            "tpu unreachable" if unreachable else "d2h readback stalled"
+        )
+    else:
+        try:
+            result["device_only_frames_per_s"] = round(device_only_fps(), 1)
+        except Exception as e:  # never mask the headline
+            result["device_only_frames_per_s"] = None
+            result["device_only_error"] = str(e)[:200]
+    if unreachable or not d2h_ok:
+        # "stage the scan in HBM" is meaningless without an accelerator
+        # or with a dead downlink, and the legs would hang/cost minutes
+        result["device_attached"] = {
+            "skipped": "tpu unreachable" if unreachable
+            else "d2h readback stalled"
+        }
     elif os.environ.get("SOLEX_BENCH_SKIP_DECOMP") != "1":
         try:
             result["device_attached"] = device_attached_decomposition()

@@ -203,4 +203,10 @@ def write_ser(
     )
     with open(path, "wb") as f:
         f.write(hdr.pack())
-        f.write(np.ascontiguousarray(frames, dtype=dtype).tobytes())
+        # stream in frame blocks: a multi-GB scan (or a rot90 view from a
+        # transpose-to-wide fixture) must not materialise one contiguous
+        # copy PLUS a tobytes() copy — that doubles peak memory and adds a
+        # full extra pass
+        block = max(1, (64 << 20) // max(frames[0].nbytes, 1))
+        for i in range(0, frames.shape[0], block):
+            np.ascontiguousarray(frames[i : i + block], dtype=dtype).tofile(f)
