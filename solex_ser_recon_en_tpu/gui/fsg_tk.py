@@ -79,12 +79,19 @@ def find_browse_target(row: Sequence["Element"], browse_idx: int):
 
 
 _root = None
+_root_failed_display = ()  # sentinel: () = no cached failure
 
 
 def _tk_root():
     """Singleton withdrawn Tk root; every Window is a Toplevel of it, so
-    multiple sequential/nested windows and popups share one interpreter."""
-    global _root
+    multiple sequential/nested windows and popups share one interpreter.
+
+    A failed creation (no display) is cached per $DISPLAY value so a
+    headless batch doesn't pay a ~3 ms _tkinter.create attempt for every
+    progress tick; pointing $DISPLAY at a server later retries."""
+    global _root, _root_failed_display
+    import os
+
     import tkinter as tk
 
     if _root is not None:
@@ -93,7 +100,15 @@ def _tk_root():
             return _root
         except tk.TclError:
             _root = None
-    _root = tk.Tk()
+    display = os.environ.get("DISPLAY")
+    if _root_failed_display != () and _root_failed_display == display:
+        raise tk.TclError("no display (cached from a previous attempt)")
+    try:
+        _root = tk.Tk()
+    except tk.TclError:
+        _root_failed_display = display
+        raise
+    _root_failed_display = ()
     _root.withdraw()
     return _root
 

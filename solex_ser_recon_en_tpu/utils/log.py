@@ -15,16 +15,39 @@ from ..config import Options, output_path
 
 
 class RunLog:
+    """Appends the same lines the reference writes, but through ONE
+    line-buffered handle per instance instead of an open/close cycle per
+    line (O_APPEND keeps interleaving with a concurrent instance safe, and
+    line buffering keeps the on-disk file current after every entry)."""
+
     def __init__(self, base: str, options: Options):
         self.path = output_path(base + "_log.txt", options)
         self.enabled = not options._nolog
+        self._f = None
+
+    def _handle(self, mode: str = "a"):
+        if self._f is None or self._f.closed:
+            self._f = open(self.path, mode, buffering=1)
+        return self._f
+
+    def close(self) -> None:
+        if self._f is not None and not self._f.closed:
+            try:
+                self._f.close()
+            except Exception:
+                pass
+        self._f = None
+
+    __del__ = close
 
     def clear(self) -> None:
         if not self.enabled:
             return
         try:
-            with open(self.path, "w") as f:
-                f.write("start time: " + str(datetime.datetime.now()) + "\n")
+            self.close()
+            self._handle("w").write(
+                "start time: " + str(datetime.datetime.now()) + "\n"
+            )
         except Exception:
             traceback.print_exc()
             print("ERROR: failed to log file: " + self.path)
@@ -33,11 +56,11 @@ class RunLog:
         if not self.enabled:
             return
         try:
-            with open(self.path, "a") as f:
-                f.write(s + "\n")
+            self._handle().write(s + "\n")
         except Exception:
             traceback.print_exc()
             print("ERROR: failed to log file: " + self.path)
 
     def complete(self) -> None:
         self("end time: " + str(datetime.datetime.now()))
+        self.close()
