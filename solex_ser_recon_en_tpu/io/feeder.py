@@ -89,38 +89,60 @@ _D2H_CACHE = None  # (ok: bool, monotonic time)
 _D2H_TTL_S = 120.0
 
 
-def d2h_responsive(timeout_s: float = 5.0) -> bool:
-    """Whether a tiny device->host readback completes within ``timeout_s``.
+def d2h_responsive(timeout_s: float = 5.0, min_bps: float = None) -> bool:
+    """Whether device->host readback is alive AND fast enough to carry
+    the pipeline's downloads.
 
-    The H2D probe cannot see a stalled *download* direction — observed on
-    the relay: uploads at 311 MB/s while a 0.25 MB readback hung for
+    The H2D probe cannot see a throttled *download* direction — observed
+    on the relay: uploads at 311 MB/s while a 0.25 MB readback hung for
     minutes (each direction has its own weather).  Every device-path
-    stage ends in a small readback (pass-A accumulators, fit inputs,
-    product images), so a dead D2H direction makes the device pipeline
-    unusable regardless of upload rate; the feed policy must go host.
-    A stalled readback cannot be cancelled, so the sample runs in a
-    daemon thread and is abandoned on timeout.  Memoised briefly (the
-    weather shifts by the minute): a folder batch pays the timeout once,
-    not per file.  Normally-attached hosts answer in microseconds.
+    stage ends in a readback (pass-A accumulators, fit inputs, product
+    images — tens of MB per scan), so a dead OR trickling D2H direction
+    makes the device pipeline strictly worse than the host fast paths.
+    Mere responsiveness is not enough: a 1 KB canary answers in ~25 ms on
+    a link delivering 0.04 MB/s, and a batch routed by that verdict then
+    spends 10+ s per readback (observed: a 0.9 s 50-file batch took 35 s).
+
+    So the canary measures RATE: a tiny liveness readback first (a dead
+    direction hangs there without spending the timeout on the big
+    sample), then best-of-2 1 MB readbacks, requiring ``min_bps``
+    (default 50 MB/s, override SOLEX_D2H_FLOOR_MBPS; best-of-2 so one
+    first-touch latency hiccup cannot fail a healthy link).  A stalled
+    readback cannot be cancelled, so the samples run in a daemon thread
+    and are abandoned on timeout.  Memoised briefly (the weather shifts
+    by the minute): a folder batch pays the probe once, not per file.
+    Normally-attached hosts move GB/s and pass in milliseconds.
     """
+    import os
     import threading
     import time
 
     global _D2H_CACHE
+    if min_bps is None:
+        min_bps = float(os.environ.get("SOLEX_D2H_FLOOR_MBPS", "50")) * 1e6
     now = time.monotonic()
     if _D2H_CACHE is not None and now - _D2H_CACHE[1] < _D2H_TTL_S:
         return _D2H_CACHE[0]
-    ok = threading.Event()
+    done = threading.Event()
+    best_bps = [0.0]
 
     def sample():
         try:
             np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
-            ok.set()
+            buf = np.zeros(1 << 20, np.uint8)
+            for _ in range(2):
+                dev = jax.device_put(buf)
+                dev.block_until_ready()  # upload is not the measurement
+                t0 = time.perf_counter()
+                np.asarray(dev)
+                dt = max(time.perf_counter() - t0, 1e-9)
+                best_bps[0] = max(best_bps[0], buf.nbytes / dt)
+            done.set()
         except Exception:
             pass
 
     threading.Thread(target=sample, daemon=True).start()
-    result = ok.wait(timeout_s)
+    result = done.wait(timeout_s) and best_bps[0] >= min_bps
     _D2H_CACHE = (result, time.monotonic())
     return result
 

@@ -190,18 +190,23 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         # A mesh request keeps the sharded device feed: virtual CPU
         # meshes exist exactly to exercise that path.
         feed = "host"
-    if feed == "auto" and isinstance(vid, _SerVideo):
+    if (feed == "auto" and options.mesh is None
+            and (isinstance(vid, _SerVideo) or total_bytes <= 1024**3)):
+        # the downlink is dead or trickling (each relay direction has its
+        # own weather): every device stage ends in a readback, so the
+        # host pass is the only path that can finish — regardless of what
+        # the upload probe says.  ALL source types: a mixed SER+AVI batch
+        # routed only its SER files here and the AVI files' readbacks
+        # dragged a 0.9 s batch to 35 s (same >1 GB non-SER carve-out as
+        # the CPU-backend branch above: read_all would materialise it)
         from ..io.feeder import d2h_responsive
 
         if not d2h_responsive():
-            # the downlink is dead (each relay direction has its own
-            # weather): every device stage ends in a readback, so the
-            # host pass is the only path that can finish — regardless of
-            # what the upload probe says
             print("WARNING: device->host readback unresponsive; "
                   "taking the host feed path")
             feed = "host"
-        elif total_bytes > 256 * 1024**2:
+    if feed == "auto" and isinstance(vid, _SerVideo):
+        if total_bytes > 256 * 1024**2:
             rate = probe_transfer_rate()
             feed = "host" if rate < 200e6 else "device"
         else:
