@@ -67,12 +67,21 @@ def _gain_from_mean_r(
     return c, correction
 
 
-def _strip_mask_host(h: int, w: int, circle, borders) -> np.ndarray:
-    """numpy twin of ops/rowstats.strip_mask (same float32 geometry)."""
+def _strip_mask_host(h: int, w: int, circle, borders,
+                     row0: int = 0, row1: int = None) -> np.ndarray:
+    """numpy twin of ops/rowstats.strip_mask (same float32 geometry).
+
+    ``row0``/``row1`` restrict the returned mask to that row slice (the
+    per-row geometry is row-independent, so mask[row0:row1] of the full
+    call is returned bit-for-bit) — the gain consumer only reads the
+    correction band, so the host path never materialises the full-frame
+    mask."""
+    if row1 is None:
+        row1 = h
     cx, cy, r = (np.float32(circle[0]), np.float32(circle[1]),
                  np.float32(circle[2]))
     bx0, by1, bx2, by3 = (np.float32(b) for b in borders)
-    ys = np.arange(h, dtype=np.float32)
+    ys = np.arange(row0, row1, dtype=np.float32)
     xs = np.arange(w, dtype=np.float32)
     y1 = np.ceil(max(cy - r, by1))
     y2 = np.floor(min(cy + r, by3))
@@ -150,8 +159,20 @@ def transversalium_gain(
 
     h, w = img.shape
     if host_products_enabled():
-        valid = _strip_mask_host(h, w, circle, borders)
-        mean_r = _row_stats_host(np.asarray(img), valid).astype(np.float64)
+        # the gain consumer (_gain_from_mean_r) reads mean_r[y1+1:y2]
+        # only, and the row stats are row-independent (medians across
+        # each row; rat[i] needs just row i-1 as the ratio predecessor),
+        # so compute them on the band's row slice alone — bit-identical
+        # to the full-frame stats (test_row_stats_band_crop_exact).
+        # Columns stay full-width: cropping them changes each row's
+        # pairwise-sum tree and perturbs the f32 kept-sum by ~1e-8.
+        y1b, y2b = _row_band(circle, borders)
+        a, b = max(y1b, 0), min(y2b, h)
+        mean_r = np.zeros(h, dtype=np.float64)
+        if b - a >= 2:
+            valid = _strip_mask_host(h, w, circle, borders, row0=a, row1=b)
+            sub = _row_stats_host(np.asarray(img[a:b]), valid)
+            mean_r[a + 1:b] = sub[1:]
     else:
         valid, _, _ = strip_mask(
             h,

@@ -196,3 +196,31 @@ def test_products_core_odd_size_matches_percentile(rng):
         65535.0 * img.astype(np.float32) / max(bright * 0.18, 1.0), 0, 65535
     ).astype(np.uint16)
     assert np.abs(protus.astype(np.int64) - protus_ref.astype(np.int64)).max() <= 1
+
+
+def test_row_stats_band_crop_exact():
+    """The host gain path computes row stats on the band's row slice only;
+    the crop must reproduce the full-frame stats bit-for-bit over the
+    consumed band (rows are independent: each row's medians and kept-sum
+    see exactly the same entries in the same order)."""
+    from solex_ser_recon_en_tpu.pipeline.transversalium import (
+        _row_band,
+        _row_stats_host,
+        _strip_mask_host,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w = 300, 280
+    img = rng.integers(50, 60000, (h, w)).astype(np.uint16)
+    circle = (140.0, 150.0, 110.0)
+    borders = [4.0, 30.0, 270.0, 280.0]
+
+    full_valid = _strip_mask_host(h, w, circle, borders)
+    full = _row_stats_host(img, full_valid)
+
+    y1, y2 = _row_band(circle, borders)
+    a, b = max(y1, 0), min(y2, h)
+    valid = _strip_mask_host(h, w, circle, borders, row0=a, row1=b)
+    np.testing.assert_array_equal(valid, full_valid[a:b])
+    sub = _row_stats_host(np.asarray(img[a:b]), valid)
+    np.testing.assert_array_equal(sub[1:], full[a + 1:b])
