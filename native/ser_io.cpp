@@ -444,9 +444,105 @@ static void warp_body(const float* __restrict srcf,
   }
 }
 
+// Batched variant: K uint16 sources warped with ONE shared matrix (the
+// Doppler sweep circularises every shift with the same correction matrix,
+// Solex_recon.py:120-123).  The per-pixel coordinate math (two divides,
+// floors, int casts) depends only on (x, y), so it is hoisted into a
+// per-row precompute reused across all K images; the per-tap float math
+// is kept statement-for-statement identical to warp_body (same
+// left-associated products), so each output plane is BIT-identical to K
+// independent warp_u16_u16 calls (asserted by test_native warp-batch).
+static void warp_body_batch_u16(const uint16_t* const* __restrict srcs,
+                                int64_t k, int64_t h, int64_t w_in,
+                                const double* mat3, int64_t out_h,
+                                int64_t out_w, const float* cvals,
+                                uint16_t* const* __restrict outs) {
+  const float m00 = static_cast<float>(mat3[0]);
+  const float m01 = static_cast<float>(mat3[1]);
+  const float m02 = static_cast<float>(mat3[2]);
+  const float m10 = static_cast<float>(mat3[3]);
+  const float m11 = static_cast<float>(mat3[4]);
+  const float m12 = static_cast<float>(mat3[5]);
+  const float m20 = static_cast<float>(mat3[6]);
+  const float m21 = static_cast<float>(mat3[7]);
+  const float m22 = static_cast<float>(mat3[8]);
+  int64_t* idx = new int64_t[out_w * 4];  // element index or -1 per tap
+  float* fr = new float[out_w * 4];       // dy, ody, dx, odx per x
+  for (int64_t y = 0; y < out_h; ++y) {
+    const float gy = static_cast<float>(y);
+    for (int64_t x = 0; x < out_w; ++x) {
+      const float gx = static_cast<float>(x);
+      const float w = m20 * gx + m21 * gy + m22;
+      const float sx = (m00 * gx + m01 * gy + m02) / w;
+      const float sy = (m10 * gx + m11 * gy + m12) / w;
+      const float x0 = floorf(sx);
+      const float y0 = floorf(sy);
+      const int64_t x0i = static_cast<int64_t>(static_cast<int32_t>(x0));
+      const int64_t y0i = static_cast<int64_t>(static_cast<int32_t>(y0));
+      const int64_t ys[2] = {y0i, y0i + 1};
+      const int64_t xs[2] = {x0i, x0i + 1};
+      for (int ti = 0; ti < 4; ++ti) {
+        const int64_t yi = ys[ti >> 1];
+        const int64_t xi = xs[ti & 1];
+        idx[x * 4 + ti] = (yi >= 0 && yi < h && xi >= 0 && xi < w_in)
+                              ? yi * w_in + xi
+                              : -1;
+      }
+      const float dy = sy - y0;
+      const float dx = sx - x0;
+      fr[x * 4 + 0] = dy;
+      fr[x * 4 + 1] = 1.0f - dy;
+      fr[x * 4 + 2] = dx;
+      fr[x * 4 + 3] = 1.0f - dx;
+    }
+    for (int64_t ki = 0; ki < k; ++ki) {
+      const uint16_t* __restrict src = srcs[ki];
+      const float cval = cvals[ki];
+      uint16_t* __restrict orow = outs[ki] + y * out_w;
+      for (int64_t x = 0; x < out_w; ++x) {
+        const int64_t* tap = idx + x * 4;
+        float s[4];
+        for (int ti = 0; ti < 4; ++ti) {
+          s[ti] = tap[ti] >= 0
+                      ? static_cast<float>(src[tap[ti]]) / 65536.0f
+                      : cval;
+        }
+        const float dy = fr[x * 4 + 0];
+        const float ody = fr[x * 4 + 1];
+        const float dx = fr[x * 4 + 2];
+        const float odx = fr[x * 4 + 3];
+        const float t0 = s[0] * ody * odx;
+        const float t1 = s[1] * ody * dx;
+        const float t2 = s[2] * dy * odx;
+        const float t3 = s[3] * dy * dx;
+        const float acc = ((t0 + t1) + t2) + t3;
+        float v = acc * 65536.0f;
+        if (v < 0.0f) v = 0.0f;
+        if (v > 65535.0f) v = 65535.0f;
+        orow[x] = static_cast<uint16_t>(v);
+      }
+    }
+  }
+  delete[] idx;
+  delete[] fr;
+}
+
 #pragma GCC pop_options
 
 extern "C" {
+
+// Batched numpy-twin-exact warp: K u16 sources, one shared matrix.
+// srcs/outs are arrays of K pointers ((h, w_in) / (out_h, out_w) each,
+// C-contiguous); cvals one [0,1)-scale fill value per source.
+int warp_u16_u16_batch(const uint16_t* const* srcs, int64_t k, int64_t h,
+                       int64_t w_in, const double* mat3, int64_t out_h,
+                       int64_t out_w, const float* cvals,
+                       uint16_t* const* outs) {
+  if (!srcs || !mat3 || !outs || !cvals || k <= 0 || h <= 0 || w_in <= 0)
+    return -1;
+  warp_body_batch_u16(srcs, k, h, w_in, mat3, out_h, out_w, cvals, outs);
+  return 0;
+}
 
 // numpy-twin-exact warp, float32 [0,1) source -> uint16 output.
 int warp_f32_u16(const float* src, int64_t h, int64_t w_in,

@@ -231,15 +231,24 @@ def correct_images_batched(
         # full-host mode: native warp kernel (numpy-twin fallback), no
         # accelerator/XLA dispatch; each shift warps straight into its row
         # of one preallocated stack
+        from ..io.native import native_warp_u16_batch
         from ..ops.warp import warp_host_u16
 
-        warped = np.empty((k, out_h, out_w), np.uint16)
+        ds = []
         for i in range(k):
             d = np.asarray(disks[i])
             if d.dtype != np.uint16:
                 d = d.astype(np.uint16)
-            warp_host_u16(d, mat3, out_h, out_w,
-                          cval=float(d[0, 0]) / 65536.0, out=warped[i])
+            ds.append(d)
+        cvals = [float(d[0, 0]) / 65536.0 for d in ds]
+        warped = np.empty((k, out_h, out_w), np.uint16)
+        # one shared matrix -> the batched kernel computes the per-row
+        # coordinates once for all K shifts (bit-identical to the
+        # per-image kernel; per-image fallback when the lib is absent)
+        if not native_warp_u16_batch(ds, mat3, out_h, out_w, cvals, warped):
+            for i in range(k):
+                warp_host_u16(ds[i], mat3, out_h, out_w,
+                              cval=cvals[i], out=warped[i])
     else:
         with host_ops():
             dj = jnp.asarray(disks).astype(jnp.uint16)

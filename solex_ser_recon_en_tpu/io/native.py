@@ -161,6 +161,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.warp_f32_u16.argtypes = _warp_args
         lib.warp_u16_u16.restype = ctypes.c_int
         lib.warp_u16_u16.argtypes = _warp_args
+        lib.warp_u16_u16_batch.restype = ctypes.c_int
+        lib.warp_u16_u16_batch.argtypes = [
+            ctypes.c_void_p,   # srcs (K,) pointer array
+            ctypes.c_int64,    # k
+            ctypes.c_int64,    # h
+            ctypes.c_int64,    # w_in
+            ctypes.c_void_p,   # mat3 (9,) f64 row-major
+            ctypes.c_int64,    # out_h
+            ctypes.c_int64,    # out_w
+            ctypes.c_void_p,   # cvals (K,) f32
+            ctypes.c_void_p,   # outs (K,) pointer array
+        ]
         _lib = lib
         return _lib
 
@@ -207,6 +219,51 @@ def native_warp_u16(
     if rc != 0:
         return None
     return out
+
+
+def native_warp_u16_batch(
+    images, mat3: np.ndarray, out_h: int, out_w: int, cvals,
+    out: np.ndarray,
+) -> bool:
+    """Warp K uint16 images sharing ONE matrix into ``out`` (K, H', W').
+
+    The per-pixel coordinate math is computed once per output row and
+    reused across the K sources (native/ser_io.cpp:warp_body_batch_u16),
+    so a Doppler sweep pays it once instead of K times; each output plane
+    is BIT-identical to K independent native_warp_u16 calls.  ``images``
+    is a sequence of K (h, w) C-contiguous uint16 arrays (uniform shape);
+    ``cvals`` one [0,1)-scale fill per image.  Returns False when the
+    native library is unavailable (caller falls back to the per-image
+    path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    k = len(images)
+    h, w_in = images[0].shape
+    srcs = [np.ascontiguousarray(im, dtype=np.uint16) for im in images]
+    assert all(s.shape == (h, w_in) for s in srcs)
+    assert (out.shape == (k, int(out_h), int(out_w))
+            and out.dtype == np.uint16 and out.flags.c_contiguous)
+    m = np.ascontiguousarray(mat3, dtype=np.float64)
+    cv = np.ascontiguousarray(cvals, dtype=np.float32)
+    PtrArr = ctypes.c_void_p * k
+    src_ptrs = PtrArr(*[s.ctypes.data_as(ctypes.c_void_p).value for s in srcs])
+    out_ptrs = PtrArr(*[
+        out[i].ctypes.data_as(ctypes.c_void_p).value for i in range(k)
+    ])
+    rc = lib.warp_u16_u16_batch(
+        ctypes.cast(src_ptrs, ctypes.c_void_p),
+        k,
+        h,
+        w_in,
+        m.ctypes.data_as(ctypes.c_void_p),
+        int(out_h),
+        int(out_w),
+        cv.ctypes.data_as(ctypes.c_void_p),
+        ctypes.cast(out_ptrs, ctypes.c_void_p),
+    )
+    return rc == 0
 
 
 def native_recon_chunk(

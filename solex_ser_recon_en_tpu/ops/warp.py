@@ -226,8 +226,17 @@ def warp_host_u16(
     """
     import numpy as np
 
-    from ..io.native import native_warp_u16
+    from ..io.native import native_warp_u16, native_warp_u16_batch
 
+    if image.dtype == np.uint16:
+        # the batch kernel's hoisted per-row coordinate precompute wins
+        # even at K=1 (66 -> 56 ms on the bench disk; bit-identical)
+        res = out if out is not None else np.empty(
+            (int(out_h), int(out_w)), np.uint16)
+        if res.flags.c_contiguous and native_warp_u16_batch(
+                [image], mat3, out_h, out_w, [cval],
+                res.reshape(1, int(out_h), int(out_w))):
+            return res
     res = native_warp_u16(image, mat3, out_h, out_w, cval, out=out)
     if res is not None:
         return res

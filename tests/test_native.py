@@ -188,3 +188,31 @@ def test_warp_host_u16_fallback_matches(monkeypatch):
                         lambda *a, **k: None)
     without = warp_mod.warp_host_u16(img, mat3, 70, 85, 0.01)
     np.testing.assert_array_equal(with_native, without)
+
+
+def test_native_warp_batch_bit_identical_to_per_image():
+    """The batched warp (one shared matrix, per-row coordinate reuse) must
+    reproduce K independent native warps bit-for-bit — including
+    out-of-bounds taps taking each image's own cval."""
+    from solex_ser_recon_en_tpu.io.native import (
+        get_lib,
+        native_warp_u16,
+        native_warp_u16_batch,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    k, h, w = 4, 90, 110
+    imgs = [rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+            for _ in range(k)]
+    mat3 = np.array([[0.97, 0.04, -2.5], [0.0, 1.0, 1.2],
+                     [0.0, 0.0, 1.0]])
+    out_h, out_w = 96, 118  # bigger than the source: forces cval taps
+    cvals = [float(im[0, 0]) / 65536.0 for im in imgs]
+    batch = np.empty((k, out_h, out_w), np.uint16)
+    ok = native_warp_u16_batch(imgs, mat3, out_h, out_w, cvals, batch)
+    assert ok
+    for i in range(k):
+        single = native_warp_u16(imgs[i], mat3, out_h, out_w, cvals[i])
+        np.testing.assert_array_equal(batch[i], single)
