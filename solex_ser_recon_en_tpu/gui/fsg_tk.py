@@ -105,8 +105,13 @@ def _tk_root():
         raise tk.TclError("no display (cached from a previous attempt)")
     try:
         _root = tk.Tk()
-    except tk.TclError:
-        _root_failed_display = display
+    except tk.TclError as e:
+        # Only cache genuinely-missing-display failures: a transient Tk
+        # hiccup (momentary X server restart, resource blip) must not
+        # permanently disable all GUI windows for the process.
+        msg = str(e).lower()
+        if "display" in msg:
+            _root_failed_display = display
         raise
     _root_failed_display = ()
     _root.withdraw()

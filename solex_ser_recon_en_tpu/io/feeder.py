@@ -119,10 +119,17 @@ def d2h_responsive(timeout_s: float = 5.0, min_bps: float = None) -> bool:
 
     global _D2H_CACHE
     if min_bps is None:
-        min_bps = float(os.environ.get("SOLEX_D2H_FLOOR_MBPS", "50")) * 1e6
+        try:
+            floor_mbps = float(os.environ.get("SOLEX_D2H_FLOOR_MBPS", "50"))
+        except ValueError:
+            floor_mbps = 50.0  # malformed override must not fail the run
+        min_bps = floor_mbps * 1e6
     now = time.monotonic()
+    # Cache the measured rate, not the verdict: a later call with a
+    # different min_bps re-judges the same sample instead of inheriting a
+    # verdict computed under another threshold.
     if _D2H_CACHE is not None and now - _D2H_CACHE[1] < _D2H_TTL_S:
-        return _D2H_CACHE[0]
+        return _D2H_CACHE[0] >= min_bps
     done = threading.Event()
     best_bps = [0.0]
 
@@ -142,9 +149,9 @@ def d2h_responsive(timeout_s: float = 5.0, min_bps: float = None) -> bool:
             pass
 
     threading.Thread(target=sample, daemon=True).start()
-    result = done.wait(timeout_s) and best_bps[0] >= min_bps
-    _D2H_CACHE = (result, time.monotonic())
-    return result
+    measured = best_bps[0] if done.wait(timeout_s) else 0.0
+    _D2H_CACHE = (measured, time.monotonic())
+    return measured >= min_bps
 
 
 class FeedCollapse(RuntimeError):

@@ -241,10 +241,17 @@ def native_warp_u16_batch(
         return False
     k = len(images)
     h, w_in = images[0].shape
-    srcs = [np.ascontiguousarray(im, dtype=np.uint16) for im in images]
-    assert all(s.shape == (h, w_in) for s in srcs)
-    assert (out.shape == (k, int(out_h), int(out_w))
-            and out.dtype == np.uint16 and out.flags.c_contiguous)
+    # Validation must survive `python -O` (asserts vanish there, and a
+    # mismatched buffer would send wrong-sized pointers into the native
+    # kernel): return False so the caller takes the per-image path, and
+    # reject non-uint16 inputs outright instead of silently value-casting
+    # floats to near-zero uint16.
+    if any(im.dtype != np.uint16 or im.shape != (h, w_in) for im in images):
+        return False
+    srcs = [np.ascontiguousarray(im) for im in images]
+    if (out.shape != (k, int(out_h), int(out_w))
+            or out.dtype != np.uint16 or not out.flags.c_contiguous):
+        return False
     m = np.ascontiguousarray(mat3, dtype=np.float64)
     cv = np.ascontiguousarray(cvals, dtype=np.float32)
     PtrArr = ctypes.c_void_p * k
@@ -292,10 +299,14 @@ def native_recon_chunk(
     n = src.shape[0]
     S, ih = flat_l.shape
     F_total = out.shape[2]
-    assert out.dtype == np.uint16 and out.flags.c_contiguous
+    # -O-proof validation: a mismatched buffer must route to the numpy
+    # fallback, never reach the native kernel with wrong-sized pointers.
+    if out.dtype != np.uint16 or not out.flags.c_contiguous:
+        return False
     frame_stride = src.strides[0]
     # per-frame contiguity: gather indices address the frame viewed flat
-    assert src.strides[-1] == src.itemsize
+    if src.strides[-1] != src.itemsize:
+        return False
     base = src.ctypes.data if src.flags.c_contiguous or src.ndim == 1 else None
     if base is None:
         # memmap slices along axis 0 stay contiguous; anything else bails

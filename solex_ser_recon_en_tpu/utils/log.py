@@ -45,9 +45,13 @@ class RunLog:
             return
         try:
             self.close()
-            self._handle("w").write(
-                "start time: " + str(datetime.datetime.now()) + "\n"
-            )
+            # Truncate with a short-lived 'w' handle, then reopen in 'a':
+            # every handle this instance retains is O_APPEND, so lines from
+            # a concurrent RunLog on the same path interleave instead of
+            # being overwritten at a stale 'w'-mode offset.
+            with open(self.path, "w") as f:
+                f.write("start time: " + str(datetime.datetime.now()) + "\n")
+            self._handle("a")
         except Exception:
             traceback.print_exc()
             print("ERROR: failed to log file: " + self.path)
