@@ -140,7 +140,10 @@ template <typename T>
 void sweep_tile_major(const uint8_t* base, int64_t frame_bytes, uint32_t g0,
                       uint32_t g1, int64_t px, uint32_t* __restrict acc32,
                       uint16_t* __restrict max_out) {
-  constexpr int64_t kBlock = 4096;
+  // 16384-px blocks (96 KB of acc+max+slice, L2-resident) measured ~5-8%
+  // faster than the 4096-px L1-sized blocks on this host — fewer frame-loop
+  // restarts per block outweigh the L1->L2 working-set spill (docs/PERF.md)
+  constexpr int64_t kBlock = 16384;
   for (int64_t b = 0; b < px; b += kBlock) {
     const int64_t n = (b + kBlock < px) ? kBlock : px - b;
     uint32_t* __restrict a = acc32 + b;
@@ -300,6 +303,143 @@ int ser_mean_max_band(void* handle, uint64_t* sum_out, uint16_t* max_out,
 // Back-compat entry: fused sum + max only, no band extraction.
 int ser_mean_max(void* handle, uint64_t* sum_out, uint16_t* max_out) {
   return ser_mean_max_band(handle, sum_out, max_out, 0, 0, 0, 0, nullptr);
+}
+
+// Subsampled full-frame sum + max: every `step`-th frame only.  The cheap
+// leg of the two-step pass A (io/hostreduce.py:fast_passa): ~F/step frames
+// locate the spectral band and the sun's vertical extent, then
+// ser_band_stats touches ONLY that band at full frame resolution.
+// Returns the number of frames accumulated (the mean divisor), or <0 on
+// error.  sum_out/max_out are width*height, raw layout.
+int ser_sample_stats(void* handle, uint32_t step, uint64_t* sum_out,
+                     uint16_t* max_out) {
+  SerFile* f = static_cast<SerFile*>(handle);
+  if (!f || step == 0) return -1;
+  const int64_t px = static_cast<int64_t>(f->width) * f->height;
+  for (int64_t i = 0; i < px; ++i) {
+    sum_out[i] = 0;
+    max_out[i] = 0;
+  }
+  const uint8_t* base = f->map + kHeaderSize;
+  int n = 0;
+  for (uint32_t fr = 0; fr < f->frame_count; fr += step, ++n) {
+    const uint8_t* fp = base + static_cast<int64_t>(fr) * f->frame_bytes;
+    if (f->pixel_depth == 16) {
+      const uint16_t* p = reinterpret_cast<const uint16_t*>(fp);
+      for (int64_t i = 0; i < px; ++i) {
+        uint16_t v = p[i];
+        sum_out[i] += v;
+        if (v > max_out[i]) max_out[i] = v;
+      }
+    } else {
+      for (int64_t i = 0; i < px; ++i) {
+        uint16_t v = fp[i];
+        sum_out[i] += v;
+        if (v > max_out[i]) max_out[i] = v;
+      }
+    }
+  }
+  return n;
+}
+
+// Full-frame-count sum + max restricted to the raw-coordinate rectangle
+// rows [r0, r1) x cols [c0, c1): the expensive leg of the two-step pass A.
+// Reads ONLY the band bytes of every frame (for wide-stored scans the band
+// is a contiguous slice of each frame), so a 2.4 GB scan whose recon
+// gathers from a ~60-column spectral band costs ~1/5 of a full sweep.
+// sum_out/max_out are (r1-r0)*(c1-c0), band-local layout.
+int ser_band_stats(void* handle, uint32_t r0, uint32_t r1, uint32_t c0,
+                   uint32_t c1, uint64_t* sum_out, uint16_t* max_out) {
+  SerFile* f = static_cast<SerFile*>(handle);
+  if (!f || r0 >= r1 || c0 >= c1 || r1 > f->height || c1 > f->width)
+    return -1;
+  const int64_t bw = c1 - c0;
+  const int64_t bh = r1 - r0;
+  const int64_t bpx = bw * bh;
+  uint32_t* acc32 = new (std::nothrow) uint32_t[bpx]();
+  if (!acc32) return -2;
+  for (int64_t i = 0; i < bpx; ++i) {
+    sum_out[i] = 0;
+    max_out[i] = 0;
+  }
+  const uint8_t* base = f->map + kHeaderSize;
+  const int64_t elem = f->pixel_depth / 8;
+  const uint32_t fold_every = (f->pixel_depth == 16) ? 65000u : 16000000u;
+  const uint32_t prefetch_win = 256;
+  uint32_t since_fold = 0;
+  const bool full_width = (c0 == 0 && c1 == f->width);
+  for (uint32_t fr = 0; fr < f->frame_count; ++fr) {
+    if (fr % prefetch_win == 0 && fr + prefetch_win < f->frame_count) {
+      // hint the next window's BAND slices (not whole frames): on a cold
+      // cache the kernel reads in page granularity anyway, and the band
+      // slice of a wide-stored scan is one contiguous run per frame
+      for (uint32_t g = fr; g < fr + prefetch_win; ++g) {
+        const uint8_t* p = base + static_cast<int64_t>(g) * f->frame_bytes +
+                           (static_cast<int64_t>(r0) * f->width + c0) * elem;
+        uintptr_t addr = reinterpret_cast<uintptr_t>(p);
+        uintptr_t page = addr & ~static_cast<uintptr_t>(4095);
+        // one run from the band's first to last byte within this frame
+        size_t len = static_cast<size_t>((bh - 1) * f->width + bw) * elem;
+        madvise(reinterpret_cast<void*>(page), len + (addr - page),
+                MADV_WILLNEED);
+      }
+    }
+    const uint8_t* fp = base + static_cast<int64_t>(fr) * f->frame_bytes;
+    if (f->pixel_depth == 16) {
+      const uint16_t* frame = reinterpret_cast<const uint16_t*>(fp);
+      if (full_width) {
+        const uint16_t* p = frame + static_cast<int64_t>(r0) * f->width;
+        for (int64_t i = 0; i < bpx; ++i) {
+          uint16_t v = p[i];
+          acc32[i] += v;
+          if (v > max_out[i]) max_out[i] = v;
+        }
+      } else {
+        for (int64_t r = 0; r < bh; ++r) {
+          const uint16_t* p = frame + (r0 + r) * f->width + c0;
+          uint32_t* a = acc32 + r * bw;
+          uint16_t* m = max_out + r * bw;
+          for (int64_t i = 0; i < bw; ++i) {
+            uint16_t v = p[i];
+            a[i] += v;
+            if (v > m[i]) m[i] = v;
+          }
+        }
+      }
+    } else {
+      if (full_width) {
+        const uint8_t* p = fp + static_cast<int64_t>(r0) * f->width;
+        for (int64_t i = 0; i < bpx; ++i) {
+          uint16_t v = p[i];
+          acc32[i] += v;
+          if (v > max_out[i]) max_out[i] = v;
+        }
+      } else {
+        for (int64_t r = 0; r < bh; ++r) {
+          const uint8_t* p = fp + (r0 + r) * f->width + c0;
+          uint32_t* a = acc32 + r * bw;
+          uint16_t* m = max_out + r * bw;
+          for (int64_t i = 0; i < bw; ++i) {
+            uint16_t v = p[i];
+            a[i] += v;
+            if (v > m[i]) m[i] = v;
+          }
+        }
+      }
+    }
+    if (++since_fold == fold_every) {
+      for (int64_t i = 0; i < bpx; ++i) {
+        sum_out[i] += acc32[i];
+        acc32[i] = 0;
+      }
+      since_fold = 0;
+    }
+  }
+  if (since_fold) {
+    for (int64_t i = 0; i < bpx; ++i) sum_out[i] += acc32[i];
+  }
+  delete[] acc32;
+  return 0;
 }
 
 // Pass B: multi-shift disk reconstruction gathers, float64, bit-exact to

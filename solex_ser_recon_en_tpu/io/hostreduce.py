@@ -215,6 +215,75 @@ def provisional_spectral_band(
     return spectral_band(lf.floor, shifts, r.iw, margin=margin)
 
 
+#: scans below this raw size take the classic full sweep: the subsample +
+#: band two-step only pays off when the avoided read is large (override for
+#: tests via SOLEX_FASTPASSA_MIN_MB)
+FAST_PASSA_MIN_BYTES = 256 * 1024**2
+
+
+def fast_passa(r: SerReader, shifts, sample_target: int = 64,
+               margin: int = 25):
+    """Two-step pass A: a frame subsample locates the spectral band and the
+    sun's vertical extent, then a full-frame-count sweep touches ONLY the
+    band bytes — ~1/5 of the scan for a typical Sol'Ex spectral window.
+
+    Returns (LineFit, mean_band, max_band, x0, x1) with a fit BIT-identical
+    to the full-sweep fit whenever the banded fit's verification gates pass
+    (geometry/linefit.py:fit_spectral_line_banded), or None so the caller
+    falls back to the classic full sweep.  The reference reads every byte
+    of the scan to compute statistics its fit only consumes near the line
+    (solex_util.py:174-188, :223-259); this keeps the result contract and
+    drops the traffic.  Requires the native kernels (ser_sample_stats /
+    ser_band_stats) — Python striding over a multi-GB memmap would eat the
+    win.
+    """
+    import os
+
+    from ..geometry.linefit import (
+        fit_spectral_line,
+        fit_spectral_line_banded,
+    )
+
+    if os.environ.get("SOLEX_EXACT_PASSA") == "1":
+        return None
+    try:
+        min_bytes = int(
+            float(os.environ.get("SOLEX_FASTPASSA_MIN_MB", "256")) * 1024**2
+        )
+    except ValueError:
+        min_bytes = FAST_PASSA_MIN_BYTES
+    if r.header.frame_bytes * r.frame_count < min_bytes:
+        return None
+    try:
+        from .native import NativeSerReader
+
+        nr = NativeSerReader(r.path)
+    except Exception:
+        return None
+    try:
+        if not hasattr(nr._lib, "ser_band_stats"):
+            return None
+        step = max(1, r.frame_count // sample_target)
+        acc_s, mx_s, n = nr.sample_stats(step)
+        mean_sub, max_sub = _finalize_mean_max(acc_s, mx_s, r, frames=n)
+        try:
+            lf_sub = fit_spectral_line(mean_sub, max_sub)
+        except Exception:
+            return None
+        x0, x1 = spectral_band(lf_sub.floor, shifts, r.iw, margin=margin)
+        if (x1 - x0) * 3 >= r.iw:
+            return None  # band covers most of the frame: sweep it all
+        r0, r1, c0, c1 = _band_rect(r, x0, x1)
+        acc_b, mx_b = nr.band_stats(r0, r1, c0, c1)
+        mean_band, max_band = _finalize_mean_max(acc_b, mx_b, r)
+        lf = fit_spectral_line_banded(mean_band, max_band, x0, r.iw, lf_sub)
+        if lf is None:
+            return None
+        return lf, mean_band, max_band, x0, x1
+    finally:
+        nr.close()
+
+
 def band_covers(
     x0: int, x1: int, fit_floor: np.ndarray, fit_frac, shifts, iw: int
 ) -> bool:

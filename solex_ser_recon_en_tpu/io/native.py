@@ -130,6 +130,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_uint32,
             ctypes.c_void_p,
         ]
+        if hasattr(lib, "ser_sample_stats"):
+            lib.ser_sample_stats.restype = ctypes.c_int
+            lib.ser_sample_stats.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_uint32,   # step
+                ctypes.c_void_p,   # sum_out u64
+                ctypes.c_void_p,   # max_out u16
+            ]
+            lib.ser_band_stats.restype = ctypes.c_int
+            lib.ser_band_stats.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_uint32,   # r0
+                ctypes.c_uint32,   # r1
+                ctypes.c_uint32,   # c0
+                ctypes.c_uint32,   # c1
+                ctypes.c_void_p,   # sum_out u64 (band-local)
+                ctypes.c_void_p,   # max_out u16 (band-local)
+            ]
         lib.ser_recon_f64.restype = ctypes.c_int
         lib.ser_recon_f64.argtypes = [
             ctypes.c_void_p,   # src
@@ -418,6 +436,49 @@ class NativeSerReader:
         if rc != 0:
             raise RuntimeError(f"ser_mean_max_band failed ({rc})")
         return s, m, band
+
+    def sample_stats(self, step: int):
+        """Full-frame (sum u64, max u16) over every ``step``-th frame only.
+
+        The cheap leg of the two-step pass A (native/ser_io.cpp:
+        ser_sample_stats): locates the spectral band and the sun's
+        vertical extent from ~F/step frames before ser_band_stats touches
+        only the band at full frame count.  Returns (sum, max, n_frames).
+        """
+        if not hasattr(self._lib, "ser_sample_stats"):
+            raise RuntimeError("native library lacks ser_sample_stats")
+        s = np.zeros((self.Height, self.Width), dtype=np.uint64)
+        m = np.zeros((self.Height, self.Width), dtype=np.uint16)
+        n = self._lib.ser_sample_stats(
+            self._h, int(step),
+            s.ctypes.data_as(ctypes.c_void_p),
+            m.ctypes.data_as(ctypes.c_void_p),
+        )
+        if n < 0:
+            raise RuntimeError(f"ser_sample_stats failed ({n})")
+        return s, m, int(n)
+
+    def band_stats(self, r0: int, r1: int, c0: int, c1: int):
+        """All-frames (sum u64, max u16) restricted to the raw rectangle
+        rows [r0, r1) x cols [c0, c1) — band-local layout (r1-r0, c1-c0).
+
+        Reads only the band bytes of every frame (native/ser_io.cpp:
+        ser_band_stats), so pass A costs band_bytes/scan_bytes of a full
+        sweep when the downstream fit verifies the band covered the line
+        (io/hostreduce.py:fast_passa).
+        """
+        if not hasattr(self._lib, "ser_band_stats"):
+            raise RuntimeError("native library lacks ser_band_stats")
+        s = np.zeros((r1 - r0, c1 - c0), dtype=np.uint64)
+        m = np.zeros((r1 - r0, c1 - c0), dtype=np.uint16)
+        rc = self._lib.ser_band_stats(
+            self._h, int(r0), int(r1), int(c0), int(c1),
+            s.ctypes.data_as(ctypes.c_void_p),
+            m.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"ser_band_stats failed ({rc})")
+        return s, m
 
     def close(self) -> None:
         if getattr(self, "_h", None) is not None:

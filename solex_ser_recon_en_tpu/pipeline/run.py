@@ -256,6 +256,25 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         os.environ.get("SOLEX_FUSEDBAND") == "1"
         or (not pinned and total_bytes > 256 * 1024**2)
     ) and os.environ.get("SOLEX_NO_FUSEDBAND") != "1"
+    # Two-step fast pass A (host feed): a frame subsample locates the
+    # spectral band and the sun's extent, then the full-frame-count native
+    # sweep reads ONLY the band bytes (~1/5 of the scan) and the banded fit
+    # verifies bit-identity gates against the subsample's full-width view
+    # (io/hostreduce.py:fast_passa).  Disabled whenever a full-frame
+    # artifact is requested (_mean.fits via save_fit, or the
+    # _spectral_line_data.png plot) — those need the true full mean image.
+    fast_lf = None  # verified LineFit from the banded fast pass A
+    plot_wanted = (
+        not options.clahe_only and not options.protus_only
+        and not options._nolog
+    )
+    want_fast = (
+        feed == "host"
+        and isinstance(vid, _SerVideo)
+        and not options.save_fit
+        and not plot_wanted
+        and os.environ.get("SOLEX_NO_FASTPASSA") != "1"
+    )
     mem_frames = None
     with timer.stage("mean/max"):
         if feed == "host" and not isinstance(vid, _SerVideo):
@@ -265,6 +284,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
             mean_img, max_img = host_mean_max_frames(mem_frames)
         elif feed in ("band", "host") and isinstance(vid, _SerVideo):
             from ..io.hostreduce import (
+                fast_passa,
                 host_mean_max,
                 host_mean_max_band,
                 provisional_spectral_band,
@@ -272,7 +292,14 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
 
             band_mode = True
             r = vid._r
-            if feed in ("host", "band") and want_fused:
+            if want_fast:
+                try:
+                    fast = fast_passa(r, shifts)
+                except Exception:
+                    fast = None
+                if fast is not None:
+                    fast_lf, mean_img, max_img = fast[0], None, None
+            if fast_lf is None and feed in ("host", "band") and want_fused:
                 try:
                     x0p, x1p = provisional_spectral_band(r, shifts)
                     band_bytes = (
@@ -286,7 +313,7 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
                         fused_band = (band_slab, x0p, x1p)
                 except Exception:
                     fused_band = None
-            if fused_band is None:
+            if fast_lf is None and fused_band is None:
                 mean_img, max_img = host_mean_max(vid._r)
         else:
             from ..io.feeder import FeedCollapse, FeedRateMonitor
@@ -372,7 +399,8 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         # for the host paths' numpy arrays)
         import jax
 
-        mean_img, max_img = jax.block_until_ready((mean_img, max_img))
+        if fast_lf is None:
+            mean_img, max_img = jax.block_until_ready((mean_img, max_img))
 
     if options.save_fit:
         from ..io.writers import submit as submit_write
@@ -383,7 +411,9 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         )
 
     with timer.stage("line fit"):
-        lf = fit_spectral_line(mean_img, max_img)
+        lf = fast_lf if fast_lf is not None else fit_spectral_line(
+            mean_img, max_img
+        )
     log(f"Vertical limits y1, y2 : {lf.y1} {lf.y2}")
     log("Spectral line polynomial fit: " + str(lf.poly))
 

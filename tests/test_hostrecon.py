@@ -248,3 +248,124 @@ def test_host_feed_full_products(basic_scan, tmp_path):
     names = {p.name for p in outdir.iterdir()}
     assert any(n.endswith("_clahe.png") for n in names)
     assert any(n.endswith("_raw.fits") for n in names)
+
+
+# ---------------------------------------------------------------------------
+# Two-step fast pass A (io/hostreduce.py:fast_passa): a frame subsample
+# locates the band, a full-frame-count native sweep touches only the band
+# bytes, and the banded fit must be BIT-identical to the full-sweep fit
+# whenever its verification gates pass.
+# ---------------------------------------------------------------------------
+
+
+def _wide_line_scan(tmp_path, wide=True, depth=16, name="fp.ser"):
+    """A scan whose spectral window is wide enough that the recon band is a
+    small fraction of it (fast_passa rejects bands covering >=1/3 of iw)."""
+    path = str(tmp_path / name)
+    scan = SyntheticScan(ih=320, iw=224, frames=200, depth=depth,
+                         line_poly=(112.0, 0.02, -1e-4, 0.0), noise=0.002,
+                         seed=5)
+    scan.write(path, transpose_to_wide=wide)
+    return path
+
+
+@pytest.mark.parametrize("depth,wide", [(16, True), (16, False), (8, True)])
+def test_native_sample_band_stats_match_numpy(tmp_path, depth, wide):
+    from solex_ser_recon_en_tpu.io.native import NativeSerReader
+
+    path = _wide_line_scan(tmp_path, wide=wide, depth=depth)
+    r = SerReader(path)
+    raw = r.raw_frames()  # (F, H, W) on-disk layout
+
+    nr = NativeSerReader(path)
+    try:
+        if not hasattr(nr._lib, "ser_sample_stats"):
+            pytest.skip("native lib predates ser_sample_stats")
+        step = 7
+        s, m, n = nr.sample_stats(step)
+        sub = raw[::step].astype(np.uint64)
+        assert n == sub.shape[0]
+        np.testing.assert_array_equal(s, sub.sum(axis=0))
+        np.testing.assert_array_equal(m, raw[::step].max(axis=0))
+
+        H, W = raw.shape[1], raw.shape[2]
+        r0, r1, c0, c1 = H // 8, H - H // 8, W // 16, W - W // 16
+        sb, mb = nr.band_stats(r0, r1, c0, c1)
+        rect = raw[:, r0:r1, c0:c1]
+        np.testing.assert_array_equal(sb, rect.astype(np.uint64).sum(axis=0))
+        np.testing.assert_array_equal(mb, rect.max(axis=0))
+    finally:
+        nr.close()
+
+
+@pytest.mark.parametrize("wide", [True, False])
+def test_fast_passa_fit_bit_identical(tmp_path, monkeypatch, wide):
+    from solex_ser_recon_en_tpu.geometry.linefit import fit_spectral_line
+    from solex_ser_recon_en_tpu.io.hostreduce import fast_passa, host_mean_max
+
+    monkeypatch.setenv("SOLEX_FASTPASSA_MIN_MB", "0")
+    path = _wide_line_scan(tmp_path, wide=wide)
+    r = SerReader(path)
+    fast = fast_passa(r, [10, 0])
+    assert fast is not None, "verification gates must pass on a clean scan"
+    lf, mean_band, max_band, x0, x1 = fast
+
+    mean_img, max_img = host_mean_max(r)
+    lf_full = fit_spectral_line(np.asarray(mean_img), np.asarray(max_img))
+    np.testing.assert_array_equal(lf.poly, lf_full.poly)
+    np.testing.assert_array_equal(lf.curve, lf_full.curve)
+    assert (lf.y1, lf.y2) == (lf_full.y1, lf_full.y2)
+    # the banded stats equal the full sweep's restricted to [x0, x1)
+    np.testing.assert_array_equal(mean_band, np.asarray(mean_img)[:, x0:x1])
+    np.testing.assert_array_equal(max_band, np.asarray(max_img)[:, x0:x1])
+
+
+def test_fast_passa_e2e_bit_identical(tmp_path, monkeypatch):
+    path = _wide_line_scan(tmp_path)
+
+    def run(name, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        outdir = tmp_path / name
+        outdir.mkdir()
+        opts = Options(shift=[0], _nolog=True, ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="host")
+        scan = read_scan(path, opts)
+        for k in env:
+            monkeypatch.delenv(k)
+        return np.asarray(scan.disk_list)
+
+    import solex_ser_recon_en_tpu.io.hostreduce as hr
+
+    calls = []
+    real = hr.fast_passa
+
+    def spy(r, shifts, **kw):
+        out = real(r, shifts, **kw)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(hr, "fast_passa", spy)
+    d_fast = run("fast", {"SOLEX_FASTPASSA_MIN_MB": "0"})
+    assert calls == [True], "fast pass A must actually be taken"
+    d_classic = run("classic", {"SOLEX_NO_FASTPASSA": "1"})
+    np.testing.assert_array_equal(d_fast, d_classic)
+
+
+def test_fast_passa_gates(tmp_path, monkeypatch, basic_scan):
+    from solex_ser_recon_en_tpu.io.hostreduce import fast_passa
+
+    monkeypatch.setenv("SOLEX_FASTPASSA_MIN_MB", "0")
+    # SOLEX_EXACT_PASSA forces the classic full sweep
+    monkeypatch.setenv("SOLEX_EXACT_PASSA", "1")
+    r = SerReader(_wide_line_scan(tmp_path))
+    assert fast_passa(r, [10, 0]) is None
+    monkeypatch.delenv("SOLEX_EXACT_PASSA")
+
+    # a band covering most of the frame is not worth the two-step
+    rb = SerReader(basic_scan["path"])  # iw=96: band/3 >= iw
+    assert fast_passa(rb, [10, 0]) is None
+
+    # below the size floor the classic sweep wins
+    monkeypatch.setenv("SOLEX_FASTPASSA_MIN_MB", "100000")
+    assert fast_passa(r, [10, 0]) is None
