@@ -7,6 +7,7 @@ integer width; files must end .SER/.AVI.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List
 
@@ -32,6 +33,10 @@ def usage() -> str:
         "    SPEC = 'frame=8' | 'batch=2,frame=4' | bare count '8'.\n"
         "'--feed MODE' : feed policy override (TPU extension);\n"
         "    MODE = 'auto' | 'device' | 'band' | 'host'.\n"
+        "'--input-dir DIR' : folder batch / continuous mode over DIR.\n"
+        "'--num-processes N --process-id I' : process this host's\n"
+        "    deterministic 1/N share of the folder batch (multi-host DCN\n"
+        "    split; every process computes the same split locally).\n"
         "'--profile[=dir]' : write a jax.profiler trace of the run."
     )
 
@@ -155,27 +160,45 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
             sys.exit(1)
         options.feed_mode = mode
 
+    def set_int(name: str, field: str):
+        def setter(value: str) -> None:
+            try:
+                setattr(options, field, int(value))
+            except ValueError:
+                print(f"{name} needs an integer, got {value!r}")
+                sys.exit(1)
+        return setter
+
+    def set_input_dir(path: str) -> None:
+        options.input_dir = path
+
+    # TPU extensions: long options, '--name value' or '--name=value'.
+    # --num-processes/--process-id select this host's deterministic share
+    # of a folder batch (parallel/distributed.assign_files) — the
+    # host-scale analogue of the reference's Pool(4), Solex_recon.py:30.
+    long_opts = {
+        "--mesh": (set_mesh, "a spec (e.g. --mesh frame=8)"),
+        "--feed": (set_feed, "a mode (auto|device|band|host)"),
+        "--num-processes": (set_int("--num-processes", "num_processes"),
+                            "an integer"),
+        "--process-id": (set_int("--process-id", "process_id"),
+                         "an integer"),
+        "--input-dir": (set_input_dir, "a folder path"),
+    }
+
     files: List[str] = []
-    pending_mesh = pending_feed = False
+    pending = None  # long-option name awaiting its value argument
     for argument in argv:
-        if pending_mesh:
-            pending_mesh = False
-            set_mesh(argument)
-        elif pending_feed:
-            pending_feed = False
-            set_feed(argument)
-        elif argument.startswith("--mesh"):
-            # TPU extension: '--mesh frame=8' or '--mesh=frame=8'
-            if "=" in argument[6:]:
-                set_mesh(argument.split("=", 1)[1])
+        if pending is not None:
+            long_opts[pending][0](argument)
+            pending = None
+            continue
+        name = argument.split("=", 1)[0]
+        if name in long_opts:
+            if "=" in argument:
+                long_opts[name][0](argument.split("=", 1)[1])
             else:
-                pending_mesh = True
-        elif argument.startswith("--feed"):
-            # TPU extension: '--feed host' or '--feed=host'
-            if "=" in argument[6:]:
-                set_feed(argument.split("=", 1)[1])
-            else:
-                pending_feed = True
+                pending = name
         elif argument.startswith("-"):
             _apply_flag_group(options, argument)
         else:
@@ -187,10 +210,15 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
                     f"WARNING: {argument} was not a valid SER or AVI file name and "
                     'was ignored. Remember to use "-" if you want to input a flag'
                 )
-    if pending_mesh:
-        print("--mesh requires a spec (e.g. --mesh frame=8)")
+    if pending is not None:
+        print(f"{pending} requires {long_opts[pending][1]}")
         sys.exit(1)
-    if pending_feed:
-        print("--feed requires a mode (auto|device|band|host)")
-        sys.exit(1)
+    # env fallbacks for orchestrators that set one env per process instead
+    # of editing argv (multi-host launchers)
+    if options.num_processes == 1 and "SOLEX_NUM_PROCESSES" in os.environ:
+        try:
+            options.num_processes = int(os.environ["SOLEX_NUM_PROCESSES"])
+            options.process_id = int(os.environ.get("SOLEX_PROCESS_ID", "0"))
+        except ValueError:
+            print("malformed SOLEX_NUM_PROCESSES/SOLEX_PROCESS_ID ignored")
     return files

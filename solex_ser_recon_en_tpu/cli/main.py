@@ -156,7 +156,17 @@ def handle_folder(options: Options, poll_seconds: float = 1.0,
     until KeyboardInterrupt).  Returns files processed.
     """
     def todo() -> List[str]:
-        return folder_scan_files(options.input_dir)
+        files = sorted(folder_scan_files(options.input_dir))
+        if options.num_processes > 1:
+            # multi-host DCN split: every process computes the same
+            # deterministic hash split locally, no coordinator
+            # (parallel/distributed.assign_files) — the host-scale
+            # analogue of the reference's Pool(4), Solex_recon.py:30
+            from ..parallel.distributed import assign_files
+
+            files = assign_files(files, options.num_processes,
+                                 options.process_id)
+        return files
 
     if not options.continuous_detect_mode:
         files = todo()

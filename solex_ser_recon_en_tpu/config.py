@@ -72,6 +72,14 @@ class Options:
     # feed policy: "auto" | "device" (whole slab to HBM) | "band"
     # (host pass A + only the recon's spectral band transferred)
     feed_mode: str = "auto"
+    # multi-host (DCN) folder-batch split: this process handles the
+    # deterministic 1/num_processes share of the folder that
+    # parallel/distributed.assign_files hashes to process_id — the
+    # host-scale analogue of the reference's Pool(4) (Solex_recon.py:30).
+    # CLI --num-processes/--process-id or SOLEX_NUM_PROCESSES/
+    # SOLEX_PROCESS_ID; runtime-only (never persisted to SHG_config.txt).
+    num_processes: int = 1
+    process_id: int = 0
 
     # ------------------------------------------------------------------
     def validate(self) -> None:
@@ -83,6 +91,10 @@ class Options:
             raise ValueError("shift list must be non-empty")
         if self.fixed_width is not None and self.fixed_width <= 0:
             raise ValueError("fixed_width must be positive")
+        if self.num_processes < 1:
+            raise ValueError("num_processes must be >= 1")
+        if not 0 <= self.process_id < self.num_processes:
+            raise ValueError("process_id out of range")
 
     # ------------------------------------------------------------------
     def to_dict(self) -> Dict[str, Any]:
@@ -124,7 +136,8 @@ class Options:
     def save(self, path: str) -> None:
         d = self.to_dict()
         # runtime-only keys never belong in the config file
-        for k in ("shift_requested", "basefich0", "tempo", "_nolog"):
+        for k in ("shift_requested", "basefich0", "tempo", "_nolog",
+                  "num_processes", "process_id"):
             d.pop(k, None)
         with open(path, "w", encoding="utf-8") as fp:
             json.dump(d, fp, sort_keys=True, indent=4)

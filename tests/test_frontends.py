@@ -239,3 +239,76 @@ def test_every_module_imports():
         except Exception as e:  # pragma: no cover - the assert reports
             failed.append((m.name, repr(e)))
     assert not failed, failed
+
+
+def test_num_processes_folder_split(tmp_path, monkeypatch):
+    """--num-processes/--process-id: each process handles a disjoint,
+    collectively-exhaustive share of the folder batch (VERDICT: multi-host
+    DCN split as a product feature; reference analogue Solex_recon.py:30)."""
+    import subprocess
+    import sys
+
+    from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+
+    folder = tmp_path / "batch"
+    folder.mkdir()
+    scan = SyntheticScan(ih=96, iw=64, frames=40, depth=16,
+                         line_poly=(32.0, 0.0, 0.0, 0.0), noise=0.002, seed=2)
+    for i in range(4):
+        scan.write(str(folder / f"s{i}.ser"), transpose_to_wide=True)
+
+    outs = {}
+    for pid in (0, 1):
+        outdir = tmp_path / f"out{pid}"
+        outdir.mkdir()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+        rc = subprocess.run(
+            [sys.executable, "-m", "solex_ser_recon_en_tpu.cli", "-cpw0",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--input-dir", str(folder)],
+            env=env, capture_output=True, text=True, cwd=str(tmp_path),
+            timeout=600)
+        assert rc.returncode == 0, rc.stderr[-2000:]
+        outs[pid] = {f.name.split("_")[0] for f in outdir.iterdir()
+                     if f.name.endswith("_clahe.png")}
+    # files processed in the input folder itself? outputs land next to
+    # input when no output_dir: collect from folder instead
+    produced = {p.name.split("_")[0] for p in folder.iterdir()
+                if p.name.endswith("_clahe.png")}
+    assert produced == {"s0", "s1", "s2", "s3"}
+
+    # the split itself is deterministic, disjoint, and exhaustive
+    from solex_ser_recon_en_tpu.parallel.distributed import assign_files
+
+    files = sorted(str(folder / f"s{i}.ser") for i in range(4))
+    a = assign_files(files, 2, 0)
+    b = assign_files(files, 2, 1)
+    assert set(a) | set(b) == set(files)
+    assert not set(a) & set(b)
+
+
+def test_num_processes_env_fallback(monkeypatch):
+    from solex_ser_recon_en_tpu.cli.flags import parse_cli
+    from solex_ser_recon_en_tpu.config import Options
+
+    monkeypatch.setenv("SOLEX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("SOLEX_PROCESS_ID", "3")
+    o = Options()
+    parse_cli(o, [])
+    assert (o.num_processes, o.process_id) == (4, 3)
+    o.validate()
+
+    # explicit flags beat env
+    o2 = Options()
+    parse_cli(o2, ["--num-processes=2", "--process-id=1"])
+    assert (o2.num_processes, o2.process_id) == (2, 1)
+
+    # runtime-only: never persisted
+    import json
+    import tempfile
+    with tempfile.NamedTemporaryFile("r", suffix=".txt") as fp:
+        o2.save(fp.name)
+        saved = json.load(open(fp.name))
+    assert "num_processes" not in saved and "process_id" not in saved
