@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <limits>
 #include <cstring>
 #include <cstdio>
 #include <new>
@@ -718,6 +719,287 @@ void ser_close(void* handle) {
   munmap(const_cast<uint8_t*>(f->map), f->file_size);
   close(f->fd);
   delete f;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Transversalium row statistics: the per-row masked-median selection core of
+// pipeline/transversalium._row_stats_host, numpy-EXACT.
+//
+// The numpy twin pays ~10 full-array passes (two full-width row sorts, abs
+// deviations, masked where/sums) per disk image; on the 1-core host this is
+// the dominant cost of the products stage for Doppler sweeps.  This kernel
+// keeps each row (a few KB) L1-resident and replaces the O(W log W) sorts
+// with O(W) nth_element selections.  The log-ratio input `rat` stays
+// numpy-computed (np.log's SIMD polynomial is not reproducible from libm),
+// and the final kept-sum runs in numpy (pairwise summation order) — this
+// kernel only emits the masked kept values + counts, so every float the
+// caller consumes is bit-identical to the pure-numpy path (fuzz-tested,
+// tests/test_photometric.py).
+//
+// numpy-order selection subtleties reproduced exactly:
+//  - the twin sorts the FULL-width row with invalid columns pushed to +inf,
+//    and NaN sorts after inf; so for selection index i >= (count of
+//    non-NaN valid values), numpy picks +inf while any invalid padding
+//    exists (n < W), and NaN only when the row is fully valid;
+//  - median = 0.5f * (s[(n-1)/2] + s[n/2]) in float32;
+//  - s = mdev > 0 ? d / max(mdev, 1e-30f) : 0, keep = s < 2.0f (NaN-false).
+// reference semantics: solex_util.py:300-340 (row ratio median/MAD clip).
+
+namespace {
+
+inline bool np_less(float a, float b) {
+  // numpy sort order: -inf < finite < +inf < NaN (any NaN sign)
+  if (std::isnan(b)) return !std::isnan(a);
+  if (std::isnan(a)) return false;
+  return a < b;
+}
+
+// idx-th value of numpy's FULL-width sorted row: the valid segment's
+// non-NaN values merge with the (W - n) invalid +inf paddings (all >= any
+// finite, == any valid +inf), and every NaN — valid or not — sorts after
+// ALL infs.  sorted[0, W) = [non-NaN valid ∪ padding infs asc][NaNs].
+inline float np_row_select_sorted(const float* s, int64_t n, int64_t n_nonnan,
+                                  int64_t W, int64_t idx) {
+  if (idx < n_nonnan) return s[idx];
+  if (idx - n_nonnan < W - n) return std::numeric_limits<float>::infinity();
+  return std::numeric_limits<float>::quiet_NaN();
+}
+
+// Monotone total-order key: transformed u32 compares like the float
+// (negatives reversed).  Callers map NaNs to 0xFFFFFFFF separately.
+inline uint32_t f32_key(float v) {
+  uint32_t u;
+  std::memcpy(&u, &v, 4);
+  return (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+}
+
+inline float f32_unkey(uint32_t k) {
+  uint32_t u = (k & 0x80000000u) ? (k & 0x7FFFFFFFu) : ~k;
+  float v;
+  std::memcpy(&v, &u, 4);
+  return v;
+}
+
+// LSD radix sort of n u32 keys (scratch tmp[n]); returns the pointer
+// holding the sorted keys (keys or tmp).  Passes whose byte is constant
+// across all keys are skipped — log-ratio rows cluster tightly, so most
+// rows take 1-2 of the 4 passes.
+inline uint32_t* radix_sort_u32(uint32_t* keys, uint32_t* tmp, int64_t n) {
+  uint32_t hist[4][256];
+  std::memset(hist, 0, sizeof(hist));
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t k = keys[i];
+    ++hist[0][k & 0xFF];
+    ++hist[1][(k >> 8) & 0xFF];
+    ++hist[2][(k >> 16) & 0xFF];
+    ++hist[3][(k >> 24) & 0xFF];
+  }
+  uint32_t* src = keys;
+  uint32_t* dst = tmp;
+  for (int pass = 0; pass < 4; ++pass) {
+    const uint32_t* h = hist[pass];
+    // constant byte -> identity permutation -> skip (the first nonzero
+    // bucket holds either all n keys or the byte is not constant)
+    bool skip = false;
+    for (int b = 0; b < 256; ++b) {
+      if (h[b] == static_cast<uint32_t>(n)) { skip = true; break; }
+      if (h[b] != 0) break;
+    }
+    if (!skip) {
+      uint32_t off[256];
+      uint32_t sum = 0;
+      for (int b = 0; b < 256; ++b) { off[b] = sum; sum += h[b]; }
+      const int shift = pass * 8;
+      for (int64_t i = 0; i < n; ++i) {
+        uint32_t k = src[i];
+        dst[off[(k >> shift) & 0xFF]++] = k;
+      }
+      std::swap(src, dst);
+    }
+  }
+  return src;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rat: (R, W) float32 log-ratios (any values at invalid columns — unread).
+// row_ok/x_lo/x_hi: the interval mask (strip_mask rows are chords).
+// value_out (R, W) float32: kept ? rat : 0 (invalid columns zeroed);
+// nk_out (R) int64: kept count.  Caller finishes with numpy:
+//   mean_r = where(nk > 0, value.sum(axis=1, dtype=f32) / maximum(nk, 1), 0)
+int row_medstats_f32(const float* rat, int64_t R, int64_t W,
+                     const uint8_t* row_ok, const int32_t* x_lo,
+                     const int32_t* x_hi, float* value_out,
+                     int64_t* nk_out) {
+  if (!rat || !row_ok || !x_lo || !x_hi || !value_out || !nk_out || R < 0 ||
+      W <= 0)
+    return -1;
+  uint32_t* keys = new (std::nothrow) uint32_t[W];
+  uint32_t* ktmp = new (std::nothrow) uint32_t[W];
+  float* fbuf = new (std::nothrow) float[W];
+  float* db = new (std::nothrow) float[W];
+  if (!keys || !ktmp || !fbuf || !db) {
+    delete[] keys; delete[] ktmp; delete[] fbuf; delete[] db;
+    return -2;
+  }
+  for (int64_t r = 0; r < R; ++r) {
+    float* vrow = value_out + r * W;
+    std::memset(vrow, 0, W * sizeof(float));
+    nk_out[r] = 0;
+    int64_t lo = x_lo[r], hi = x_hi[r];
+    if (lo < 0) lo = 0;
+    if (hi > W) hi = W;
+    if (!row_ok[r] || hi <= lo) continue;
+    const int64_t n = hi - lo;
+    const float* src = rat + r * W + lo;
+    const int64_t lo_i = (n - 1) / 2, hi_i = n / 2;
+
+    bool finite = true;
+    for (int64_t j = 0; j < n; ++j) {
+      keys[j] = f32_key(src[j]);
+      finite &= std::isfinite(src[j]);
+    }
+
+    float med, mdev;
+    if (finite) {
+      // fast path: radix-sort the keys once; both order statistics index
+      // the sorted row directly, and the MAD median merges the V-shaped
+      // |x - med| distances with a two-pointer walk (no second sort)
+      const uint32_t* s = radix_sort_u32(keys, ktmp, n);
+      med = 0.5f * (f32_unkey(s[lo_i]) + f32_unkey(s[hi_i]));
+      if (std::isfinite(med)) {
+        // insertion point of med in the sorted keys
+        const uint32_t mk = f32_key(med);
+        int64_t p = std::lower_bound(s, s + n, mk) - s;
+        // k-th smallest |x - med|: merge distances growing leftward from
+        // p-1 and rightward from p (float32 |x - med| is monotone along
+        // each arm, so the merge yields exact order statistics)
+        int64_t li = p - 1, ri = p;
+        float d_lo = 0.0f, d_hi = 0.0f;
+        for (int64_t k = 0; k <= hi_i; ++k) {
+          float dl = (li >= 0)
+              ? std::fabs(f32_unkey(s[li]) - med)
+              : std::numeric_limits<float>::infinity();
+          float dr = (ri < n)
+              ? std::fabs(f32_unkey(s[ri]) - med)
+              : std::numeric_limits<float>::infinity();
+          float d;
+          if (dl <= dr) { d = dl; --li; } else { d = dr; ++ri; }
+          if (k == lo_i) d_lo = d;
+          if (k == hi_i) d_hi = d;
+        }
+        mdev = 0.5f * (d_lo + d_hi);
+      } else {
+        // med overflowed to +-inf (0.5f*(a+b) can): distances are inf/NaN;
+        // replicate numpy literally on the small set
+        for (int64_t j = 0; j < n; ++j) db[j] = std::fabs(src[j] - med);
+        std::sort(db, db + n, np_less);
+        int64_t dnan = 0;
+        for (int64_t j = 0; j < n; ++j) dnan += std::isnan(db[j]);
+        mdev = 0.5f * (np_row_select_sorted(db, n, n - dnan, W, lo_i) +
+                       np_row_select_sorted(db, n, n - dnan, W, hi_i));
+      }
+    } else {
+      // non-finite values present (log 0/0 NaNs, log(0) infs): exact
+      // numpy full-width selection semantics via a comparison sort
+      for (int64_t j = 0; j < n; ++j) fbuf[j] = src[j];
+      std::sort(fbuf, fbuf + n, np_less);
+      int64_t nan_cnt = 0;
+      for (int64_t j = 0; j < n; ++j) nan_cnt += std::isnan(fbuf[j]);
+      med = 0.5f * (np_row_select_sorted(fbuf, n, n - nan_cnt, W, lo_i) +
+                    np_row_select_sorted(fbuf, n, n - nan_cnt, W, hi_i));
+      for (int64_t j = 0; j < n; ++j) fbuf[j] = std::fabs(src[j] - med);
+      std::sort(fbuf, fbuf + n, np_less);
+      int64_t dnan = 0;
+      for (int64_t j = 0; j < n; ++j) dnan += std::isnan(fbuf[j]);
+      mdev = 0.5f * (np_row_select_sorted(fbuf, n, n - dnan, W, lo_i) +
+                     np_row_select_sorted(fbuf, n, n - dnan, W, hi_i));
+    }
+
+    const float mden = mdev > 1e-30f ? mdev : 1e-30f;
+    int64_t nk = 0;
+    float* vdst = vrow + lo;
+    if (mdev > 0.0f) {
+      for (int64_t j = 0; j < n; ++j) {
+        const float s = std::fabs(src[j] - med) / mden;
+        if (s < 2.0f) {
+          vdst[j] = src[j];
+          ++nk;
+        }
+      }
+    } else {  // s == 0 everywhere (numpy: where(mdev>0, ..., 0)) -> keep all
+      for (int64_t j = 0; j < n; ++j) vdst[j] = src[j];
+      nk = n;
+    }
+    nk_out[r] = nk;
+  }
+  delete[] keys; delete[] ktmp; delete[] fbuf; delete[] db;
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Product-core pixel kernels (pipeline/products.py host path): the gain
+// multiply, value histogram, and LUT gather each cost numpy a full-image
+// pass with a temporary; fused/native they run at memory speed on the one
+// host core.  All three are value-exact twins of the numpy forms (f32 IEEE
+// multiply + clip + truncating uint16 cast; counting; gather).
+
+extern "C" {
+
+// out = (u16)clip(src * gain[row], 0, 65535); hist[out value] counted in the
+// same pass (the detransversaliumed image's brightness histogram, consumed
+// by the percentile stretches).  hist may be null.  reference forms:
+// solex_util.py:489,515-516 (gain multiply) + 532-541 (histogram percentile).
+int gain_hist_u16(const uint16_t* src, int64_t h, int64_t w,
+                  const float* gain, uint16_t* out, uint32_t* hist) {
+  if (!src || !gain || !out || h <= 0 || w <= 0) return -1;
+  if (hist) std::memset(hist, 0, 65536 * sizeof(uint32_t));
+  for (int64_t r = 0; r < h; ++r) {
+    const float g = gain[r];
+    const uint16_t* s = src + r * w;
+    uint16_t* o = out + r * w;
+    for (int64_t j = 0; j < w; ++j) {
+      float v = static_cast<float>(s[j]) * g;
+      v = v < 0.0f ? 0.0f : (v > 65535.0f ? 65535.0f : v);
+      const uint16_t u = static_cast<uint16_t>(v);
+      o[j] = u;
+      if (hist) ++hist[u];
+    }
+  }
+  return 0;
+}
+
+// Value histogram of a u16 image (np.bincount(img.ravel(), minlength=65536)
+// twin, ~2x faster single-core via 4-way unrolled sub-histograms).
+int hist_u16(const uint16_t* src, int64_t n, uint32_t* hist) {
+  if (!src || !hist || n < 0) return -1;
+  static thread_local uint32_t sub[4][65536];
+  std::memset(sub, 0, sizeof(sub));
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    ++sub[0][src[i]];
+    ++sub[1][src[i + 1]];
+    ++sub[2][src[i + 2]];
+    ++sub[3][src[i + 3]];
+  }
+  for (; i < n; ++i) ++sub[0][src[i]];
+  for (int64_t v = 0; v < 65536; ++v)
+    hist[v] = sub[0][v] + sub[1][v] + sub[2][v] + sub[3][v];
+  return 0;
+}
+
+// out = lut[src] (uint16 value LUT gather, pipeline/products._stretch_lut).
+int lut_u16(const uint16_t* src, int64_t n, const uint16_t* lut,
+            uint16_t* out) {
+  if (!src || !lut || !out || n < 0) return -1;
+  for (int64_t i = 0; i < n; ++i) out[i] = lut[src[i]];
+  return 0;
 }
 
 }  // extern "C"

@@ -191,8 +191,136 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,   # cvals (K,) f32
             ctypes.c_void_p,   # outs (K,) pointer array
         ]
+        if hasattr(lib, "row_medstats_f32"):
+            lib.row_medstats_f32.restype = ctypes.c_int
+            lib.row_medstats_f32.argtypes = [
+                ctypes.c_void_p,   # rat (R, W) f32
+                ctypes.c_int64,    # R
+                ctypes.c_int64,    # W
+                ctypes.c_void_p,   # row_ok (R,) u8
+                ctypes.c_void_p,   # x_lo (R,) i32
+                ctypes.c_void_p,   # x_hi (R,) i32
+                ctypes.c_void_p,   # value_out (R, W) f32
+                ctypes.c_void_p,   # nk_out (R,) i64
+            ]
+        if hasattr(lib, "gain_hist_u16"):
+            lib.gain_hist_u16.restype = ctypes.c_int
+            lib.gain_hist_u16.argtypes = [
+                ctypes.c_void_p,   # src (H, W) u16
+                ctypes.c_int64,    # h
+                ctypes.c_int64,    # w
+                ctypes.c_void_p,   # gain (H,) f32
+                ctypes.c_void_p,   # out (H, W) u16
+                ctypes.c_void_p,   # hist u32[65536] or NULL
+            ]
+            lib.hist_u16.restype = ctypes.c_int
+            lib.hist_u16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.lut_u16.restype = ctypes.c_int
+            lib.lut_u16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
         _lib = lib
         return _lib
+
+
+def native_gain_hist_u16(src: np.ndarray, gain: np.ndarray,
+                         want_hist: bool = True):
+    """(clip(src * gain[row]) -> u16, value histogram) in ONE image pass
+    (native/ser_io.cpp:gain_hist_u16), value-exact vs the numpy form in
+    pipeline/products._products_core_gained_host.  None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gain_hist_u16"):
+        return None
+    if src.dtype != np.uint16 or src.ndim != 2:
+        return None
+    src = np.ascontiguousarray(src)
+    gain = np.ascontiguousarray(gain, dtype=np.float32)
+    h, w = src.shape
+    if gain.shape != (h,):
+        return None
+    out = np.empty_like(src)
+    hist = np.empty(65536, dtype=np.uint32) if want_hist else None
+    rc = lib.gain_hist_u16(
+        src.ctypes.data_as(ctypes.c_void_p), h, w,
+        gain.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p) if want_hist else None,
+    )
+    if rc != 0:
+        return None
+    return out, hist
+
+
+def native_hist_u16(img: np.ndarray):
+    """np.bincount(img.ravel(), minlength=65536) twin (u16 input) -> u32
+    counts, or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hist_u16"):
+        return None
+    if img.dtype != np.uint16:
+        return None
+    img = np.ascontiguousarray(img)
+    hist = np.empty(65536, dtype=np.uint32)
+    rc = lib.hist_u16(img.ctypes.data_as(ctypes.c_void_p), img.size,
+                      hist.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return hist
+
+
+def native_lut_u16(img: np.ndarray, lut: np.ndarray):
+    """lut[img] gather (u16 value LUT), or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lut_u16"):
+        return None
+    if img.dtype != np.uint16 or lut.dtype != np.uint16 or lut.size != 65536:
+        return None
+    img = np.ascontiguousarray(img)
+    lut = np.ascontiguousarray(lut)
+    out = np.empty_like(img)
+    rc = lib.lut_u16(img.ctypes.data_as(ctypes.c_void_p), img.size,
+                     lut.ctypes.data_as(ctypes.c_void_p),
+                     out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out
+
+
+def native_row_medstats(
+    rat: np.ndarray, row_ok: np.ndarray, x_lo: np.ndarray, x_hi: np.ndarray
+):
+    """Masked row median/MAD clip of pipeline/transversalium's row stats:
+    returns (value (R, W) f32 — kept ? rat : 0 — and nk (R,) i64), or None
+    when the native lib is unavailable.  numpy-EXACT selection semantics
+    (native/ser_io.cpp:row_medstats_f32); the caller finishes with numpy's
+    own pairwise sum so the result is bit-identical to the pure-numpy twin.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "row_medstats_f32"):
+        return None
+    rat = np.ascontiguousarray(rat, dtype=np.float32)
+    R, W = rat.shape
+    row_ok = np.ascontiguousarray(row_ok, dtype=np.uint8)
+    x_lo = np.ascontiguousarray(x_lo, dtype=np.int32)
+    x_hi = np.ascontiguousarray(x_hi, dtype=np.int32)
+    if row_ok.shape != (R,) or x_lo.shape != (R,) or x_hi.shape != (R,):
+        return None
+    value = np.empty((R, W), dtype=np.float32)
+    nk = np.empty(R, dtype=np.int64)
+    rc = lib.row_medstats_f32(
+        rat.ctypes.data_as(ctypes.c_void_p), R, W,
+        row_ok.ctypes.data_as(ctypes.c_void_p),
+        x_lo.ctypes.data_as(ctypes.c_void_p),
+        x_hi.ctypes.data_as(ctypes.c_void_p),
+        value.ctypes.data_as(ctypes.c_void_p),
+        nk.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return value, nk
 
 
 def native_warp_u16(

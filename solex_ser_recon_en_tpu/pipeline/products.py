@@ -185,14 +185,33 @@ def _stretch_lut(img: np.ndarray, lo: float, hi: float) -> np.ndarray:
     """The reference's linear stretch (solex_util.py:532-541) as a uint16
     value LUT: the stretch depends only on the pixel value, so computing
     the float32 form once per possible value and gathering is bit-identical
-    to the full-image float32 pass at a fraction of the memory traffic."""
+    to the full-image float32 pass at a fraction of the memory traffic.
+    The gather itself runs native when available (io/native.native_lut_u16,
+    same indexed loads)."""
+    from ..io.native import native_lut_u16
+
     vals = np.arange(65536, dtype=np.float32)
     x = 65535.0 * (vals - lo) / np.float32(hi - lo)
     lut = np.clip(x, 0, 65535).astype(np.uint16)
+    if img.dtype == np.uint16:
+        out = native_lut_u16(img, lut)
+        if out is not None:
+            return out
     return lut[img]
 
 
-def _products_body_host(f: np.ndarray, want=(True, True)):
+def _hist_u16(img: np.ndarray) -> np.ndarray:
+    """np.bincount(img.ravel(), minlength=65536) with a native fast path."""
+    from ..io.native import native_hist_u16
+
+    if img.dtype == np.uint16:
+        h = native_hist_u16(img)
+        if h is not None:
+            return h.astype(np.int64)
+    return np.bincount(img.ravel(), minlength=65536)
+
+
+def _products_body_host(f: np.ndarray, want=(True, True), hist_f=None):
     """cv2/numpy twin of ``_products_body`` (reference-exact forms).
 
     Output contract identical: (cl1, cc, high_contrast, protus), all
@@ -214,7 +233,7 @@ def _products_body_host(f: np.ndarray, want=(True, True)):
 
     f = np.ascontiguousarray(f, dtype=np.uint16)
     cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
-    hist_c = np.bincount(cl1.ravel(), minlength=65536)
+    hist_c = _hist_u16(cl1)
     dark_clahe = _np_percentile_from_counts(hist_c, cl1.size, 10.0)
     cl1_max = float(65535 - int(np.argmax(hist_c[::-1] > 0)))
     bright_clahe = max(cl1_max, dark_clahe + 1.0)
@@ -223,7 +242,7 @@ def _products_body_host(f: np.ndarray, want=(True, True)):
     want_hc, want_protus = want
     frame_hc = frame_protus = None
     if want_hc or want_protus:
-        hist_f = np.bincount(f.ravel(), minlength=65536)
+        hist_f = _hist_u16(f) if hist_f is None else hist_f
         bright = max(_np_percentile_from_counts(hist_f, f.size, 99.9999), 1.0)
         if want_hc:
             frame_hc = _stretch_lut(f, bright * 0.25, bright)
@@ -234,6 +253,18 @@ def _products_body_host(f: np.ndarray, want=(True, True)):
 
 def _products_core_gained_host(f: np.ndarray, gain: np.ndarray,
                                want=(True, True)):
+    from ..io.native import native_gain_hist_u16
+
+    f = np.ascontiguousarray(f, dtype=np.uint16)
+    want_hist = want[0] or want[1]
+    native = native_gain_hist_u16(f, np.asarray(gain, np.float32),
+                                  want_hist=want_hist)
+    if native is not None:
+        # fused multiply + histogram: the brightness histogram the
+        # percentile stretches need falls out of the gain pass for free
+        detrans, hist = native
+        hist_f = hist.astype(np.int64) if hist is not None else None
+        return (detrans,) + _products_body_host(detrans, want, hist_f=hist_f)
     out = f.astype(np.float32) * np.asarray(gain, np.float32)[:, None]
     detrans = np.clip(out, 0, 65535).astype(np.uint16)
     return (detrans,) + _products_body_host(detrans, want)

@@ -67,6 +67,31 @@ def _gain_from_mean_r(
     return c, correction
 
 
+def _strip_bounds_host(h: int, w: int, circle, borders,
+                       row0: int = 0, row1: int = None):
+    """Interval form of the strip mask: (row_ok (R,), x_lo (R,), x_hi (R,))
+    int32 chord bounds per row, same float32 geometry as
+    ops/rowstats.strip_mask.  The mask rows are chords, so the interval
+    carries the mask exactly (x_lo/x_hi are integral ceil/floor results and
+    columns are integers, making `xs >= x_lo` ⟺ `j >= int(x_lo)`)."""
+    if row1 is None:
+        row1 = h
+    cx, cy, r = (np.float32(circle[0]), np.float32(circle[1]),
+                 np.float32(circle[2]))
+    bx0, by1, bx2, by3 = (np.float32(b) for b in borders)
+    ys = np.arange(row0, row1, dtype=np.float32)
+    y1 = np.ceil(max(cy - r, by1))
+    y2 = np.floor(min(cy + r, by3))
+    d2 = r * r - (ys - cy) ** 2
+    dx = np.floor(np.sqrt(np.maximum(d2, np.float32(0.0))))
+    x_lo = np.ceil(np.maximum(cx - dx, bx0))
+    x_hi = np.floor(np.minimum(cx + dx, bx2))
+    row_ok = (ys > y1) & (ys < y2) & (d2 >= 0.0)
+    lo = np.clip(x_lo, 0, w).astype(np.int32)
+    hi = np.clip(x_hi, 0, w).astype(np.int32)
+    return row_ok, lo, hi
+
+
 def _strip_mask_host(h: int, w: int, circle, borders,
                      row0: int = 0, row1: int = None) -> np.ndarray:
     """numpy twin of ops/rowstats.strip_mask (same float32 geometry).
@@ -76,23 +101,11 @@ def _strip_mask_host(h: int, w: int, circle, borders,
     call is returned bit-for-bit) — the gain consumer only reads the
     correction band, so the host path never materialises the full-frame
     mask."""
-    if row1 is None:
-        row1 = h
-    cx, cy, r = (np.float32(circle[0]), np.float32(circle[1]),
-                 np.float32(circle[2]))
-    bx0, by1, bx2, by3 = (np.float32(b) for b in borders)
-    ys = np.arange(row0, row1, dtype=np.float32)
-    xs = np.arange(w, dtype=np.float32)
-    y1 = np.ceil(max(cy - r, by1))
-    y2 = np.floor(min(cy + r, by3))
-    d2 = r * r - (ys - cy) ** 2
-    dx = np.floor(np.sqrt(np.maximum(d2, np.float32(0.0))))
-    x_lo = np.ceil(np.maximum(cx - dx, bx0))
-    x_hi = np.floor(np.minimum(cx + dx, bx2))
-    row_ok = (ys > y1) & (ys < y2) & (d2 >= 0.0)
+    row_ok, lo, hi = _strip_bounds_host(h, w, circle, borders, row0, row1)
+    xs = np.arange(w, dtype=np.int32)
     return (row_ok[:, None]
-            & (xs[None, :] >= x_lo[:, None])
-            & (xs[None, :] < x_hi[:, None]))
+            & (xs[None, :] >= lo[:, None])
+            & (xs[None, :] < hi[:, None]))
 
 
 def _masked_row_median_host(x: np.ndarray, valid: np.ndarray) -> np.ndarray:
@@ -144,6 +157,32 @@ def _row_stats_host(img: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return np.where(nk > 0, total / np.maximum(nk, 1), 0.0)
 
 
+def _row_stats_host_fast(img: np.ndarray, row_ok: np.ndarray,
+                         x_lo: np.ndarray, x_hi: np.ndarray) -> np.ndarray:
+    """_row_stats_host with the median/MAD selections in the native kernel
+    (io/native.native_row_medstats) — BIT-identical result: the log-ratio
+    input and the final pairwise kept-sum stay in numpy, the kernel only
+    replaces the two full-width row sorts with per-row O(W) selections of
+    the same order statistics (fuzz-tested equal).  Falls back to the pure
+    numpy twin when the native lib is unavailable."""
+    f = img.astype(np.float32)
+    prev = np.concatenate([f[:1], f[:-1]], axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rat = np.log(f / prev).astype(np.float32)
+    from ..io.native import native_row_medstats
+
+    out = native_row_medstats(rat, row_ok, x_lo, x_hi)
+    if out is None:  # no native lib: rebuild the boolean mask and go numpy
+        xs = np.arange(img.shape[1], dtype=np.int32)
+        valid = (np.asarray(row_ok)[:, None]
+                 & (xs[None, :] >= np.asarray(x_lo)[:, None])
+                 & (xs[None, :] < np.asarray(x_hi)[:, None]))
+        return _row_stats_host(img, valid)
+    value, nk = out
+    total = value.sum(axis=1, dtype=np.float32)
+    return np.where(nk > 0, total / np.maximum(nk, 1), 0.0)
+
+
 def transversalium_gain(
     img: np.ndarray,
     circle,
@@ -170,8 +209,9 @@ def transversalium_gain(
         a, b = max(y1b, 0), min(y2b, h)
         mean_r = np.zeros(h, dtype=np.float64)
         if b - a >= 2:
-            valid = _strip_mask_host(h, w, circle, borders, row0=a, row1=b)
-            sub = _row_stats_host(np.asarray(img[a:b]), valid)
+            row_ok, lo, hi = _strip_bounds_host(h, w, circle, borders,
+                                                row0=a, row1=b)
+            sub = _row_stats_host_fast(np.asarray(img[a:b]), row_ok, lo, hi)
             mean_r[a + 1:b] = sub[1:]
     else:
         valid, _, _ = strip_mask(
@@ -301,10 +341,19 @@ def transversalium_gains_batched(
     if host_products_enabled():
         stack_np = np.asarray(stack)
         K, h, w = stack_np.shape
-        valid = _strip_mask_host(h, w, circle, borders)
-        mean_r_all = np.stack(
-            [_row_stats_host(im, valid) for im in stack_np]
-        ).astype(np.float64)
+        # band-crop like transversalium_gain: the gain consumer reads
+        # mean_r[y1+1:y2] only and the row stats are row-independent
+        # (test_row_stats_band_crop_exact), so the K per-shift stats run
+        # on the correction band's rows alone
+        y1b, y2b = _row_band(circle, borders)
+        a, b = max(y1b, 0), min(y2b, h)
+        mean_r_all = np.zeros((K, h), dtype=np.float64)
+        if b - a >= 2:
+            row_ok, lo, hi = _strip_bounds_host(h, w, circle, borders,
+                                                row0=a, row1=b)
+            for k in range(K):
+                sub = _row_stats_host_fast(stack_np[k, a:b], row_ok, lo, hi)
+                mean_r_all[k, a + 1:b] = sub[1:]
     else:
         stack_j = jnp.asarray(stack)
         K, h, w = stack_j.shape

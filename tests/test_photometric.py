@@ -224,3 +224,77 @@ def test_row_stats_band_crop_exact():
     np.testing.assert_array_equal(valid, full_valid[a:b])
     sub = _row_stats_host(np.asarray(img[a:b]), valid)
     np.testing.assert_array_equal(sub[1:], full[a + 1:b])
+
+
+def test_native_row_medstats_bit_identical_fuzz():
+    """The native median/MAD selection core (native/ser_io.cpp:
+    row_medstats_f32) must be BIT-identical to the pure-numpy twin across
+    radix fast path, non-finite fallback rows (log 0/0 NaNs, log(0) infs),
+    and degenerate masks."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.io.native import get_lib
+    from solex_ser_recon_en_tpu.pipeline.transversalium import (
+        _row_stats_host,
+        _row_stats_host_fast,
+        _strip_bounds_host,
+        _strip_mask_host,
+    )
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "row_medstats_f32"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        R = int(rng.integers(3, 120))
+        W = int(rng.integers(8, 300))
+        img = (rng.uniform(0, 1.0, (R, W)) * 60000).astype(np.float32)
+        if trial % 3 == 0:  # zero rows/cols -> NaN/inf log-ratios
+            img[rng.integers(0, R, 4), :] = 0
+            img[:, rng.integers(0, W, 4)] = 0
+        if trial % 4 == 0:  # constant rows -> mdev == 0 keep-all branch
+            img[rng.integers(0, R, 2), :] = 123
+        cx, cy = rng.uniform(0, W), rng.uniform(0, R)
+        r = rng.uniform(1, max(R, W))
+        borders = [0, 0, W, R]
+        row_ok, lo, hi = _strip_bounds_host(R, W, (cx, cy, r), borders)
+        valid = _strip_mask_host(R, W, (cx, cy, r), borders)
+        ref = _row_stats_host(img, valid)
+        fast = _row_stats_host_fast(img, row_ok, lo, hi)
+        np.testing.assert_array_equal(ref, fast, err_msg=f"trial {trial}")
+
+
+def test_native_pixel_kernels_exact():
+    """gain_hist/hist/lut kernels are value-exact vs the numpy forms."""
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.io.native import (
+        native_gain_hist_u16,
+        native_hist_u16,
+        native_lut_u16,
+    )
+
+    if native_hist_u16(np.zeros((2, 2), np.uint16)) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        H, W = int(rng.integers(2, 200)), int(rng.integers(2, 200))
+        u = rng.integers(0, 65536, (H, W)).astype(np.uint16)
+        g = rng.uniform(0.0, 2.5, H).astype(np.float32)
+        out, hist = native_gain_hist_u16(u, g)
+        ref = np.clip(u.astype(np.float32) * g[:, None], 0,
+                      65535).astype(np.uint16)
+        np.testing.assert_array_equal(out, ref)
+        np.testing.assert_array_equal(
+            hist.astype(np.int64), np.bincount(ref.ravel(), minlength=65536))
+        np.testing.assert_array_equal(
+            native_hist_u16(u).astype(np.int64),
+            np.bincount(u.ravel(), minlength=65536))
+        lut = rng.integers(0, 65536, 65536).astype(np.uint16)
+        np.testing.assert_array_equal(native_lut_u16(u, lut), lut[u])
