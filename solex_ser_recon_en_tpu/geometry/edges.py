@@ -15,9 +15,19 @@ import numpy as np
 import scipy.ndimage
 from scipy.spatial import ConvexHull
 
-from ..ops.blur import box_blur
+from ..ops.blur import box_blur, box_blur_host
 from ..ops.canny import canny
 from ..utils.placement import small_ops
+
+
+def _blur(img, kx: int, ky: int) -> np.ndarray:
+    """box_blur dispatcher: integer HOST arrays take the bit-identical numpy
+    twin (the XLA dispatch dominates the math on small scans); device arrays
+    and float inputs keep the device program (float cumsum order differs)."""
+    if isinstance(img, np.ndarray) and np.issubdtype(img.dtype, np.integer):
+        return box_blur_host(img, kx, ky)
+    with small_ops():
+        return np.asarray(box_blur(jnp.asarray(img), kx, ky))
 
 NUM_REG = 2  # include biggest NUM_REG regions (ellipse_to_circle.py:31)
 
@@ -46,8 +56,7 @@ def flood_threshold(image: np.ndarray) -> float:
     """
     mean_thresh = 0.9 * float(np.sum(image)) / image.size
     bw = max(1, int(image.shape[0] * 0.01))
-    with small_ops():
-        blurred = np.asarray(box_blur(jnp.asarray(image), bw, bw))
+    blurred = _blur(image, bw, bw)
 
     very_bright = np.percentile(blurred, 99)
     data = blurred.ravel()
@@ -93,12 +102,10 @@ def get_edge_list(image: np.ndarray, sigma: float = 2.0) -> Tuple[np.ndarray, np
     np.argwhere.  Retries with smaller sigma when nothing is found.
     """
     while sigma > 0:
+        low = float(np.median(_blur(image, 5, 5))) / 10
+        high = low * 1.5
+        flooded = get_flood_image(image)
         with small_ops():
-            low = float(
-                np.median(np.asarray(box_blur(jnp.asarray(image), 5, 5)))
-            ) / 10
-            high = low * 1.5
-            flooded = get_flood_image(image)
             edges = np.asarray(canny(jnp.asarray(flooded), sigma=float(sigma),
                                      low_threshold=low, high_threshold=high))
         raw_X = np.argwhere(edges)

@@ -20,8 +20,18 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.blur import box_blur_u16
+from ..ops.blur import box_blur_u16, box_blur_u16_host
 from ..utils.placement import small_ops
+
+
+def _blur_u16(img, kx: int, ky: int) -> np.ndarray:
+    """box_blur_u16 dispatcher: integer HOST arrays take the bit-identical
+    numpy twin (XLA dispatch dominates the math on small scans); device
+    arrays / float inputs keep the device program."""
+    if isinstance(img, np.ndarray) and np.issubdtype(img.dtype, np.integer):
+        return box_blur_u16_host(img, kx, ky)
+    with small_ops():
+        return np.asarray(box_blur_u16(jnp.asarray(img), kx, ky))
 
 
 def detect_bord(img: np.ndarray, axis: int) -> Tuple[int, int]:
@@ -30,8 +40,7 @@ def detect_bord(img: np.ndarray, axis: int) -> Tuple[int, int]:
     reference: solex_util.py:165-172 — threshold = median/5 of the projected
     mean of the blurred image.
     """
-    with small_ops():
-        blur = np.asarray(box_blur_u16(jnp.asarray(img), 5, 5))
+    blur = _blur_u16(img, 5, 5)
     proj = np.mean(blur, axis=axis)
     threshold = np.median(proj) / 5
     where = proj > threshold
@@ -102,8 +111,7 @@ def fit_spectral_line(mean_img: np.ndarray, max_img: np.ndarray) -> LineFit:
 
     bw_x = 25
     bw_y = max(1, int((y2 - y1) * 0.01))
-    with small_ops():
-        blurred = np.asarray(box_blur_u16(jnp.asarray(mean_img), bw_x, bw_y))
+    blurred = _blur_u16(mean_img, bw_x, bw_y)
     half = bw_x // 2
     min_blur = half + np.argmin(blurred[:, half:-half], axis=1)
 
@@ -191,8 +199,7 @@ def fit_spectral_line_banded(
     half = bw_x // 2
     if wb < bw_x + 2 * half:
         return None
-    with small_ops():
-        blurred = np.asarray(box_blur_u16(jnp.asarray(mean_band), bw_x, bw_y))
+    blurred = _blur_u16(mean_band, bw_x, bw_y)
     jloc = half + np.argmin(blurred[:, half:-half], axis=1)
     rows = slice(y1, y2)
     # gate 1: band-local blurred argmin strictly interior (its full blur

@@ -68,3 +68,52 @@ def box_blur_u16(img: jax.Array, kx: int, ky: int) -> jax.Array:
     """uint16 box blur with cv2's round-half-to-even output."""
     out = box_blur(img, kx, ky)
     return jnp.clip(jnp.round(out), 0, 65535).astype(jnp.uint16)
+
+
+# --- numpy twins (host path) ------------------------------------------------
+# On tiny scans the XLA dispatch overhead of the two box blurs dominates the
+# math (folder-batch profiling: ~1-2 ms per call on 256x96 frames where the
+# arithmetic is ~50 us).  For INTEGER inputs the blur is exact int32 window
+# sums + one deterministic quotient/remainder split, so the numpy twin below
+# is BIT-identical to the device program (test_blur host-twin fuzz); float
+# inputs keep the device path (cumsum order would differ).
+
+import numpy as np
+
+
+def _window_sum_1d_host(x: np.ndarray, k: int, axis: int,
+                        acc_dtype) -> np.ndarray:
+    if k <= 1:
+        return x.astype(acc_dtype)
+    lo, hi = k // 2, k - 1 - k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo, hi)
+    xp = np.pad(x, pad, mode="reflect")
+    c = np.cumsum(xp.astype(acc_dtype), axis=axis)
+    zshape = list(c.shape)
+    zshape[axis] = 1
+    c = np.concatenate([np.zeros(zshape, c.dtype), c], axis=axis)
+    n = x.shape[axis]
+    sl_hi = [slice(None)] * c.ndim
+    sl_lo = [slice(None)] * c.ndim
+    sl_hi[axis] = slice(k, k + n)
+    sl_lo[axis] = slice(0, n)
+    return c[tuple(sl_hi)] - c[tuple(sl_lo)]
+
+
+def box_blur_host(img: np.ndarray, kx: int, ky: int) -> np.ndarray:
+    """numpy twin of box_blur for INTEGER inputs (bit-identical); float
+    inputs raise (callers fall back to the device program)."""
+    if not np.issubdtype(img.dtype, np.integer):
+        raise TypeError("box_blur_host is exact for integer inputs only")
+    s = _window_sum_1d_host(img, ky, img.ndim - 2, np.int32)
+    s = _window_sum_1d_host(s, kx, img.ndim - 1, np.int32)
+    k = kx * ky
+    q = s // k
+    r = s - q * k
+    return q.astype(np.float32) + r.astype(np.float32) / np.float32(k)
+
+
+def box_blur_u16_host(img: np.ndarray, kx: int, ky: int) -> np.ndarray:
+    out = box_blur_host(img, kx, ky)
+    return np.clip(np.round(out), 0, 65535).astype(np.uint16)

@@ -145,3 +145,38 @@ def test_mean_max_accumulator_oversized_chunk():
     mean, mx = acc.result()
     assert mean.min() == 65535 and mx.max() == 65535
     assert acc.count == n
+
+
+def test_box_blur_host_twin_bit_identical():
+    """ops/blur numpy twins == device programs for integer inputs (the
+    dispatch in geometry/linefit._blur_u16 and geometry/edges._blur relies
+    on bit-identity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.ops.blur import (
+        box_blur,
+        box_blur_host,
+        box_blur_u16,
+        box_blur_u16_host,
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        h = int(rng.integers(8, 200))
+        w = int(rng.integers(8, 200))
+        img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+        for kx, ky in [(5, 5), (25, 1), (25, 11), (1, 7), (3, 40)]:
+            if kx >= w or ky >= h:
+                continue
+            dev = np.asarray(box_blur(jnp.asarray(img), kx, ky))
+            host = box_blur_host(img, kx, ky)
+            np.testing.assert_array_equal(dev, host, err_msg=f"{kx}x{ky}")
+            dev16 = np.asarray(box_blur_u16(jnp.asarray(img), kx, ky))
+            np.testing.assert_array_equal(
+                dev16, box_blur_u16_host(img, kx, ky))
+    # float inputs must refuse the host twin (cumsum order differs)
+    import pytest
+
+    with pytest.raises(TypeError):
+        box_blur_host(np.ones((8, 8), np.float32), 3, 3)
