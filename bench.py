@@ -706,6 +706,37 @@ def main() -> None:
     }
     if unreachable:
         result["tpu_unreachable"] = True
+    # the ACTUAL reference, run end-to-end via benchmarks/run_reference.py
+    # (absent third-party deps backed by validated shims — refshims/README):
+    # the true denominator next to the cost-faithful replica's.  Subprocess
+    # + timeout so its Pool(4) can never wedge the bench.
+    if os.environ.get("SOLEX_BENCH_SKIP_REFERENCE") != "1":
+        try:
+            import subprocess
+
+            ref_dir = os.path.join(BENCH_DIR, "ref_actual")
+            shutil.rmtree(ref_dir, ignore_errors=True)
+            os.makedirs(ref_dir)
+            link = os.path.join(ref_dir, os.path.basename(SCAN))
+            os.symlink(SCAN, link)
+            env = dict(os.environ)
+            env.pop("JAX_PLATFORMS", None)  # shims never run a jax op
+            runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "run_reference.py")
+            proc = subprocess.run(
+                [sys.executable, runner, link, "-w0c", "--reps", "2"],
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=ref_dir,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            ref = json.loads(line)
+            result["reference_actual_s"] = ref["reference_actual_s"]
+            result["reference_actual_runs_s"] = ref["runs_s"]
+            result["reference_actual_shims"] = ref["shimmed"]
+            result["vs_reference_actual"] = round(
+                ref["reference_actual_s"] / tpu["e2e_s"], 2)
+        except Exception as e:  # never mask the headline
+            result["reference_actual_error"] = str(e)[:200]
     # the headline goes out BEFORE the device-throughput measurement,
     # the decomposition and the extra configs, so a congestion-stretched
     # (or CPU-fallback) later leg can never cost the driver the result;

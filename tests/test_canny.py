@@ -56,3 +56,38 @@ def test_canny_hysteresis_connects_weak_edges():
     assert top > 0
     # weak-but-connected section survives via hysteresis
     assert bottom > 0
+
+
+def test_refshim_canny_matches_device_kernel():
+    """The pure-numpy canny in benchmarks/refshims must agree with the
+    device kernel on the binarised blobs the reference feeds it."""
+    import importlib.util
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from solex_ser_recon_en_tpu.ops.canny import canny as dev_canny
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "refshim_feature",
+        os.path.join(repo, "benchmarks", "refshims", "skimage", "feature",
+                     "__init__.py"))
+    shim = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(shim)
+
+    rng = np.random.default_rng(4)
+    for _ in range(4):
+        h, w = int(rng.integers(40, 120)), int(rng.integers(40, 120))
+        yy, xx = np.mgrid[:h, :w]
+        cy, cx = rng.uniform(10, h - 10), rng.uniform(10, w - 10)
+        r = rng.uniform(8, min(h, w) / 3)
+        blob = np.where((yy - cy) ** 2 + (xx - cx) ** 2 < r * r, 65000.0, 0.0)
+        a = np.asarray(dev_canny(jnp.asarray(blob.astype(np.float32)),
+                                 sigma=2.0, low_threshold=100.0,
+                                 high_threshold=150.0))
+        b = shim.canny(blob, sigma=2.0, low_threshold=100.0,
+                       high_threshold=150.0)
+        # same contract: outline pixels; allow tiny numeric edge differences
+        assert (a ^ b).mean() < 0.002, (a.sum(), b.sum(), (a ^ b).sum())
