@@ -222,7 +222,7 @@ FAST_PASSA_MIN_BYTES = 256 * 1024**2
 
 
 def fast_passa(r: SerReader, shifts, sample_target: int = 64,
-               margin: int = 25):
+               margin: int = None):
     """Two-step pass A: a frame subsample locates the spectral band and the
     sun's vertical extent, then a full-frame-count sweep touches ONLY the
     band bytes — ~1/5 of the scan for a typical Sol'Ex spectral window.
@@ -246,6 +246,16 @@ def fast_passa(r: SerReader, shifts, sample_target: int = 64,
 
     if os.environ.get("SOLEX_EXACT_PASSA") == "1":
         return None
+    if margin is None:
+        # band bytes scale with (line span + shift span + 2*margin): 18 is
+        # the smallest margin that keeps the banded fit's interiority gates
+        # (blur half-window 12 + subsample-vs-final drift headroom) clear
+        # on the bench corpus; a too-small margin only costs a verified
+        # fallback to the full sweep, never correctness
+        try:
+            margin = int(os.environ.get("SOLEX_FASTPASSA_MARGIN", "18"))
+        except ValueError:
+            margin = 18
     try:
         min_bytes = int(
             float(os.environ.get("SOLEX_FASTPASSA_MIN_MB", "256")) * 1024**2
