@@ -109,15 +109,27 @@ def handle_files(
         except Exception:
             pass
 
+    # device batching: groups of same-shape small SER scans take ONE
+    # vmapped mean/max+recon program (pipeline/batch.py) when a responsive
+    # accelerator is attached; everything else reads per-file below
+    timers: dict = {}
+    try:
+        from ..pipeline.batch import read_scans_batched
+
+        prebuilt = read_scans_batched(tasks, timers)
+    except Exception:
+        traceback.print_exc()
+        prebuilt = {}
+
     done = 0
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = []
         for i, (file, opts) in enumerate(tasks):
             print(f"file {file} is processing")
             progress(i, "Reading file...")
-            timer = StageTimer()
+            timer = timers.get(file) or StageTimer()
             try:
-                scan = read_scan(file, opts, timer)
+                scan = prebuilt.get(file) or read_scan(file, opts, timer)
             except Exception:
                 print("ERROR ENCOUNTERED")
                 traceback.print_exc()

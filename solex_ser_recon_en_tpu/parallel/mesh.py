@@ -114,6 +114,44 @@ def shard_scan_recon(frames, ind_l, left_w, mesh: Mesh, kernel: str = "onehot"):
     return out
 
 
+@jax.jit
+def _batched_recon(frames, ind_l, left_w):
+    """Batched mean/max + recon for B same-shape scans in ONE program.
+
+    frames (B, F, ih, iw) uint16; ind_l (B, S, ih) int32; left_w (B, ih)
+    float32.  The folder-batch front half of ``_batched_step`` (no warp —
+    the circularisation matrices are only known after the per-scan ellipse
+    fit, which consumes these disks).  Returns (mean (B, ih, iw) u16,
+    max (B, ih, iw) u16, raw (B, S, ih, F) u16).
+    """
+    from ..ops.recon import _recon_onehot
+
+    def one(frames1, ind1, w1):
+        s = jnp.sum(frames1.astype(jnp.int32), axis=0)
+        mean = (s // frames1.shape[0]).astype(jnp.uint16)
+        mx = jnp.max(frames1, axis=0)
+        disks = _recon_onehot(frames1, ind1, w1, iw=frames1.shape[2])
+        return mean, mx, disks
+
+    return jax.vmap(one)(frames, ind_l, left_w)
+
+
+def device_recon_batch(frames, ind_l, left_w, mesh: Optional[Mesh] = None):
+    """Run ``_batched_recon``, sharded (batch, frame) over ``mesh`` when
+    given — the folder-batch data plane (cli.main.handle_files groups
+    same-shape small scans through this; reference analogue: the per-file
+    Pool, Solex_recon.py:26-44, which cannot batch across files at all)."""
+    if mesh is not None:
+        frames = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("batch", "frame", None, None)))
+        ind_l = jax.device_put(
+            jnp.asarray(ind_l), NamedSharding(mesh, P("batch", None, None)))
+        left_w = jax.device_put(
+            jnp.asarray(left_w), NamedSharding(mesh, P("batch", None)))
+    return _batched_recon(
+        jnp.asarray(frames), jnp.asarray(ind_l), jnp.asarray(left_w))
+
+
 @partial(jax.jit, static_argnames=("out_u16",))
 def _batched_step(frames, ind_l, left_w, warp_mats, row_gains, out_u16=True):
     """The full device compute path for a batch of scans.
