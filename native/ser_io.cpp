@@ -369,6 +369,49 @@ int ser_band_stats(void* handle, uint32_t r0, uint32_t r1, uint32_t c0,
   const uint32_t prefetch_win = 256;
   uint32_t since_fold = 0;
   const bool full_width = (c0 == 0 && c1 == f->width);
+  if (full_width) {
+    // the band is a contiguous sub-frame at a fixed offset in every frame
+    // (wide-stored scans keep the spectral axis on raw rows), so the
+    // tile-major sweep applies verbatim with a shifted base — same ~1.65x
+    // over the frame-major loop as the full-frame pass (sweep_tile_major)
+    const uint8_t* bbase = base + static_cast<int64_t>(r0) * f->width * elem;
+    for (uint32_t g0 = 0; g0 < f->frame_count; g0 += prefetch_win) {
+      const uint32_t g1 = (g0 + prefetch_win < f->frame_count)
+                              ? g0 + prefetch_win
+                              : f->frame_count;
+      if (g1 < f->frame_count) {
+        const uint32_t nxt = (g1 + prefetch_win < f->frame_count)
+                                 ? prefetch_win
+                                 : f->frame_count - g1;
+        for (uint32_t g = g1; g < g1 + nxt; ++g) {
+          const uint8_t* p = bbase + static_cast<int64_t>(g) * f->frame_bytes;
+          uintptr_t addr = reinterpret_cast<uintptr_t>(p);
+          uintptr_t page = addr & ~static_cast<uintptr_t>(4095);
+          madvise(reinterpret_cast<void*>(page),
+                  static_cast<size_t>(bpx) * elem + (addr - page),
+                  MADV_WILLNEED);
+        }
+      }
+      if (since_fold + (g1 - g0) > fold_every) {
+        for (int64_t i = 0; i < bpx; ++i) {
+          sum_out[i] += acc32[i];
+          acc32[i] = 0;
+        }
+        since_fold = 0;
+      }
+      if (f->pixel_depth == 16) {
+        sweep_tile_major<uint16_t>(bbase, f->frame_bytes, g0, g1, bpx, acc32,
+                                   max_out);
+      } else {
+        sweep_tile_major<uint8_t>(bbase, f->frame_bytes, g0, g1, bpx, acc32,
+                                  max_out);
+      }
+      since_fold += g1 - g0;
+    }
+    for (int64_t i = 0; i < bpx; ++i) sum_out[i] += acc32[i];
+    delete[] acc32;
+    return 0;
+  }
   for (uint32_t fr = 0; fr < f->frame_count; ++fr) {
     if (fr % prefetch_win == 0 && fr + prefetch_win < f->frame_count) {
       // hint the next window's BAND slices (not whole frames): on a cold
@@ -386,45 +429,30 @@ int ser_band_stats(void* handle, uint32_t r0, uint32_t r1, uint32_t c0,
       }
     }
     const uint8_t* fp = base + static_cast<int64_t>(fr) * f->frame_bytes;
+    // strided (tall-stored) band: per-row copy loops, frame-major so each
+    // frame's touched pages are visited once (full-width bands returned
+    // via the tile-major path above)
     if (f->pixel_depth == 16) {
       const uint16_t* frame = reinterpret_cast<const uint16_t*>(fp);
-      if (full_width) {
-        const uint16_t* p = frame + static_cast<int64_t>(r0) * f->width;
-        for (int64_t i = 0; i < bpx; ++i) {
+      for (int64_t r = 0; r < bh; ++r) {
+        const uint16_t* p = frame + (r0 + r) * f->width + c0;
+        uint32_t* a = acc32 + r * bw;
+        uint16_t* m = max_out + r * bw;
+        for (int64_t i = 0; i < bw; ++i) {
           uint16_t v = p[i];
-          acc32[i] += v;
-          if (v > max_out[i]) max_out[i] = v;
-        }
-      } else {
-        for (int64_t r = 0; r < bh; ++r) {
-          const uint16_t* p = frame + (r0 + r) * f->width + c0;
-          uint32_t* a = acc32 + r * bw;
-          uint16_t* m = max_out + r * bw;
-          for (int64_t i = 0; i < bw; ++i) {
-            uint16_t v = p[i];
-            a[i] += v;
-            if (v > m[i]) m[i] = v;
-          }
+          a[i] += v;
+          if (v > m[i]) m[i] = v;
         }
       }
     } else {
-      if (full_width) {
-        const uint8_t* p = fp + static_cast<int64_t>(r0) * f->width;
-        for (int64_t i = 0; i < bpx; ++i) {
+      for (int64_t r = 0; r < bh; ++r) {
+        const uint8_t* p = fp + (r0 + r) * f->width + c0;
+        uint32_t* a = acc32 + r * bw;
+        uint16_t* m = max_out + r * bw;
+        for (int64_t i = 0; i < bw; ++i) {
           uint16_t v = p[i];
-          acc32[i] += v;
-          if (v > max_out[i]) max_out[i] = v;
-        }
-      } else {
-        for (int64_t r = 0; r < bh; ++r) {
-          const uint8_t* p = fp + (r0 + r) * f->width + c0;
-          uint32_t* a = acc32 + r * bw;
-          uint16_t* m = max_out + r * bw;
-          for (int64_t i = 0; i < bw; ++i) {
-            uint16_t v = p[i];
-            a[i] += v;
-            if (v > m[i]) m[i] = v;
-          }
+          a[i] += v;
+          if (v > m[i]) m[i] = v;
         }
       }
     }
@@ -999,6 +1027,150 @@ int lut_u16(const uint16_t* src, int64_t n, const uint16_t* lut,
             uint16_t* out) {
   if (!src || !lut || !out || n < 0) return -1;
   for (int64_t i = 0; i < n; ++i) out[i] = lut[src[i]];
+  return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Hybrid variant of row_medstats_f32: the caller pre-sorts the masked
+// full-width rows with numpy (np.sort's AVX-512 qsort beats a scalar radix
+// ~4x on this host: 8.4 vs ~25 ms on the bench band shape — docs/PERF.md),
+// and this kernel consumes the sorted rows: both medians index them
+// directly (numpy full-width semantics by construction), the MAD median
+// two-pointer-merges the V-shaped |x - med| distances (invalid columns were
+// masked to +inf by the caller, exactly numpy's big2 padding), and the
+// keep/value pass is shared with the radix variant.  Rows containing
+// non-finite log-ratios (or an overflowed med) take the exact
+// comparison-sort fallback on the raw segment.
+int row_medstats_sorted_f32(const float* srt, const float* rat, int64_t R,
+                            int64_t W, const uint8_t* row_ok,
+                            const int32_t* x_lo, const int32_t* x_hi,
+                            float* value_out, int64_t* nk_out) {
+  if (!srt || !rat || !row_ok || !x_lo || !x_hi || !value_out || !nk_out ||
+      R < 0 || W <= 0)
+    return -1;
+  float* fbuf = new (std::nothrow) float[W];
+  if (!fbuf) return -2;
+  for (int64_t r = 0; r < R; ++r) {
+    float* vrow = value_out + r * W;
+    std::memset(vrow, 0, W * sizeof(float));
+    nk_out[r] = 0;
+    int64_t lo = x_lo[r], hi = x_hi[r];
+    if (lo < 0) lo = 0;
+    if (hi > W) hi = W;
+    if (!row_ok[r] || hi <= lo) continue;
+    const int64_t n = hi - lo;
+    const float* src = rat + r * W + lo;
+    const float* s = srt + r * W;
+    const int64_t lo_i = (n - 1) / 2, hi_i = n / 2;
+    const float med = 0.5f * (s[lo_i] + s[hi_i]);
+
+    // the fast path needs a finite med and no NaN anywhere in the row's
+    // valid values (NaNs sort to srt[W-1]); valid +-infs are fine — their
+    // distances are inf, indistinguishable from numpy's invalid-padding
+    // infs in the distance multiset, which is exactly numpy's big2
+    const bool finite = std::isfinite(med) && !std::isnan(s[W - 1]);
+    float mdev;
+    if (finite) {
+      // j-th smallest |x - med| over the sorted row: the (j+1) closest
+      // elements form a contiguous window; binary-search its left edge
+      // (classic k-closest), the j-th distance is the window's worse end
+      auto kth_dist = [&](int64_t j) -> float {
+        int64_t l = 0, r = W - 1 - j;
+        while (l < r) {
+          const int64_t mid = (l + r) / 2;
+          if (med - s[mid] > s[mid + j + 1] - med)
+            l = mid + 1;
+          else
+            r = mid;
+        }
+        const float dl = std::fabs(s[l] - med);
+        const float dr = std::fabs(s[l + j] - med);
+        return dl > dr ? dl : dr;
+      };
+      const float d_lo = kth_dist(lo_i);
+      const float d_hi = (hi_i == lo_i) ? d_lo : kth_dist(hi_i);
+      mdev = 0.5f * (d_lo + d_hi);
+    } else {
+      // exact numpy full-width selection semantics on the raw segment
+      for (int64_t j = 0; j < n; ++j) fbuf[j] = src[j];
+      std::sort(fbuf, fbuf + n, np_less);
+      int64_t nan_cnt = 0;
+      for (int64_t j = 0; j < n; ++j) nan_cnt += std::isnan(fbuf[j]);
+      const float m2 =
+          0.5f * (np_row_select_sorted(fbuf, n, n - nan_cnt, W, lo_i) +
+                  np_row_select_sorted(fbuf, n, n - nan_cnt, W, hi_i));
+      for (int64_t j = 0; j < n; ++j) fbuf[j] = std::fabs(src[j] - m2);
+      std::sort(fbuf, fbuf + n, np_less);
+      int64_t dnan = 0;
+      for (int64_t j = 0; j < n; ++j) dnan += std::isnan(fbuf[j]);
+      mdev = 0.5f * (np_row_select_sorted(fbuf, n, n - dnan, W, lo_i) +
+                     np_row_select_sorted(fbuf, n, n - dnan, W, hi_i));
+      const float mden2 = mdev > 1e-30f ? mdev : 1e-30f;
+      int64_t nk2 = 0;
+      float* vdst2 = vrow + lo;
+      if (mdev > 0.0f) {
+        for (int64_t j = 0; j < n; ++j) {
+          if (std::fabs(src[j] - m2) / mden2 < 2.0f) {
+            vdst2[j] = src[j];
+            ++nk2;
+          }
+        }
+      } else {
+        for (int64_t j = 0; j < n; ++j) vdst2[j] = src[j];
+        nk2 = n;
+      }
+      nk_out[r] = nk2;
+      continue;
+    }
+
+    const float mden = mdev > 1e-30f ? mdev : 1e-30f;
+    int64_t nk = 0;
+    float* vdst = vrow + lo;
+    if (mdev > 0.0f) {
+      for (int64_t j = 0; j < n; ++j) {
+        if (std::fabs(src[j] - med) / mden < 2.0f) {
+          vdst[j] = src[j];
+          ++nk;
+        }
+      }
+    } else {
+      for (int64_t j = 0; j < n; ++j) vdst[j] = src[j];
+      nk = n;
+    }
+    nk_out[r] = nk;
+  }
+  delete[] fbuf;
+  return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// out[r, j] = (row_ok[r] && x_lo[r] <= j < x_hi[r]) ? src[r, j] : +inf —
+// the masked-row build for the sorted-hybrid row stats in ONE pass
+// (numpy needs a boolean-mask build plus a where, ~3x the traffic).
+int mask_interval_f32(const float* src, int64_t R, int64_t W,
+                      const uint8_t* row_ok, const int32_t* x_lo,
+                      const int32_t* x_hi, float* out) {
+  if (!src || !row_ok || !x_lo || !x_hi || !out || R < 0 || W <= 0) return -1;
+  const float inf = std::numeric_limits<float>::infinity();
+  for (int64_t r = 0; r < R; ++r) {
+    float* o = out + r * W;
+    int64_t lo = x_lo[r], hi = x_hi[r];
+    if (lo < 0) lo = 0;
+    if (hi > W) hi = W;
+    if (!row_ok[r] || hi <= lo) {
+      for (int64_t j = 0; j < W; ++j) o[j] = inf;
+      continue;
+    }
+    for (int64_t j = 0; j < lo; ++j) o[j] = inf;
+    std::memcpy(o + lo, src + r * W + lo, (hi - lo) * sizeof(float));
+    for (int64_t j = hi; j < W; ++j) o[j] = inf;
+  }
   return 0;
 }
 
