@@ -53,12 +53,20 @@ def _batchable(options: Options) -> bool:
 
 
 def _group_key(path: str):
-    """(frames, ih, iw, depth) of a SER scan, or None for non-SER/unreadable."""
-    from ..io.ser import SerReader
+    """(frames, ih, iw) of a scan, or None when unreadable.
 
+    SER headers are parsed directly (cheap); AVI goes through open_video
+    (cv2 metadata only — frames are not decoded here)."""
     try:
-        r = SerReader(path)
-        return (r.frame_count, r.ih, r.iw, r.header.pixel_depth)
+        if path.lower().endswith(".ser"):
+            from ..io.ser import SerReader
+
+            r = SerReader(path)
+            return (r.frame_count, r.ih, r.iw)
+        from ..io.video import open_video
+
+        v = open_video(path)
+        return (v.frame_count, v.ih, v.iw)
     except Exception:
         return None
 
@@ -92,7 +100,7 @@ def read_scans_batched(
 
     groups: Dict[tuple, List[Tuple[str, Options]]] = {}
     for file, opts in tasks:
-        if not file.lower().endswith(".ser"):
+        if not file.lower().endswith((".ser", ".avi")):
             continue
         try:
             if os.path.getsize(file) > max_bytes:

@@ -12,7 +12,7 @@ from solex_ser_recon_en_tpu.config import Options
 from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
 
 
-def _mk_batch(tmp_path, n=4):
+def _mk_batch(tmp_path, n=4, n_avi=0):
     scan = SyntheticScan(ih=96, iw=64, frames=40, depth=16,
                          line_poly=(32.0, 0.01, 0.0, 0.0), noise=0.002,
                          seed=7)
@@ -21,6 +21,20 @@ def _mk_batch(tmp_path, n=4):
         p = str(tmp_path / f"b{i}.ser")
         scan.write(p, transpose_to_wide=True)
         files.append(p)
+    if n_avi:
+        import cv2
+
+        base = scan.generate()
+        frames8 = (base >> 8).astype(np.uint8)
+        h, w = frames8.shape[1:]
+        for i in range(n_avi):
+            p = str(tmp_path / f"a{i}.avi")
+            vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"Y800"), 30,
+                                 (w, h), isColor=False)
+            for f in frames8:
+                vw.write(f)
+            vw.release()
+            files.append(p)
     return files
 
 
@@ -69,17 +83,19 @@ def test_handle_files_batches_same_shape_scans(tmp_path, monkeypatch):
 
     cli_main = sys.modules["solex_ser_recon_en_tpu.cli.main"]
 
-    files = _mk_batch(tmp_path, 4)
+    files = _mk_batch(tmp_path, 4, n_avi=2)  # mixed SER + AVI, same shape
     monkeypatch.setenv("SOLEX_BATCH_MIN_FILES", "3")
 
     def run(outname):
         outdir = tmp_path / outname
         outdir.mkdir()
-        opts = Options(shift=[0], clahe_only=True, ratio_fixe=1.0,
-                       slant_fix=0.0, output_dir=str(outdir),
+        # real ellipse fit (ratio_fixe's backup-bounds strip would span
+        # the synthetic AVI's exact-zero borders -> inf log ratios, a
+        # pre-existing corpus/option interaction in BOTH paths)
+        opts = Options(shift=[0], clahe_only=True, output_dir=str(outdir),
                        mesh={"frame": 2})
         done = handle_files(list(files), opts)
-        assert done == 4, done
+        assert done == 6, done
         return outdir
 
     from solex_ser_recon_en_tpu.io import read_image
@@ -98,7 +114,7 @@ def test_handle_files_batches_same_shape_scans(tmp_path, monkeypatch):
     batched = run("batched")
     prods_b = sorted(p.name for p in batched.iterdir() if p.suffix == ".png")
     prods_p = sorted(p.name for p in plain.iterdir() if p.suffix == ".png")
-    assert prods_b == prods_p and len(prods_b) == 4
+    assert prods_b == prods_p and len(prods_b) == 6
     for name in prods_b:
         a = np.asarray(read_image(str(batched / name)), dtype=np.int64)
         b = np.asarray(read_image(str(plain / name)), dtype=np.int64)
