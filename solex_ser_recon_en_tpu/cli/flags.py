@@ -217,8 +217,14 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
     # of editing argv (multi-host launchers)
     if options.num_processes == 1 and "SOLEX_NUM_PROCESSES" in os.environ:
         try:
-            options.num_processes = int(os.environ["SOLEX_NUM_PROCESSES"])
-            options.process_id = int(os.environ.get("SOLEX_PROCESS_ID", "0"))
+            # parse BOTH before assigning either: a malformed process id
+            # must not leave num_processes applied with process_id=0 (this
+            # host would silently take shard 0's files and nobody else's)
+            n = int(os.environ["SOLEX_NUM_PROCESSES"])
+            pid = int(os.environ.get("SOLEX_PROCESS_ID", "0"))
         except ValueError:
             print("malformed SOLEX_NUM_PROCESSES/SOLEX_PROCESS_ID ignored")
+        else:
+            options.num_processes = n
+            options.process_id = pid
     return files

@@ -256,9 +256,11 @@ def fast_passa(r: SerReader, shifts, sample_target: int = 64,
             margin = int(os.environ.get("SOLEX_FASTPASSA_MARGIN", "18"))
         except ValueError:
             margin = 18
+    default_mb = str(FAST_PASSA_MIN_BYTES // 1024**2)
     try:
         min_bytes = int(
-            float(os.environ.get("SOLEX_FASTPASSA_MIN_MB", "256")) * 1024**2
+            float(os.environ.get("SOLEX_FASTPASSA_MIN_MB", default_mb))
+            * 1024**2
         )
     except ValueError:
         min_bytes = FAST_PASSA_MIN_BYTES

@@ -116,22 +116,19 @@ def shard_scan_recon(frames, ind_l, left_w, mesh: Mesh, kernel: str = "onehot"):
 
 @jax.jit
 def _batched_recon(frames, ind_l, left_w):
-    """Batched mean/max + recon for B same-shape scans in ONE program.
+    """Batched recon for B same-shape scans in ONE program.
 
     frames (B, F, ih, iw) uint16; ind_l (B, S, ih) int32; left_w (B, ih)
-    float32.  The folder-batch front half of ``_batched_step`` (no warp —
-    the circularisation matrices are only known after the per-scan ellipse
-    fit, which consumes these disks).  Returns (mean (B, ih, iw) u16,
-    max (B, ih, iw) u16, raw (B, S, ih, F) u16).
+    float32.  The folder-batch data plane (no warp — the circularisation
+    matrices are only known after the per-scan ellipse fit, which consumes
+    these disks; no mean/max — the line fit needed those BEFORE this
+    program's inputs could be built, so the caller computed them host-side).
+    Returns raw disks (B, S, ih, F) uint16.
     """
     from ..ops.recon import _recon_onehot
 
     def one(frames1, ind1, w1):
-        s = jnp.sum(frames1.astype(jnp.int32), axis=0)
-        mean = (s // frames1.shape[0]).astype(jnp.uint16)
-        mx = jnp.max(frames1, axis=0)
-        disks = _recon_onehot(frames1, ind1, w1, iw=frames1.shape[2])
-        return mean, mx, disks
+        return _recon_onehot(frames1, ind1, w1, iw=frames1.shape[2])
 
     return jax.vmap(one)(frames, ind_l, left_w)
 

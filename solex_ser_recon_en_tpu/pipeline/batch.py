@@ -5,7 +5,7 @@ The reference's batch model is a per-file process Pool
 (Solex_recon.py:26-44): every scan pays its own pass A, recon dispatch and
 product program.  On a TPU the per-dispatch latency and the tiny per-file
 tensors leave the chip idle; grouping B same-shape scans into a
-(B, F, ih, iw) slab and running mean/max + recon as one vmapped program
+(B, F, ih, iw) slab and running the recon as one vmapped program
 (parallel/mesh.py:device_recon_batch, sharded ('batch', 'frame') under a
 mesh) amortises all of it.  The control plane (line fit per file, ellipse
 fit, transversalium) stays per-file host code operating on the batched
@@ -78,17 +78,9 @@ def read_scans_batched(
     """Batched read+recon for the same-shape SER groups within ``tasks``.
 
     Returns {file: ScanResult} for every file it handled; callers run the
-    remaining files through the per-file read_scan.  Never raises for a
-    single bad file — it just isn't included.
+    remaining files through the per-file read_scan.  Never raises: a bad
+    file is skipped, a bad GROUP falls back whole to the per-file reader.
     """
-    from ..geometry.linefit import fit_spectral_line
-    from ..io.fits import make_header
-    from ..io.hostreduce import host_mean_max_frames
-    from ..io.video import open_video
-    from ..ops.recon import build_shift_indices
-    from ..parallel.mesh import device_recon_batch, mesh_from_options
-    from .run import ScanResult
-
     if not tasks or not _batchable(tasks[0][1]):
         return {}
     try:
@@ -115,92 +107,132 @@ def read_scans_batched(
     for key, members in groups.items():
         if len(members) < min_files:
             continue
-        frames_list, fits, metas = [], [], []
-        for file, opts in members:
-            try:
-                timer = timers.setdefault(file, StageTimer())
-                basefich0 = os.path.splitext(file)[0]
-                opts.basefich0 = basefich0
-                log = RunLog(basefich0, opts)
-                log.clear()
-                log("Pixel shift : " + str(opts.shift))
-                requested = list(opts.shift)
-                opts.shift_requested = requested
-                shifts = list(dict.fromkeys(
-                    [opts.ellipse_fit_shift, 0] + requested))
-                with timer.stage("open"):
-                    vid = open_video(file)
-                log(f"Width, Height : {vid.Width} {vid.Height}")
-                log(f"Number of frames : {vid.frame_count}")
-                with timer.stage("mean/max"):
-                    frames = np.asarray(vid.read_all())
-                    mean_img, max_img = host_mean_max_frames(frames)
-                with timer.stage("line fit"):
-                    lf = fit_spectral_line(mean_img, max_img)
-                log(f"Vertical limits y1, y2 : {lf.y1} {lf.y2}")
-                log("Spectral line polynomial fit: " + str(lf.poly))
-                frames_list.append(frames)
-                fits.append(lf)
-                metas.append((file, opts, shifts, requested, mean_img,
-                              make_header(vid.iw, vid.ih), basefich0, log))
-            except Exception:
-                import traceback
+        try:
+            _process_group(key, members, min_files, timers, out)
+        except Exception:
+            # one bad group must not cost the other groups their batched
+            # work — its members fall back to the per-file reader
+            import traceback
 
-                traceback.print_exc()
-        if len(frames_list) < min_files:
-            continue
-
-        # shift lists can differ per file only via options copies — the
-        # batch driver hands out copies of ONE options object, so S aligns;
-        # a mismatched straggler falls back to the per-file path
-        S = len(metas[0][2])
-        aligned = [i for i in range(len(metas)) if len(metas[i][2]) == S]
-        if len(aligned) < min_files:
-            continue
-        iw = key[2]
-        ind_all, w_all = [], []
-        for i in aligned:
-            lf = fits[i]
-            ind_l, left_w = build_shift_indices(
-                lf.floor, lf.frac, metas[i][2], iw)
-            ind_all.append(ind_l)
-            w_all.append(left_w)
-
-        stamp = timers[metas[aligned[0]][0]]
-        with stamp.stage("recon"):
-            mesh = mesh_from_options(members[0][1].mesh)
-            mean_b, max_b, raw_b = device_recon_batch(
-                np.stack([frames_list[i] for i in aligned]),
-                np.stack(ind_all), np.stack(w_all), mesh=mesh)
-            import jax
-
-            raw_b = jax.block_until_ready(raw_b)
-
-        for slot, i in enumerate(aligned):
-            file, opts, shifts, requested, mean_img, hdr, basefich0, log = \
-                metas[i]
-            lf = fits[i]
-            plot_wanted = (not opts.clahe_only and not opts.protus_only
-                           and not opts._nolog)
-            if plot_wanted:
-                from ..io.writers import submit as submit_write
-                from .plots import save_spectral_line_plot
-
-                submit_write(
-                    save_spectral_line_plot,
-                    output_path(basefich0 + "_spectral_line_data.png", opts),
-                    mean_img, lf,
-                )
-            out[file] = ScanResult(
-                disk_list=raw_b[slot],
-                shifts=shifts,
-                shift_requested=requested,
-                backup_bounds=(lf.y1, lf.y2),
-                header=hdr,
-                basefich0=basefich0,
-                mean_img=mean_img,
-                linefit=lf,
-                small_ops_host=False,
-                host_pipeline=False,
-            )
+            traceback.print_exc()
     return out
+
+
+def _process_group(key, members, min_files, timers, out) -> None:
+    from ..geometry.linefit import fit_spectral_line
+    from ..io.fits import make_header
+    from ..io.hostreduce import host_mean_max_frames
+    from ..io.video import open_video
+    from ..ops.recon import build_shift_indices
+    from ..parallel.mesh import device_recon_batch, mesh_from_options
+    from .run import ScanResult
+
+    frames_list, fits, metas = [], [], []
+    for file, opts in members:
+        try:
+            timer = timers.setdefault(file, StageTimer())
+            basefich0 = os.path.splitext(file)[0]
+            opts.basefich0 = basefich0
+            log = RunLog(basefich0, opts)
+            log.clear()
+            log("Pixel shift : " + str(opts.shift))
+            requested = list(opts.shift)
+            opts.shift_requested = requested
+            shifts = list(dict.fromkeys(
+                [opts.ellipse_fit_shift, 0] + requested))
+            with timer.stage("open"):
+                vid = open_video(file)
+            log(f"Width, Height : {vid.Width} {vid.Height}")
+            log(f"Number of frames : {vid.frame_count}")
+            with timer.stage("mean/max"):
+                frames = np.asarray(vid.read_all())
+                mean_img, max_img = host_mean_max_frames(frames)
+            with timer.stage("line fit"):
+                lf = fit_spectral_line(mean_img, max_img)
+            log(f"Vertical limits y1, y2 : {lf.y1} {lf.y2}")
+            log("Spectral line polynomial fit: " + str(lf.poly))
+            frames_list.append(frames)
+            fits.append(lf)
+            metas.append((file, opts, shifts, requested, mean_img,
+                          make_header(vid.iw, vid.ih), basefich0, log))
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    if len(frames_list) < min_files:
+        return
+
+    # shift lists can differ per file only via options copies — the
+    # batch driver hands out copies of ONE options object, so S aligns;
+    # a mismatched straggler falls back to the per-file path
+    S = len(metas[0][2])
+    aligned = [i for i in range(len(metas)) if len(metas[i][2]) == S]
+    if len(aligned) < min_files:
+        return
+    iw = key[2]
+    ind_all, w_all = [], []
+    for i in aligned:
+        lf = fits[i]
+        ind_l, left_w = build_shift_indices(
+            lf.floor, lf.frac, metas[i][2], iw)
+        ind_all.append(ind_l)
+        w_all.append(left_w)
+
+    # cap the slab: B is chunked so one device call never stages more
+    # than ~SOLEX_BATCH_SLAB_MB of frames (a 300-file folder of 64 MB
+    # scans must not np.stack 19 GB); chunks still amortise dispatch
+    try:
+        slab_bytes = int(float(os.environ.get(
+            "SOLEX_BATCH_SLAB_MB", "512")) * 1024**2)
+    except ValueError:
+        slab_bytes = 512 * 1024**2
+    per_file = max(1, frames_list[aligned[0]].nbytes)
+    chunk_b = max(min_files, slab_bytes // per_file)
+
+    import jax
+
+    mesh = mesh_from_options(members[0][1].mesh)
+    stamp = timers[metas[aligned[0]][0]]
+    raw_parts = []
+    with stamp.stage("recon"):
+        for c0 in range(0, len(aligned), chunk_b):
+            sel = range(c0, min(c0 + chunk_b, len(aligned)))
+            raw = device_recon_batch(
+                np.stack([frames_list[aligned[k]] for k in sel]),
+                np.stack([ind_all[k] for k in sel]),
+                np.stack([w_all[k] for k in sel]),
+                mesh=mesh)
+            raw_parts.append(jax.block_until_ready(raw))
+
+    for slot, i in enumerate(aligned):
+        file, opts, shifts, requested, mean_img, hdr, basefich0, log = \
+            metas[i]
+        lf = fits[i]
+        disks = raw_parts[slot // chunk_b][slot % chunk_b]
+        if opts.flip_x:  # mirror like read_scan (run.py flip_x branch)
+            disks = disks[:, :, ::-1]
+        hdr["NAXIS1"] = disks.shape[2]  # recon width (reference :65)
+        plot_wanted = (not opts.clahe_only and not opts.protus_only
+                       and not opts._nolog)
+        if plot_wanted:
+            from ..io.writers import submit as submit_write
+            from .plots import save_spectral_line_plot
+
+            submit_write(
+                save_spectral_line_plot,
+                output_path(basefich0 + "_spectral_line_data.png", opts),
+                mean_img, lf,
+            )
+        out[file] = ScanResult(
+            disk_list=disks,
+            shifts=shifts,
+            shift_requested=requested,
+            backup_bounds=(lf.y1, lf.y2),
+            header=hdr,
+            basefich0=basefich0,
+            mean_img=mean_img,
+            linefit=lf,
+            small_ops_host=False,
+            host_pipeline=False,
+        )
+

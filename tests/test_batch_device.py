@@ -56,21 +56,18 @@ def test_batched_recon_matches_per_file(tmp_path, monkeypatch):
     ind_b = np.broadcast_to(ind_l, (B,) + ind_l.shape)
     w_b = np.broadcast_to(left_w, (B,) + left_w.shape)
 
-    mean_b, max_b, raw_b = device_recon_batch(frames, ind_b, w_b)
+    raw_b = device_recon_batch(frames, ind_b, w_b)
     for i in range(B):
         per = np.asarray(reconstruct(frames[i], floor, frac, shifts,
                                      kernel="onehot"))
         np.testing.assert_array_equal(np.asarray(raw_b[i]), per)
-        np.testing.assert_array_equal(np.asarray(max_b[i]),
-                                      frames[i].max(axis=0))
 
     # sharded over a ('batch', 'frame') mesh: bit-identical to unsharded
     devs = jax.devices()
     if len(devs) >= 4:
         mesh = make_mesh({"batch": 2, "frame": 2}, devs[:4])
-        m2, x2, r2 = device_recon_batch(frames, ind_b, w_b, mesh=mesh)
+        r2 = device_recon_batch(frames, ind_b, w_b, mesh=mesh)
         np.testing.assert_array_equal(np.asarray(r2), np.asarray(raw_b))
-        np.testing.assert_array_equal(np.asarray(m2), np.asarray(mean_b))
 
 
 def test_handle_files_batches_same_shape_scans(tmp_path, monkeypatch):
@@ -120,3 +117,43 @@ def test_handle_files_batches_same_shape_scans(tmp_path, monkeypatch):
         b = np.asarray(read_image(str(plain / name)), dtype=np.int64)
         assert a.shape == b.shape
         assert np.abs(a - b).max() <= 3, name  # stretch amplifies 1 LSB
+
+
+def test_batched_reader_applies_flip_x(tmp_path, monkeypatch):
+    """options.flip_x must mirror batched disks exactly like read_scan
+    (review finding: the batched reader silently dropped the mirror)."""
+    import sys
+
+    from solex_ser_recon_en_tpu.cli.main import handle_files
+
+    cli_main = sys.modules["solex_ser_recon_en_tpu.cli.main"]
+    files = _mk_batch(tmp_path, 3)
+    monkeypatch.setenv("SOLEX_BATCH_MIN_FILES", "3")
+
+    def run(outname):
+        outdir = tmp_path / outname
+        outdir.mkdir()
+        opts = Options(shift=[0], clahe_only=True, flip_x=True,
+                       output_dir=str(outdir), mesh={"frame": 2})
+        assert handle_files(list(files), opts) == 3
+        return outdir
+
+    monkeypatch.setenv("SOLEX_NO_DEVICE_BATCH", "1")
+    plain = run("plain")
+    monkeypatch.delenv("SOLEX_NO_DEVICE_BATCH")
+
+    def boom(*a, **k):
+        raise AssertionError("per-file read_scan must not run")
+
+    monkeypatch.setattr(cli_main, "read_scan", boom)
+    batched = run("batched")
+
+    from solex_ser_recon_en_tpu.io import read_image
+
+    for p in sorted(plain.iterdir()):
+        if p.suffix != ".png":
+            continue
+        a = np.asarray(read_image(str(batched / p.name)), dtype=np.int64)
+        b = np.asarray(read_image(str(p)), dtype=np.int64)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() <= 3, p.name
