@@ -512,6 +512,45 @@ def run_config(n: int, paired: bool = True) -> dict:
         process_file(SCAN, make_opts(), timer)
         return time.perf_counter() - t0, timer.times
 
+    def reference_actual(flags, scans=None) -> dict:
+        """One run of the ACTUAL reference with CLI-expressible flags
+        (benchmarks/run_reference.py; shims documented there).  Subprocess
+        + timeout so its Pool can never wedge the bench; {} on any failure
+        (e.g. SOLEX_BENCH_SKIP_REFERENCE=1)."""
+        if os.environ.get("SOLEX_BENCH_SKIP_REFERENCE") == "1":
+            return {}
+        try:
+            import subprocess
+
+            ref_dir = os.path.join(BENCH_DIR, f"ref_actual_c{n}")
+            shutil.rmtree(ref_dir, ignore_errors=True)
+            os.makedirs(ref_dir)
+            links = []
+            for scan in (scans or [SCAN]):
+                link = os.path.join(ref_dir, os.path.basename(scan))
+                os.symlink(scan, link)
+                links.append(link)
+            env = dict(os.environ)
+            env.pop("JAX_PLATFORMS", None)  # shims never run a jax op
+            runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "run_reference.py")
+            proc = subprocess.run(
+                [sys.executable, runner, *links, flags],
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=ref_dir)
+            ref = json.loads(proc.stdout.strip().splitlines()[-1])
+            if not ref.get("products_written"):
+                # the reference swallows per-file errors; a run that wrote
+                # nothing is a failure, not a timing (e.g. it asserts on
+                # scans whose 4x-downscaled disk is under ~100 rows)
+                return {"reference_actual_note":
+                        "reference produced no outputs on this corpus"}
+            return {"reference_actual_s": ref["reference_actual_s"],
+                    "reference_products": ref["products_written"],
+                    "reference_flags": flags}
+        except Exception as e:
+            return {"reference_actual_error": str(e)[:200]}
+
     def paired_result(metric, make_opts, cpu_kwargs) -> dict:
         # best-of-2 timed runs with the live CPU replica SANDWICHED between
         # them: one ambient-congestion burst can stretch a single run 10x+
@@ -545,21 +584,31 @@ def run_config(n: int, paired: bool = True) -> dict:
         return out
 
     if n == 2:  # 16-bit + transversalium + all five FITS products
-        return paired_result(
+        out = paired_result(
             "config2_all_fits_outputs",
             lambda: Options(shift=[0], save_fit=True, transversalium=True,
                             output_dir=outdir),
             dict(shifts=[0], transversalium=True, save_fits=True,
                  protus=True, figures=True),
         )
+        out.update(reference_actual("-fw0"))
+        if "reference_actual_s" in out:
+            out["vs_reference_actual"] = round(
+                out["reference_actual_s"] / out["value"], 2)
+        return out
     if n == 3:  # Doppler sweep
         sweep = list(range(-10, 11, 5))
-        return paired_result(
+        out = paired_result(
             "config3_doppler_sweep_5_shifts",
             lambda: Options(shift=list(sweep), clahe_only=True,
                             output_dir=outdir),
             dict(shifts=sweep, clahe_only=True),
         )
+        out.update(reference_actual("-cw-10:10:5"))
+        if "reference_actual_s" in out:
+            out["vs_reference_actual"] = round(
+                out["reference_actual_s"] / out["value"], 2)
+        return out
     if n == 4:  # protus mode
         return paired_result(
             "config4_protus_mode",
@@ -634,6 +683,13 @@ def run_config(n: int, paired: bool = True) -> dict:
             out["cpu_runs_s"] = [round(c, 2) for c in cpu_runs]
             out["cpu_reference_s"] = round(min(cpu_runs), 2)
             out["vs_baseline"] = round(min(cpu_runs) / dt, 2)
+        # the ACTUAL reference over the same 50-file batch (its CLI takes
+        # multiple files; its own Pool(4) runs them — Solex_recon.py:30)
+        out.update(reference_actual(
+            "-cw0", scans=[os.path.join(folder, f) for f in files]))
+        if "reference_actual_s" in out:
+            out["vs_reference_actual"] = round(
+                out["reference_actual_s"] / dt, 2)
         return out
     raise SystemExit(f"unknown config {n}")
 
@@ -730,6 +786,8 @@ def main() -> None:
             )
             line = proc.stdout.strip().splitlines()[-1]
             ref = json.loads(line)
+            if not ref.get("products_written", 1):
+                raise RuntimeError("reference produced no outputs")
             result["reference_actual_s"] = ref["reference_actual_s"]
             result["reference_actual_runs_s"] = ref["runs_s"]
             result["reference_actual_shims"] = ref["shimmed"]

@@ -51,9 +51,25 @@ def main() -> None:
         t0 = time.perf_counter()
         runpy.run_path(sys.argv[0], run_name="__main__")
         runs.append(round(time.perf_counter() - t0, 3))
+    # count products actually written (the reference swallows per-file
+    # errors — e.g. it asserts on scans whose 4x-downscaled disk is under
+    # ~100 rows, get_flood_image's int(h*0.01) blur — so a "finished" run
+    # may have produced nothing; callers must check)
+    products = 0
+    for a in args:
+        base = os.path.splitext(a)[0]
+        d = os.path.dirname(os.path.abspath(a)) or "."
+        name = os.path.basename(base)
+        try:
+            products += sum(
+                1 for f in os.listdir(d)
+                if f.startswith(name) and f.endswith((".png", ".fits")))
+        except OSError:
+            pass
     print(json.dumps({
         "reference_actual_s": min(runs),
         "runs_s": runs,
+        "products_written": products,
         "shimmed": ["FreeSimpleGUI", "skimage", "astropy.io.fits",
                     "ellipse.LsqEllipse"],
     }))
