@@ -105,9 +105,21 @@ def get_edge_list(image: np.ndarray, sigma: float = 2.0) -> Tuple[np.ndarray, np
         low = float(np.median(_blur(image, 5, 5))) / 10
         high = low * 1.5
         flooded = get_flood_image(image)
-        with small_ops():
-            edges = np.asarray(canny(jnp.asarray(flooded), sigma=float(sigma),
-                                     low_threshold=low, high_threshold=high))
+        if flooded.size <= 65536 and isinstance(flooded, np.ndarray):
+            # tiny blobs (folder batches of small scans): the XLA canny's
+            # dispatch latency dwarfs the math; the numpy twin computes
+            # the same algorithm (ops/canny_host.py) — the choice is by
+            # SIZE only, so host and device feeds of the same scan always
+            # agree with each other
+            from ..ops.canny_host import canny as canny_host
+
+            edges = canny_host(flooded, sigma=float(sigma),
+                               low_threshold=low, high_threshold=high)
+        else:
+            with small_ops():
+                edges = np.asarray(
+                    canny(jnp.asarray(flooded), sigma=float(sigma),
+                          low_threshold=low, high_threshold=high))
         raw_X = np.argwhere(edges)
         labelled, nf = scipy.ndimage.label(edges, structure=np.ones((3, 3)))
         if nf > 0:

@@ -59,23 +59,14 @@ def test_canny_hysteresis_connects_weak_edges():
 
 
 def test_refshim_canny_matches_device_kernel():
-    """The pure-numpy canny in benchmarks/refshims must agree with the
-    device kernel on the binarised blobs the reference feeds it."""
-    import importlib.util
-    import os
-
+    """The jax-free numpy canny (ops/canny_host.py — backs both the small-
+    blob dispatch in geometry/edges and the refshims' skimage.feature)
+    must agree with the device kernel on the binarised blobs it is fed."""
     import jax.numpy as jnp
     import numpy as np
 
+    from solex_ser_recon_en_tpu.ops import canny_host as shim
     from solex_ser_recon_en_tpu.ops.canny import canny as dev_canny
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "refshim_feature",
-        os.path.join(repo, "benchmarks", "refshims", "skimage", "feature",
-                     "__init__.py"))
-    shim = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(shim)
 
     rng = np.random.default_rng(4)
     for _ in range(4):
