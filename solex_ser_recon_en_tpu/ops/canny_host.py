@@ -24,11 +24,16 @@ def _gaussian_kernel_1d(sigma):
     radius = int(4.0 * sigma + 0.5)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return (k / k.sum()).astype(np.float32)
+    return k / k.sum()
 
 
 def canny(image, sigma=1.0, low_threshold=None, high_threshold=None):
-    img = np.asarray(image, dtype=np.float32)
+    # float64 like skimage's own canny: on a CONSTANT image the support-mask
+    # division must cancel to ~1e-10 noise so the magnitude floor below
+    # genuinely silences the degenerate flat case (float32 leaves ~0.2-1.0
+    # absolute ripple on 65000-scale data, which a low_threshold of 0 —
+    # the median of an all-dark image — would pass)
+    img = np.asarray(image, dtype=np.float64)
     k = _gaussian_kernel_1d(float(sigma))
     sm = ndi.convolve1d(ndi.convolve1d(img, k, axis=0, mode="constant"),
                         k, axis=1, mode="constant")
@@ -61,11 +66,10 @@ def canny(image, sigma=1.0, low_threshold=None, high_threshold=None):
         keep |= (sector == s) & (mag >= a) & (mag >= b)
     border = np.zeros(mag.shape, bool)
     border[1:-1, 1:-1] = True
-    # strictly-positive magnitude with a tiny absolute floor: on a CONSTANT
-    # image the support-mask division leaves float-noise gradients (~1e-4 of
-    # 65000-scale data) whose exact pattern differs between implementations;
-    # real limb gradients are thousands, so the floor only silences the
-    # degenerate all-flat case (edge-free input must yield no edges)
+    # strictly-positive magnitude with a tiny absolute floor: even in f64 a
+    # CONSTANT image leaves ~1e-10 float-noise gradients; real limb
+    # gradients are thousands, so the floor only silences the degenerate
+    # all-flat case (edge-free input must yield no edges)
     keep &= border & (mag > 1e-3)
 
     low = keep & (mag >= float(low_threshold))
