@@ -424,6 +424,18 @@ def correct_transversalium(
         out = stubborn_filter(img, flag, y1, y2, circle)
         return out, c
 
+    from .products import host_products_enabled
+
+    if host_products_enabled():
+        # full-host mode (CPU product core): the downstream stages (crop,
+        # products) are host-side, so the row multiply must NOT place the
+        # disk on the accelerator — on a dead-downlink relay the next
+        # stage's np.asarray would stall for minutes on the readback.
+        # Bit-identical to apply_row_gain: same float32 multiply/clip/cast.
+        out_h = (np.asarray(img, dtype=np.float32)
+                 * np.asarray(c, dtype=np.float32)[:, None])
+        return np.clip(out_h, 0, 65535).astype(np.uint16), c
+
     # stays a device array — downstream stages (crop, products) are
     # device-side; callers download only for file writes
     out = apply_row_gain(jnp.asarray(img), jnp.asarray(c, dtype=np.float32))

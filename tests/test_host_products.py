@@ -224,3 +224,37 @@ def test_needed_products_gates_match_save_behaviour(tmp_path):
     a = read_image(str(tmp_path / "lazy_clahe.png"))
     b = read_image(str(tmp_path / "full_clahe.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_correct_transversalium_stays_host_side(monkeypatch):
+    """Under the host product core, correct_transversalium must return a
+    NUMPY array, not a device placement: on a dead-downlink relay the next
+    stage's np.asarray (crop_width, pipeline/run.py) stalls minutes on the
+    readback.  The host multiply must also be bit-identical to the device
+    apply_row_gain program."""
+    from solex_ser_recon_en_tpu.pipeline.transversalium import (
+        correct_transversalium,
+    )
+
+    rng = np.random.default_rng(11)
+    img = _disk_image(rng, h=128, w=110)
+    circle = (55.0, 64.0, 48.0)  # (cx, cy, r)
+    borders = [0, circle[1] - circle[2] + 6, img.shape[1] - 1,
+               circle[1] + circle[2] - 6]
+
+    monkeypatch.setenv("SOLEX_HOST_PRODUCTS", "1")
+    out_h, c_h = correct_transversalium(img, circle, borders, 301)
+    assert type(out_h) is np.ndarray, "host mode leaked a device array"
+    assert c_h[int(circle[1])] != 1.0  # the correction actually did work
+
+    # the host multiply is bit-identical to the device apply_row_gain
+    # program given the same gain (the row-STATS paths differ by ~1e-8
+    # f32 reduction order — covered by the stats equivalence tests)
+    import jax.numpy as jnp
+
+    from solex_ser_recon_en_tpu.ops.rowstats import apply_row_gain
+
+    ref = np.asarray(
+        apply_row_gain(jnp.asarray(img), jnp.asarray(c_h, dtype=np.float32))
+    )
+    np.testing.assert_array_equal(out_h, ref)
