@@ -857,4 +857,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
+    # hard-exit: on a half-dead relay the axon plugin's C++ teardown can
+    # abort the interpreter (observed: "terminate called after throwing an
+    # instance of ''" -> exit 134) AFTER the result lines are printed; a
+    # nonzero rc must not cost the driver an otherwise-complete artifact.
+    # All bench output is already flushed (flush=True on both prints).
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -312,8 +312,14 @@ def stubborn_filter(
         else:
             prev = filt2[i, :]
 
-    result3 = np.asarray(mean_filter_hole(jnp.asarray(filt2), linlen, half_width))
-    result4 = np.asarray(mean_filter_line(jnp.asarray(logimg), linlen))
+    # host_ops: in full-host mode these run the same jitted programs on
+    # XLA:CPU — the readbacks below must not cross a dead downlink
+    from ..utils.placement import host_ops
+
+    with host_ops():
+        result3 = np.asarray(
+            mean_filter_hole(jnp.asarray(filt2), linlen, half_width))
+        result4 = np.asarray(mean_filter_line(jnp.asarray(logimg), linlen))
     delta = result4 - result3
 
     n = y2 - y1

@@ -33,7 +33,13 @@ def remove_vignette(frame: np.ndarray, circle) -> np.ndarray:
     ``circle`` is the fitted (cx, cy, r) from the ellipse step; without a
     valid circle the caller must skip (Solex_recon.py:125-128).
     """
-    y_arr, y_arr2 = (np.asarray(a, dtype=np.float64) for a in _axis_percentiles(jnp.asarray(frame)))
+    from ..utils.placement import host_ops
+
+    # host_ops: in full-host mode the percentiles run the same jitted
+    # program on XLA:CPU — the readback must not cross a dead downlink
+    with host_ops():
+        y_arr, y_arr2 = (np.asarray(a, dtype=np.float64)
+                         for a in _axis_percentiles(jnp.asarray(frame)))
     shrink = 65
     start1 = max(0, int(circle[0] - circle[2] + shrink))
     end1 = min(y_arr.shape[0], int(circle[0] + circle[2] + 1 - shrink))
