@@ -102,7 +102,12 @@ def canny(
         keep = jnp.where((sector == s) & (mag >= a) & (mag >= b), True, keep)
     # exclude the one-pixel border (skimage erodes the support mask)
     border = jnp.zeros(mag.shape, bool).at[1:-1, 1:-1].set(True)
-    keep = keep & border & (mag > 0)
+    # tiny absolute magnitude floor, same as ops/canny_host.py: a CONSTANT
+    # image's support-mask division leaves backend-dependent f32 rounding
+    # ripple (exactly zero on XLA:CPU, not guaranteed elsewhere); real limb
+    # gradients are thousands, so this only silences the degenerate flat
+    # case (edge-free input must yield no edges on every backend)
+    keep = keep & border & (mag > 1e-3)
 
     low = keep & (mag >= low_threshold)
     high = keep & (mag >= high_threshold)
