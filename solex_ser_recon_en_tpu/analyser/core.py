@@ -88,16 +88,22 @@ def auto_dispersion(
     if n_guesses is None:
         n_guesses = W * 3
     scales = np.linspace(scale_range[0], scale_range[1], n_guesses)
-    corr = _corr_scan(
-        jnp.asarray(np.log(np.maximum(spectrum, 1e-12)), dtype=jnp.float32),
-        jnp.float32(atlas.first),
-        jnp.float32(atlas.step),
-        jnp.asarray(atlas.intensity, dtype=jnp.float32),
-        jnp.asarray(scales, dtype=jnp.float32),
-        jnp.float32(anchor_x),
-        jnp.float32(anchor_wavelength),
-    )
-    corr = np.asarray(corr)
+    from ..utils.placement import small_ops
+
+    # small_ops: under a host-pinned session (dead downlink) the vmapped
+    # correlation runs the same program on XLA:CPU — the readback below
+    # must not cross the link
+    with small_ops():
+        corr = _corr_scan(
+            jnp.asarray(np.log(np.maximum(spectrum, 1e-12)), dtype=jnp.float32),
+            jnp.float32(atlas.first),
+            jnp.float32(atlas.step),
+            jnp.asarray(atlas.intensity, dtype=jnp.float32),
+            jnp.asarray(scales, dtype=jnp.float32),
+            jnp.float32(anchor_x),
+            jnp.float32(anchor_wavelength),
+        )
+        corr = np.asarray(corr)
     k = int(np.argmax(corr))
     return float(scales[k]), float(corr[k])
 
@@ -192,6 +198,14 @@ class SpectralAnalyser:
         self._frames_dev = None
         self.transfer_count = 0  # session slab uploads (tests assert <= 1)
         self._recon_mode = self._pick_recon_mode()
+        # align the small-op/bulk placement policy with the session's feed
+        # decision, exactly like the pipeline's feed policy does: in host
+        # mode the geometry chain (canny, warp) and the atlas correlation
+        # must not route through a dead downlink
+        from ..utils.placement import set_host_pipeline, set_small_ops_on_host
+
+        set_small_ops_on_host(self._recon_mode == "host")
+        set_host_pipeline(self._recon_mode == "host")
         if self._recon_mode == "device":
             mean_img, max_img = mean_max(self._device_frames())
         else:
@@ -267,11 +281,21 @@ class SpectralAnalyser:
             return "host"
         if fm in ("device", "band"):
             return "device"
+        from ..io.feeder import (
+            cached_probe_rate,
+            d2h_responsive,
+            probe_transfer_rate,
+        )
+
+        # every preview/GOTO ends in a device->host readback of the recon
+        # disk: a dead or trickling DOWNLOAD direction makes the device
+        # session unusable no matter how small the upload is (each relay
+        # direction has its own weather — see io/feeder.d2h_responsive)
+        if jax.default_backend() != "cpu" and not d2h_responsive():
+            return "host"
         nbytes = self.frames.nbytes
         if nbytes <= 64 * 1024 * 1024:
             return "device"  # small slab: upload cost is trivial either way
-        from ..io.feeder import cached_probe_rate, probe_transfer_rate
-
         rate = cached_probe_rate()
         if rate is None:
             rate = probe_transfer_rate()
