@@ -250,4 +250,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    rc = main()
+    # hard-exit with the real rc: on a half-dead relay the axon plugin's
+    # C++ teardown can abort the interpreter (exit 134) AFTER a fully
+    # successful run, breaking callers that check the exit status.  All
+    # outputs are already durable here (writer pools are joined inside
+    # handle_files, the profiler trace is written before main returns).
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(rc)
