@@ -57,17 +57,29 @@ def write_ini(options: dict, path: str = CONFIG_NAME) -> None:
 
 def apply_clahe(file: str, options: dict, write_file: bool = True) -> np.ndarray:
     """reference: clahe_apply.py:243-256."""
+    import jax
+
+    from ..io.feeder import d2h_responsive
+    from ..utils.placement import set_small_ops_on_host, small_ops
+
+    # half-dead relay (discovery answers, downloads stall): both ops below
+    # end in a readback, so route them to XLA:CPU per the same canary the
+    # pipeline uses (memoised; a fully dead tunnel is already handled by
+    # ensure_responsive_backend in main)
+    if jax.default_backend() != "cpu" and not d2h_responsive():
+        set_small_ops_on_host(True)
     frame = read_image(file)
     if frame.dtype not in (np.uint8, np.uint16):
         frame = np.clip(frame, 0, 65535).astype(np.uint16)
     t = int(options["tile_size"])
-    cl1 = np.asarray(clahe(frame, clip_limit=0.8, tiles=(t, t)))
-    if options["do_stretch"]:
-        dark = np.percentile(frame, options["lo"])
-        bright = np.percentile(frame, options["hi"])
-        cl1 = np.asarray(
-            rescale_brightness(cl1, dark, bright, alpha=options["sat"] / 100)
-        )
+    with small_ops():
+        cl1 = np.asarray(clahe(frame, clip_limit=0.8, tiles=(t, t)))
+        if options["do_stretch"]:
+            dark = np.percentile(frame, options["lo"])
+            bright = np.percentile(frame, options["hi"])
+            cl1 = np.asarray(
+                rescale_brightness(cl1, dark, bright, alpha=options["sat"] / 100)
+            )
     if write_file:
         out = os.path.splitext(file)[0] + "_clahe.png"
         write_png(out, cl1)

@@ -101,12 +101,12 @@ def _use_fast_warp(mat3: np.ndarray) -> bool:
 
     from ..ops.warp_fast import unit_y_row, window_for
 
-    from ..utils.placement import host_pipeline
+    from ..utils.placement import host_pipeline, tpu_placement
 
     return (
         FAST_WARP
         and not host_pipeline()  # host mode warps on XLA:CPU (no Pallas)
-        and jax.default_backend() == "tpu"
+        and tpu_placement()
         and unit_y_row(mat3)
         and window_for(mat3) > 0
     )

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.placement import tpu_placement
+
 
 @jax.jit
 def shg_forward_xla(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
@@ -45,7 +47,7 @@ def shg_forward(frames: jax.Array, ind_l: jax.Array, left_w: jax.Array):
     fits only), per-shift cost scales with S, so large sweeps fall back to
     the S-independent one-hot matmul.  An in-kernel MXU mask contraction
     was measured slower at every S (docs/PERF.md negative result)."""
-    if jax.default_backend() == "tpu":
+    if tpu_placement():
         from ..ops.fused_pallas import (
             _window_for_indices, shg_fused_pallas,
         )

@@ -24,6 +24,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.placement import tpu_placement
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -105,7 +107,7 @@ def _tile_histograms_mxu(tiles: jax.Array, hist_size: int) -> jax.Array:
         _make_hist_kernel(nc),
         out_shape=jax.ShapeDtypeStruct((T, 256, 256), jnp.float32),
         grid=(T * nc,),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not tpu_placement(),
         in_specs=[
             pl.BlockSpec((1, 8, ch // 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -121,7 +123,7 @@ def _tile_histograms_mxu(tiles: jax.Array, hist_size: int) -> jax.Array:
 
 def _tile_histograms(tiles: jax.Array, hist_size: int) -> jax.Array:
     if (
-        jax.default_backend() == "tpu"
+        tpu_placement()
         and hist_size in (256, 65536)
         and tiles.shape[1] < (1 << 24)
     ):

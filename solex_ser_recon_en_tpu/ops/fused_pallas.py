@@ -31,6 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.placement import tpu_placement
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -208,7 +210,7 @@ def _shg_fused_mxu(frames, ind_l, left_w2, fb: int, yb: int):
             jax.ShapeDtypeStruct((ny * yb, nf * fb, S), jnp.uint16),
         ),
         grid=(ny, nf),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not tpu_placement(),
         in_specs=[
             pl.BlockSpec((fb, yb, iw), lambda y, f: (f, y, 0),
                          memory_space=pltpu.VMEM),
@@ -266,7 +268,7 @@ def _shg_fused(frames, ind_l, left_w2, fb: int, yb: int, win: int = 0):
             jax.ShapeDtypeStruct((S, nf * fb, ny * yb), jnp.uint16),
         ),
         grid=(ny, nf),
-        interpret=jax.default_backend() != "tpu",  # CPU tests interpret
+        interpret=not tpu_placement(),  # CPU tests interpret
         in_specs=[
             pl.BlockSpec((fb, yb, iw), lambda y, f: (f, y, 0),
                          memory_space=pltpu.VMEM),
@@ -341,7 +343,7 @@ def shg_fused_pallas(frames, ind_l, left_w, fb: int = 16, yb: int = 128,
     # equal the (padded) array dim — yb is the lane dim of the index/weight
     # blocks, so it must be a multiple of 128 or cover all rows in one
     # block (u16 sublane tile is 16).
-    if ih <= yb or (jax.default_backend() == "tpu" and yb % 128):
+    if ih <= yb or (tpu_placement() and yb % 128):
         yb = ((ih + 15) // 16) * 16
     if mxu:
         return _shg_fused_mxu(

@@ -20,6 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.placement import tpu_placement
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,7 +64,7 @@ def _recon_pallas(frames, ind_l, left_w, fb: int, yb: int):
         _kernel,
         out_shape=jax.ShapeDtypeStruct((S, nf * fb, ny * yb), jnp.uint16),
         grid=(nf, ny),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+        interpret=not tpu_placement(),  # CPU tests run interpreted
         in_specs=[
             pl.BlockSpec((fb, yb, iw), lambda f, y: (f, y, 0),
                          memory_space=pltpu.VMEM),

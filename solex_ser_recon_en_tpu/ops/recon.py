@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.placement import tpu_placement
+
 
 def build_shift_indices(
     fit_floor: np.ndarray, fit_frac: np.ndarray, shifts, iw: int
@@ -122,7 +124,7 @@ def reconstruct(
         # single-pass Pallas step (ops/fused_pallas.py, selected by
         # models.shg.shg_forward) beats running this after a separate
         # reduction for S <= 4.
-        kernel = "onehot" if jax.default_backend() == "tpu" else "gather"
+        kernel = "onehot" if tpu_placement() else "gather"
     if kernel == "gather":
         return _recon_gather(frames, ind_l, left_w, out_u16=out_u16)
     if kernel == "onehot":

@@ -36,6 +36,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.placement import tpu_placement
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -108,7 +110,7 @@ def _hresample(V, loc, w0, w1, cadd, win: int):
     return pl.pallas_call(
         partial(_hkernel, win=win),
         grid=(ni, nj),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not tpu_placement(),
         in_specs=[
             pl.BlockSpec((RB, wp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -75,3 +75,22 @@ def small_ops():
             return contextlib.nullcontext()  # already there
         return jax.default_device(cpu)
     return contextlib.nullcontext()
+
+
+def tpu_placement() -> bool:
+    """True when ops dispatched under the CURRENT placement land on a TPU.
+
+    ``jax.default_backend()`` ignores an active ``jax.default_device``
+    context, so kernels gated on it alone would lower TPU-only code
+    (pallas, MXU one-hot shapes) inside ``small_ops()``/``host_ops()``
+    blocks that the feed policy redirected to XLA:CPU.  Reading the
+    config value sees the context (it is part of the jit cache key, so a
+    per-placement trace-time branch is safe)."""
+    import jax
+
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        if isinstance(dd, str):
+            return dd == "tpu"
+        return getattr(dd, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
