@@ -11,6 +11,7 @@ without cv2 for SER-only workloads.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -52,30 +53,136 @@ class _SerVideo(VideoReader):
         return self._r.read(start, count)
 
 
+def _parse_raw_gray_avi(path: str):
+    """Index an uncompressed 8-bit grayscale AVI (FOURCC Y800/GREY).
+
+    Returns ``(width, height, [frame_offsets])`` when every video chunk in
+    the 'movi' list is a raw width*height grayscale plane, else ``None``
+    (caller falls back to OpenCV).  Planewise-capture AVIs are exactly what
+    the reference's sources produce; for them cv2's decode is a pure
+    Y→BGR→Y round-trip (value-exact: the fixed-point BGR2GRAY weights sum
+    to 1.0), so reading the planes straight off the container is
+    bit-identical and skips the per-frame decoder entirely.
+    """
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"AVI ":
+                return None
+            riff_end = 8 + struct.unpack("<I", head[4:8])[0]
+            w = h = None
+            offsets = []
+            ok_fmt = False
+
+            def walk(end: int) -> bool:
+                nonlocal w, h, ok_fmt
+                while f.tell() + 8 <= end:
+                    hdr = f.read(8)
+                    if len(hdr) < 8:
+                        return False
+                    fourcc = hdr[:4]
+                    size = struct.unpack("<I", hdr[4:])[0]
+                    nxt = f.tell() + size + (size & 1)
+                    if fourcc in (b"LIST", b"RIFF"):
+                        ltype = f.read(4)
+                        if ltype == b"movi" and not ok_fmt:
+                            return False  # format must precede frames
+                        if not walk(f.tell() - 4 + size):
+                            return False
+                    elif fourcc == b"strf" and w is None and size >= 40:
+                        bmi = f.read(40)
+                        w, h = struct.unpack("<ii", bmi[4:12])
+                        bitcount = struct.unpack("<H", bmi[14:16])[0]
+                        comp = bmi[16:20]
+                        # top-down unpadded planes only; BI_RGB DIBs are
+                        # bottom-up + 4-byte row padding -> cv2 fallback
+                        ok_fmt = (bitcount == 8 and h > 0 and w > 0
+                                  and comp in (b"Y800", b"y800", b"GREY"))
+                        if not ok_fmt:
+                            return False
+                    elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2] == b"00":
+                        if not ok_fmt or size != w * h:
+                            return False  # a compressed/odd chunk: bail out
+                        offsets.append(f.tell())
+                    f.seek(nxt)
+                return True
+
+            if not walk(min(riff_end, os.path.getsize(path))):
+                return None
+            if not (ok_fmt and offsets):
+                return None
+            return w, h, offsets
+    except OSError:
+        return None
+
+
 class _AviVideo(VideoReader):
-    """AVI frames via OpenCV, grayscale-converted and forced to 8-bit depth
-    (upscaled x256 to uint16), matching video_reader.py:68-80,111-122."""
+    """AVI frames, grayscale and forced to 8-bit depth (upscaled x256 to
+    uint16), matching video_reader.py:68-80,111-122.
+
+    Uncompressed grayscale containers (Y800/GREY) are indexed once and the
+    planes are sliced straight off a memmap — bit-identical to cv2's decode
+    (see _parse_raw_gray_avi) at memory-copy speed.  Anything else decodes
+    through OpenCV's demuxer exactly as the reference does."""
 
     def __init__(self, path: str):
-        import cv2  # gated import
+        self._path = path
+        self._cv2 = None
+        self._cap = None
+        raw = _parse_raw_gray_avi(path)
+        if raw is not None:
+            w, h, offsets = raw
+            self._raw = np.asarray(offsets, dtype=np.int64)
+            self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+            self.Width, self.Height = w, h
+            self.frame_count = len(offsets)
+        else:
+            self._raw = None
+            self._mm = None
+            cap = self._open_cv2(path)
+            import cv2
 
-        self._cv2 = cv2
-        self._cap = cv2.VideoCapture(path)
-        if not self._cap.isOpened():
-            raise IOError(f"cannot open AVI file {path}")
-        self.Width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        self.Height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        self.frame_count = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self.Width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.Height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.pixel_depth = 8
         self._rotate = self.Width > self.Height
         self.ih = max(self.Width, self.Height)
         self.iw = min(self.Width, self.Height)
         self._pos = 0
 
+    def _open_cv2(self, path: str):
+        import cv2  # gated import
+
+        self._cv2 = cv2
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise IOError(f"cannot open AVI file {path}")
+        return self._cap
+
     def read(self, start: int = 0, count: int | None = None) -> np.ndarray:
-        cv2 = self._cv2
         if count is None:
             count = self.frame_count - start
+        if self._raw is not None:
+            return self._read_raw(start, count)
+        return self._read_cv2(start, count)
+
+    def _read_raw(self, start: int, count: int) -> np.ndarray:
+        count = max(0, min(count, self.frame_count - start))
+        h, w = self.Height, self.Width
+        out = np.empty((count, self.ih, self.iw), dtype=np.uint16)
+        mm = self._mm
+        for i, off in enumerate(self._raw[start:start + count]):
+            img = mm[off:off + h * w].reshape(h, w)
+            if self._rotate:
+                img = np.rot90(img)
+            np.multiply(img, np.uint16(256), out=out[i], casting="unsafe")
+        return out
+
+    def _read_cv2(self, start: int, count: int) -> np.ndarray:
+        cv2 = self._cv2
         if start != self._pos:
             self._cap.set(cv2.CAP_PROP_POS_FRAMES, start)
             self._pos = start

@@ -54,3 +54,54 @@ def test_avi_end_to_end(avi_scan, tmp_path):
     results = process_file(path, opts)
     assert len(results) == 1
     assert os.path.exists(os.path.join(str(tmp_path), "scan_shift=0_clahe.png"))
+
+
+@pytest.fixture(scope="module")
+def y800_avi(tmp_path_factory):
+    """Uncompressed grayscale (Y800) AVIs, tall and wide storage."""
+    d = tmp_path_factory.mktemp("y800")
+    rng = np.random.default_rng(3)
+    tall = rng.integers(0, 256, (40, 200, 64), dtype=np.uint8)
+    wide = np.ascontiguousarray(tall.transpose(0, 2, 1))
+    paths = {}
+    for name, frames in (("tall", tall), ("wide", wide)):
+        p = str(d / f"{name}.avi")
+        w = cv2.VideoWriter(
+            p, cv2.VideoWriter_fourcc(*"Y800"), 30.0,
+            (frames.shape[2], frames.shape[1]), isColor=False,
+        )
+        assert w.isOpened()
+        for f in frames:
+            w.write(f)
+        w.release()
+        paths[name] = p
+    return paths
+
+
+def test_raw_y800_bit_identical_to_cv2(y800_avi):
+    """The zero-copy Y800 index must decode EXACTLY like cv2's demuxer
+    (including the rotate-to-tall normalisation for wide storage)."""
+    from solex_ser_recon_en_tpu.io.video import _AviVideo
+
+    for name, p in y800_avi.items():
+        v = _AviVideo(p)
+        assert v._raw is not None, f"{name}: raw index not taken"
+        got = v.read_all()
+        forced = _AviVideo(p)
+        forced._raw = None
+        forced._open_cv2(p)
+        want = forced._read_cv2(0, forced.frame_count)
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), f"{name}: raw != cv2"
+        # chunked reads see the same bytes as one slab read
+        mid = v.read(7, 9)
+        assert np.array_equal(mid, got[7:16])
+
+
+def test_mjpg_falls_back_to_cv2(avi_scan):
+    """Compressed containers must not take the raw index."""
+    from solex_ser_recon_en_tpu.io.video import _AviVideo, _parse_raw_gray_avi
+
+    path, _ = avi_scan
+    assert _parse_raw_gray_avi(path) is None
+    assert _AviVideo(path)._raw is None
