@@ -34,6 +34,8 @@ def usage() -> str:
         "'--feed MODE' : feed policy override (TPU extension);\n"
         "    MODE = 'auto' | 'device' | 'band' | 'host'.\n"
         "'--input-dir DIR' : folder batch / continuous mode over DIR.\n"
+        "'--output-dir DIR' : write products to DIR (default: next to\n"
+        "    each input file).\n"
         "'--num-processes N --process-id I' : process this host's\n"
         "    deterministic 1/N share of the folder batch (multi-host DCN\n"
         "    split; every process computes the same split locally).\n"
@@ -118,6 +120,10 @@ def _apply_flag_group(options: Options, argument: str) -> None:
             while i < len(chars) and chars[i].isdigit():
                 fw += chars[i]
                 i += 1
+            if not fw:
+                print("invalid fixed width (use e.g. -r1100 — the width is "
+                      "part of the flag token)")
+                sys.exit(1)
             options.fixed_width = int(fw)
         elif ch == "d":
             options.flag_display = True
@@ -172,6 +178,10 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
     def set_input_dir(path: str) -> None:
         options.input_dir = path
 
+    def set_output_dir(path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        options.output_dir = path
+
     # TPU extensions: long options, '--name value' or '--name=value'.
     # --num-processes/--process-id select this host's deterministic share
     # of a folder batch (parallel/distributed.assign_files) — the
@@ -184,6 +194,7 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
         "--process-id": (set_int("--process-id", "process_id"),
                          "an integer"),
         "--input-dir": (set_input_dir, "a folder path"),
+        "--output-dir": (set_output_dir, "a folder path"),
     }
 
     files: List[str] = []

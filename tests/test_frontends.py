@@ -312,3 +312,21 @@ def test_num_processes_env_fallback(monkeypatch):
         o2.save(fp.name)
         saved = json.load(open(fp.name))
     assert "num_processes" not in saved and "process_id" not in saved
+
+
+def test_cli_output_dir_and_bad_fixed_width(tmp_path):
+    """--output-dir is a long option (created on parse); a bare -r without
+    its width exits cleanly instead of raising ValueError."""
+    from solex_ser_recon_en_tpu.cli.flags import parse_cli
+
+    opts = Options()
+    out = str(tmp_path / "products" / "nested")
+    files = parse_cli(opts, ["-cw0", "--output-dir", out, "x.ser"])
+    assert opts.output_dir == out and os.path.isdir(out)
+    assert opts.clahe_only and files == ["x.ser"]
+    opts2 = Options()
+    files2 = parse_cli(opts2, [f"--output-dir={out}", "y.avi"])
+    assert opts2.output_dir == out and files2 == ["y.avi"]
+    with pytest.raises(SystemExit) as e:
+        parse_cli(Options(), ["-r"])
+    assert e.value.code == 1
