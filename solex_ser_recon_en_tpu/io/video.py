@@ -136,6 +136,10 @@ class _AviVideo(VideoReader):
             w, h, offsets = raw
             self._raw = np.asarray(offsets, dtype=np.int64)
             self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+            # planewise writers space the '00dc' chunks uniformly; a single
+            # strided view then replaces the per-frame slice loop
+            d = np.diff(self._raw)
+            self._stride = int(d[0]) if len(d) and (d == d[0]).all() else None
             self.Width, self.Height = w, h
             self.frame_count = len(offsets)
         else:
@@ -174,6 +178,14 @@ class _AviVideo(VideoReader):
         h, w = self.Height, self.Width
         out = np.empty((count, self.ih, self.iw), dtype=np.uint16)
         mm = self._mm
+        if self._stride is not None and count:
+            base = int(self._raw[start])
+            src = np.lib.stride_tricks.as_strided(
+                mm[base:], shape=(count, h, w), strides=(self._stride, w, 1))
+            if self._rotate:
+                src = np.rot90(src, axes=(1, 2))
+            np.multiply(src, np.uint16(256), out=out, casting="unsafe")
+            return out
         for i, off in enumerate(self._raw[start:start + count]):
             img = mm[off:off + h * w].reshape(h, w)
             if self._rotate:
