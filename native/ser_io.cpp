@@ -1175,3 +1175,91 @@ int mask_interval_f32(const float* src, int64_t R, int64_t W,
 }
 
 }  // extern "C"
+
+// --- exact box blur (ops/blur.py host-twin, native) --------------------
+// Bit-identical twin of ops/blur.box_blur_host for uint16 input: int32
+// sliding-window sums over a reflect-101 border (integer addition is
+// order-independent, so any summation order is exact), then the same
+// quotient/remainder float32 split, and (u16 output) the same
+// round-half-to-even + clip.  Kernels larger than the image fall back to
+// the numpy twin in the Python wrapper (multiple reflections).
+// reference forms: cv2.blur call sites solex_util.py:168,230,
+// ellipse_to_circle.py:163,241.
+
+namespace {
+
+inline int64_t reflect101(int64_t i, int64_t n) {
+  // single reflection only (caller guarantees pad < n)
+  if (i < 0) return -i;
+  if (i >= n) return 2 * n - 2 - i;
+  return i;
+}
+
+}  // namespace
+
+extern "C" {
+
+// out_f32 and/or out_u16 may each be null (at least one required).
+int box_blur_u16_exact(const uint16_t* src, int64_t h, int64_t w, int kx,
+                       int ky, float* out_f32, uint16_t* out_u16) {
+  if (!src || h <= 0 || w <= 0 || kx < 1 || ky < 1 ||
+      (!out_f32 && !out_u16))
+    return -1;
+  const int64_t lo_y = ky / 2, hi_y = ky - 1 - ky / 2;
+  const int64_t lo_x = kx / 2, hi_x = kx - 1 - kx / 2;
+  // reflect-101 is single-bounce only when the pad fits inside the axis
+  if ((lo_y > h - 1) || (hi_y > h - 1) || (lo_x > w - 1) || (hi_x > w - 1))
+    return -3;
+  const float k = static_cast<float>(kx) * static_cast<float>(ky);
+  const int32_t ki = static_cast<int32_t>(kx) * static_cast<int32_t>(ky);
+
+  int32_t* vs = new (std::nothrow) int32_t[w];          // vertical sums
+  int32_t* pad = new (std::nothrow) int32_t[w + kx - 1];  // padded row
+  if (!vs || !pad) {
+    delete[] vs;
+    delete[] pad;
+    return -2;
+  }
+
+  // initial vertical window for output row 0: rows -lo_y .. hi_y
+  std::memset(vs, 0, w * sizeof(int32_t));
+  for (int64_t r = -lo_y; r <= hi_y; ++r) {
+    const uint16_t* s = src + reflect101(r, h) * w;
+    for (int64_t j = 0; j < w; ++j) vs[j] += s[j];
+  }
+
+  for (int64_t r = 0; r < h; ++r) {
+    if (r > 0) {
+      const uint16_t* add = src + reflect101(r + hi_y, h) * w;
+      const uint16_t* sub = src + reflect101(r - 1 - lo_y, h) * w;
+      for (int64_t j = 0; j < w; ++j)
+        vs[j] += static_cast<int32_t>(add[j]) - static_cast<int32_t>(sub[j]);
+    }
+    // horizontal pass over the reflect-101-padded vertical sums
+    for (int64_t j = 0; j < lo_x; ++j) pad[j] = vs[lo_x - j];
+    std::memcpy(pad + lo_x, vs, w * sizeof(int32_t));
+    for (int64_t j = 0; j < hi_x; ++j) pad[lo_x + w + j] = vs[w - 2 - j];
+    int32_t s = 0;
+    for (int64_t j = 0; j < kx; ++j) s += pad[j];
+    float* of = out_f32 ? out_f32 + r * w : nullptr;
+    uint16_t* ou = out_u16 ? out_u16 + r * w : nullptr;
+    for (int64_t c = 0; c < w; ++c) {
+      const int32_t q = s / ki;          // s >= 0: trunc == floor
+      const int32_t rem = s - q * ki;
+      const float v =
+          static_cast<float>(q) + static_cast<float>(rem) / k;
+      if (of) of[c] = v;
+      if (ou) {
+        float rv = nearbyintf(v);  // FE_TONEAREST: round-half-to-even
+        rv = rv < 0.0f ? 0.0f : (rv > 65535.0f ? 65535.0f : rv);
+        ou[c] = static_cast<uint16_t>(rv);
+      }
+      if (c + 1 < w) s += pad[c + kx] - pad[c];
+    }
+  }
+  delete[] vs;
+  delete[] pad;
+  return 0;
+}
+
+}  // extern "C"

@@ -241,6 +241,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+        if hasattr(lib, "box_blur_u16_exact"):
+            lib.box_blur_u16_exact.restype = ctypes.c_int
+            lib.box_blur_u16_exact.argtypes = [
+                ctypes.c_void_p,   # src (H, W) u16
+                ctypes.c_int64,    # h
+                ctypes.c_int64,    # w
+                ctypes.c_int,      # kx
+                ctypes.c_int,      # ky
+                ctypes.c_void_p,   # out f32 (H, W) or NULL
+                ctypes.c_void_p,   # out u16 (H, W) or NULL
+            ]
         _lib = lib
         return _lib
 
@@ -288,6 +299,36 @@ def native_hist_u16(img: np.ndarray):
     if rc != 0:
         return None
     return hist
+
+
+def native_box_blur_u16(img: np.ndarray, kx: int, ky: int,
+                        want: str = "f32"):
+    """Exact box blur of a u16 image (ops/blur host-twin, one C pass).
+
+    ``want`` is 'f32' (box_blur_host twin) or 'u16' (box_blur_u16_host
+    twin).  Returns None when the library is unavailable or the kernel
+    pad does not fit inside the image (multi-bounce reflection -> numpy).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "box_blur_u16_exact"):
+        return None
+    if img.dtype != np.uint16 or img.ndim != 2:
+        return None
+    h, w = img.shape
+    if kx < 1 or ky < 1 or kx // 2 > w - 1 or (kx - 1 - kx // 2) > w - 1 \
+            or ky // 2 > h - 1 or (ky - 1 - ky // 2) > h - 1:
+        return None
+    img = np.ascontiguousarray(img)
+    out_f = np.empty((h, w), np.float32) if want == "f32" else None
+    out_u = np.empty((h, w), np.uint16) if want == "u16" else None
+    rc = lib.box_blur_u16_exact(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, int(kx), int(ky),
+        out_f.ctypes.data_as(ctypes.c_void_p) if out_f is not None else None,
+        out_u.ctypes.data_as(ctypes.c_void_p) if out_u is not None else None,
+    )
+    if rc != 0:
+        return None
+    return out_f if out_f is not None else out_u
 
 
 def native_lut_u16(img: np.ndarray, lut: np.ndarray):

@@ -103,9 +103,18 @@ def _window_sum_1d_host(x: np.ndarray, k: int, axis: int,
 
 def box_blur_host(img: np.ndarray, kx: int, ky: int) -> np.ndarray:
     """numpy twin of box_blur for INTEGER inputs (bit-identical); float
-    inputs raise (callers fall back to the device program)."""
+    inputs raise (callers fall back to the device program).  2-D uint16
+    images take the one-pass native kernel (same int32 window sums —
+    integer addition is order-independent, so it is exact by
+    construction and fuzz-tested bit-identical)."""
     if not np.issubdtype(img.dtype, np.integer):
         raise TypeError("box_blur_host is exact for integer inputs only")
+    if img.dtype == np.uint16 and img.ndim == 2:
+        from ..io.native import native_box_blur_u16
+
+        out = native_box_blur_u16(img, kx, ky, want="f32")
+        if out is not None:
+            return out
     s = _window_sum_1d_host(img, ky, img.ndim - 2, np.int32)
     s = _window_sum_1d_host(s, kx, img.ndim - 1, np.int32)
     k = kx * ky
@@ -115,5 +124,11 @@ def box_blur_host(img: np.ndarray, kx: int, ky: int) -> np.ndarray:
 
 
 def box_blur_u16_host(img: np.ndarray, kx: int, ky: int) -> np.ndarray:
+    if img.dtype == np.uint16 and img.ndim == 2:
+        from ..io.native import native_box_blur_u16
+
+        out = native_box_blur_u16(img, kx, ky, want="u16")
+        if out is not None:
+            return out
     out = box_blur_host(img, kx, ky)
     return np.clip(np.round(out), 0, 65535).astype(np.uint16)

@@ -216,3 +216,66 @@ def test_native_warp_batch_bit_identical_to_per_image():
     for i in range(k):
         single = native_warp_u16(imgs[i], mat3, out_h, out_w, cvals[i])
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_native_box_blur_bit_identical_to_numpy_twin():
+    """box_blur_u16_exact (C) vs the pure-numpy window-sum twin: both are
+    exact int32 sums + the same f32 quotient split, so every kernel/shape
+    must agree BIT-for-bit; pads that would need multi-bounce reflection
+    must return None (numpy fallback handles them)."""
+    from solex_ser_recon_en_tpu.io.native import get_lib, native_box_blur_u16
+    from solex_ser_recon_en_tpu.ops import blur as B
+
+    if get_lib() is None or not hasattr(get_lib(), "box_blur_u16_exact"):
+        pytest.skip("native library unavailable")
+
+    def np_f32(img, kx, ky):
+        s = B._window_sum_1d_host(img, ky, 0, np.int32)
+        s = B._window_sum_1d_host(s, kx, 1, np.int32)
+        k = kx * ky
+        q = s // k
+        r = s - q * k
+        return q.astype(np.float32) + r.astype(np.float32) / np.float32(k)
+
+    rng = np.random.default_rng(5)
+    checked = 0
+    for _ in range(120):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        kx = int(rng.integers(1, 28))
+        ky = int(rng.integers(1, 28))
+        img = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+        nf = native_box_blur_u16(img, kx, ky, "f32")
+        nu = native_box_blur_u16(img, kx, ky, "u16")
+        fits = (kx // 2 <= w - 1 and (kx - 1 - kx // 2) <= w - 1
+                and ky // 2 <= h - 1 and (ky - 1 - ky // 2) <= h - 1)
+        if not fits:
+            assert nf is None and nu is None
+            continue
+        want_f = np_f32(img, kx, ky)
+        np.testing.assert_array_equal(nf, want_f)
+        np.testing.assert_array_equal(
+            nu, np.clip(np.round(want_f), 0, 65535).astype(np.uint16))
+        checked += 1
+    assert checked > 40
+
+
+def test_box_blur_host_dispatch_uses_native(monkeypatch):
+    """The ops/blur host twins route 2-D u16 through the native kernel and
+    still agree with the device program's semantics."""
+    from solex_ser_recon_en_tpu.io.native import get_lib
+    from solex_ser_recon_en_tpu.ops.blur import (
+        box_blur_host, box_blur_u16, box_blur_u16_host,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 65536, (64, 48), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        box_blur_u16_host(img, 5, 5),
+        np.asarray(box_blur_u16(jnp.asarray(img), 5, 5)))
+    out = box_blur_host(img, 25, 3)
+    assert out.dtype == np.float32
