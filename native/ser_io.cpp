@@ -1210,6 +1210,10 @@ int box_blur_u16_exact(const uint16_t* src, int64_t h, int64_t w, int kx,
   // reflect-101 is single-bounce only when the pad fits inside the axis
   if ((lo_y > h - 1) || (hi_y > h - 1) || (lo_x > w - 1) || (hi_x > w - 1))
     return -3;
+  // 65535 * kx * ky must fit int32: beyond this the numpy twin wraps
+  // (identically to the device program) while s / ki would truncate —
+  // reject so the wrapper keeps that case on the numpy path
+  if (static_cast<int64_t>(kx) * ky > 32767) return -3;
   const float k = static_cast<float>(kx) * static_cast<float>(ky);
   const int32_t ki = static_cast<int32_t>(kx) * static_cast<int32_t>(ky);
 

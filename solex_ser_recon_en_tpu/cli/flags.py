@@ -179,7 +179,11 @@ def parse_cli(options: Options, argv: List[str]) -> List[str]:
         options.input_dir = path
 
     def set_output_dir(path: str) -> None:
-        os.makedirs(path, exist_ok=True)
+        try:
+            os.makedirs(path, exist_ok=True)
+        except OSError as e:
+            print(f"--output-dir: cannot create {path!r}: {e}")
+            sys.exit(1)
         options.output_dir = path
 
     # TPU extensions: long options, '--name value' or '--name=value'.

@@ -126,8 +126,26 @@ def handle_files(
     # file's host decode.  A host-pipelined scan on a single-core machine
     # has nothing to hide behind — both stages want the same core, and the
     # GIL ping-pong costs real time (measured 0.89 -> 0.67 s on the 50-file
-    # batch corpus) — so those scans run inline instead.
-    serial_host = (os.cpu_count() or 1) == 1
+    # batch corpus) — so those scans run inline instead.  sched_getaffinity
+    # (not cpu_count) so a 1-core cgroup on a big machine takes the path.
+    try:
+        serial_host = len(os.sched_getaffinity(0)) == 1
+    except AttributeError:  # non-Linux
+        serial_host = (os.cpu_count() or 1) == 1
+
+    def drain(pending: list) -> int:
+        n = 0
+        for file, fut, timer in pending:
+            try:
+                fut.result()
+                n += 1
+                print(f"{file} done:\n{timer.summary()}")
+            except Exception:
+                print("ERROR ENCOUNTERED")
+                traceback.print_exc()
+        pending.clear()
+        return n
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = []
         for i, (file, opts) in enumerate(tasks):
@@ -141,6 +159,11 @@ def handle_files(
                 traceback.print_exc()
                 continue
             if serial_host and scan.host_pipeline:
+                # never run concurrently with a pooled scan: process_scan
+                # was serialized before this fast path existed, and the
+                # global writer pool's end-of-scan barrier would otherwise
+                # drain (and misattribute) the other scan's queued writes
+                done += drain(pending)
                 try:
                     process_scan(scan, opts, timer)
                     done += 1
@@ -150,14 +173,7 @@ def handle_files(
                     traceback.print_exc()
                 continue
             pending.append((file, pool.submit(process_scan, scan, opts, timer), timer))
-        for file, fut, timer in pending:
-            try:
-                fut.result()
-                done += 1
-                print(f"{file} done:\n{timer.summary()}")
-            except Exception:
-                print("ERROR ENCOUNTERED")
-                traceback.print_exc()
+        done += drain(pending)
     progress(len(tasks), "Done.")
     return done
 

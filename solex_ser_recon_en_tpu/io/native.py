@@ -318,6 +318,11 @@ def native_box_blur_u16(img: np.ndarray, kx: int, ky: int,
     if kx < 1 or ky < 1 or kx // 2 > w - 1 or (kx - 1 - kx // 2) > w - 1 \
             or ky // 2 > h - 1 or (ky - 1 - ky // 2) > h - 1:
         return None
+    if kx * ky > 32767:
+        # 65535 * kx * ky would overflow the int32 window sums; the numpy
+        # twin wraps identically to the device program there, while C's
+        # trunc-vs-floor division would diverge — keep that case on numpy
+        return None
     img = np.ascontiguousarray(img)
     out_f = np.empty((h, w), np.float32) if want == "f32" else None
     out_u = np.empty((h, w), np.uint16) if want == "u16" else None

@@ -67,17 +67,18 @@ def _parse_raw_gray_avi(path: str):
     import struct
 
     try:
+        fsize = os.path.getsize(path)
         with open(path, "rb") as f:
             head = f.read(12)
             if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"AVI ":
                 return None
-            riff_end = 8 + struct.unpack("<I", head[4:8])[0]
             w = h = None
             offsets = []
             ok_fmt = False
+            truncated = False
 
             def walk(end: int) -> bool:
-                nonlocal w, h, ok_fmt
+                nonlocal w, h, ok_fmt, truncated
                 while f.tell() + 8 <= end:
                     hdr = f.read(8)
                     if len(hdr) < 8:
@@ -93,6 +94,8 @@ def _parse_raw_gray_avi(path: str):
                             return False
                     elif fourcc == b"strf" and w is None and size >= 40:
                         bmi = f.read(40)
+                        if len(bmi) < 40:
+                            return False
                         w, h = struct.unpack("<ii", bmi[4:12])
                         bitcount = struct.unpack("<H", bmi[14:16])[0]
                         comp = bmi[16:20]
@@ -105,16 +108,43 @@ def _parse_raw_gray_avi(path: str):
                     elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2] == b"00":
                         if not ok_fmt or size != w * h:
                             return False  # a compressed/odd chunk: bail out
+                        if f.tell() + size > fsize:
+                            # interrupted capture: the header landed but the
+                            # plane was cut short.  Keep the complete frames
+                            # (cv2 decodes exactly those) and stop indexing.
+                            truncated = True
+                            return True
                         offsets.append(f.tell())
                     f.seek(nxt)
+                    if truncated:
+                        return True
                 return True
 
-            if not walk(min(riff_end, os.path.getsize(path))):
-                return None
+            # OpenDML: captures >1 GB continue in 'RIFF AVIX' segments after
+            # the first 'RIFF AVI ' segment — walk every segment, or the
+            # index silently covers only the first gigabyte of frames
+            seg_start = 0
+            seg_end = min(seg_start + 8 + struct.unpack("<I", head[4:8])[0],
+                          fsize)
+            while True:
+                f.seek(seg_start + 12)
+                if not walk(seg_end):
+                    return None
+                if truncated or seg_end + 12 > fsize:
+                    break
+                f.seek(seg_end + (seg_end & 1))
+                nxt_head = f.read(12)
+                if len(nxt_head) < 12 or nxt_head[:4] != b"RIFF" or \
+                        nxt_head[8:12] != b"AVIX":
+                    break
+                seg_start = f.tell() - 12
+                seg_end = min(
+                    seg_start + 8 + struct.unpack("<I", nxt_head[4:8])[0],
+                    fsize)
             if not (ok_fmt and offsets):
                 return None
             return w, h, offsets
-    except OSError:
+    except (OSError, struct.error):
         return None
 
 

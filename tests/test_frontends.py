@@ -330,3 +330,13 @@ def test_cli_output_dir_and_bad_fixed_width(tmp_path):
     with pytest.raises(SystemExit) as e:
         parse_cli(Options(), ["-r"])
     assert e.value.code == 1
+
+
+def test_cli_output_dir_uncreatable_exits_cleanly(tmp_path):
+    from solex_ser_recon_en_tpu.cli.flags import parse_cli
+
+    blocker = tmp_path / "file"
+    blocker.write_text("x")
+    with pytest.raises(SystemExit) as e:
+        parse_cli(Options(), ["--output-dir", str(blocker / "sub")])
+    assert e.value.code == 1
