@@ -15,6 +15,9 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 #include <limits>
 #include <cstring>
 #include <cstdio>
@@ -621,11 +624,208 @@ static void warp_body(const float* __restrict srcf,
 // is kept statement-for-statement identical to warp_body (same
 // left-associated products), so each output plane is BIT-identical to K
 // independent warp_u16_u16 calls (asserted by test_native warp-batch).
+#if defined(__AVX512F__)
+// AVX-512 lane-for-lane twin of the scalar batch body below.  Bit-exactness
+// argument: under fp-contract=off every scalar float statement is one IEEE
+// mul/add/sub/div, and the 512-bit intrinsics used here (_mm512_mul_ps,
+// _mm512_add_ps, _mm512_sub_ps, _mm512_div_ps, _mm512_roundscale_ps with
+// FROUND_TO_NEG_INF == floorf, _mm512_cvttps_epi32 == the scalar int cast's
+// cvttss2si) apply the SAME correctly-rounded operation per lane, in the
+// same left-associated order — so each lane reproduces the scalar dataflow
+// bit-for-bit (fuzz-asserted against the numpy twin in test_native).
+// Structure: a vectorised per-row coordinate precompute fills x0i/y0i/
+// fraction/tap-base planes plus a per-16-lane "all four taps in bounds"
+// mask; fully-interior blocks take a gather body (one 32-bit gather per
+// tap-row pair fetches both adjacent u16 taps at once), everything else
+// (image border, row tails) drops to a per-lane scalar path reading the
+// same planes.
+static void warp_body_batch_u16_avx512(
+    const uint16_t* const* __restrict srcs, int64_t k, int64_t h,
+    int64_t w_in, const double* mat3, int64_t out_h, int64_t out_w,
+    const float* cvals, uint16_t* const* __restrict outs) {
+  const float m00 = static_cast<float>(mat3[0]);
+  const float m01 = static_cast<float>(mat3[1]);
+  const float m02 = static_cast<float>(mat3[2]);
+  const float m10 = static_cast<float>(mat3[3]);
+  const float m11 = static_cast<float>(mat3[4]);
+  const float m12 = static_cast<float>(mat3[5]);
+  const float m20 = static_cast<float>(mat3[6]);
+  const float m21 = static_cast<float>(mat3[7]);
+  const float m22 = static_cast<float>(mat3[8]);
+  const int64_t nb = (out_w + 15) / 16;
+  const int64_t np = nb * 16;  // padded plane length
+  int32_t* x0p = new int32_t[np];
+  int32_t* y0p = new int32_t[np];
+  int32_t* basep = new int32_t[np];
+  float* dyp = new float[np];
+  float* odyp = new float[np];
+  float* dxp = new float[np];
+  float* odxp = new float[np];
+  uint16_t* bmask = new uint16_t[nb];  // interior mask per 16-lane block
+
+  const __m512 vm00 = _mm512_set1_ps(m00);
+  const __m512 vm02 = _mm512_set1_ps(m02);
+  const __m512 vm10 = _mm512_set1_ps(m10);
+  const __m512 vm12 = _mm512_set1_ps(m12);
+  const __m512 vm20 = _mm512_set1_ps(m20);
+  const __m512 vm22 = _mm512_set1_ps(m22);
+  const __m512 vone = _mm512_set1_ps(1.0f);
+  const __m512 vzero = _mm512_setzero_ps();
+  const __m512 v65536 = _mm512_set1_ps(65536.0f);
+  const __m512 v65535 = _mm512_set1_ps(65535.0f);
+  const __m512i izero = _mm512_setzero_si512();
+  const __m512i ilow16 = _mm512_set1_epi32(0xFFFF);
+  const __m512i iwin = _mm512_set1_epi32(static_cast<int32_t>(w_in));
+  const __m512i ixlim = _mm512_set1_epi32(static_cast<int32_t>(w_in - 1));
+  const __m512i iylim = _mm512_set1_epi32(static_cast<int32_t>(h - 1));
+  const __m512i iota =
+      _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+
+  for (int64_t y = 0; y < out_h; ++y) {
+    const float gy = static_cast<float>(y);
+    // same value the scalar body computes per pixel (identical operands)
+    const __m512 vm01gy = _mm512_set1_ps(m01 * gy);
+    const __m512 vm11gy = _mm512_set1_ps(m11 * gy);
+    const __m512 vm21gy = _mm512_set1_ps(m21 * gy);
+    for (int64_t b = 0; b < nb; ++b) {
+      const __m512i vx =
+          _mm512_add_epi32(_mm512_set1_epi32(static_cast<int32_t>(b * 16)),
+                           iota);
+      const __m512 gx = _mm512_cvtepi32_ps(vx);
+      const __m512 w = _mm512_add_ps(
+          _mm512_add_ps(_mm512_mul_ps(vm20, gx), vm21gy), vm22);
+      const __m512 sx = _mm512_div_ps(
+          _mm512_add_ps(_mm512_add_ps(_mm512_mul_ps(vm00, gx), vm01gy), vm02),
+          w);
+      const __m512 sy = _mm512_div_ps(
+          _mm512_add_ps(_mm512_add_ps(_mm512_mul_ps(vm10, gx), vm11gy), vm12),
+          w);
+      const __m512 x0 = _mm512_roundscale_ps(
+          sx, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+      const __m512 y0 = _mm512_roundscale_ps(
+          sy, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+      const __m512 dx = _mm512_sub_ps(sx, x0);
+      const __m512 dy = _mm512_sub_ps(sy, y0);
+      const __m512i x0i = _mm512_cvttps_epi32(x0);
+      const __m512i y0i = _mm512_cvttps_epi32(y0);
+      // all four taps in bounds: 0 <= x0i, x0i+1 <= w_in-1 (i.e. x0i <
+      // w_in-1), same for y — out-of-range float->int lanes land on
+      // INT32_MIN and fail the >= 0 test
+      const __mmask16 inx =
+          _mm512_cmp_epi32_mask(x0i, izero, _MM_CMPINT_NLT) &
+          _mm512_cmp_epi32_mask(x0i, ixlim, _MM_CMPINT_LT);
+      const __mmask16 iny =
+          _mm512_cmp_epi32_mask(y0i, izero, _MM_CMPINT_NLT) &
+          _mm512_cmp_epi32_mask(y0i, iylim, _MM_CMPINT_LT);
+      bmask[b] = static_cast<uint16_t>(inx & iny);
+      const __m512i base =
+          _mm512_add_epi32(_mm512_mullo_epi32(y0i, iwin), x0i);
+      _mm512_storeu_si512(reinterpret_cast<void*>(x0p + b * 16), x0i);
+      _mm512_storeu_si512(reinterpret_cast<void*>(y0p + b * 16), y0i);
+      _mm512_storeu_si512(reinterpret_cast<void*>(basep + b * 16), base);
+      _mm512_storeu_ps(dyp + b * 16, dy);
+      _mm512_storeu_ps(odyp + b * 16, _mm512_sub_ps(vone, dy));
+      _mm512_storeu_ps(dxp + b * 16, dx);
+      _mm512_storeu_ps(odxp + b * 16, _mm512_sub_ps(vone, dx));
+    }
+    for (int64_t ki = 0; ki < k; ++ki) {
+      const uint16_t* __restrict src = srcs[ki];
+      const float cval = cvals[ki];
+      uint16_t* __restrict orow = outs[ki] + y * out_w;
+      for (int64_t b = 0; b < nb; ++b) {
+        const int64_t xb = b * 16;
+        const int64_t lanes = std::min<int64_t>(16, out_w - xb);
+        if (lanes == 16 && bmask[b] == 0xFFFFu) {
+          const __m512i vbase = _mm512_loadu_si512(
+              reinterpret_cast<const void*>(basep + xb));
+          // 32-bit gather at byte offset base*2 covers taps (x0, x0+1) of
+          // the u16 row; x0+1 <= w_in-1 keeps the 4-byte read in bounds
+          const __m512i g0 = _mm512_i32gather_epi32(vbase, src, 2);
+          const __m512i g1 =
+              _mm512_i32gather_epi32(_mm512_add_epi32(vbase, iwin), src, 2);
+          const __m512 s0 = _mm512_div_ps(
+              _mm512_cvtepi32_ps(_mm512_and_si512(g0, ilow16)), v65536);
+          const __m512 s1 = _mm512_div_ps(
+              _mm512_cvtepi32_ps(_mm512_srli_epi32(g0, 16)), v65536);
+          const __m512 s2 = _mm512_div_ps(
+              _mm512_cvtepi32_ps(_mm512_and_si512(g1, ilow16)), v65536);
+          const __m512 s3 = _mm512_div_ps(
+              _mm512_cvtepi32_ps(_mm512_srli_epi32(g1, 16)), v65536);
+          const __m512 vdy = _mm512_loadu_ps(dyp + xb);
+          const __m512 vody = _mm512_loadu_ps(odyp + xb);
+          const __m512 vdx = _mm512_loadu_ps(dxp + xb);
+          const __m512 vodx = _mm512_loadu_ps(odxp + xb);
+          const __m512 t0 = _mm512_mul_ps(_mm512_mul_ps(s0, vody), vodx);
+          const __m512 t1 = _mm512_mul_ps(_mm512_mul_ps(s1, vody), vdx);
+          const __m512 t2 = _mm512_mul_ps(_mm512_mul_ps(s2, vdy), vodx);
+          const __m512 t3 = _mm512_mul_ps(_mm512_mul_ps(s3, vdy), vdx);
+          const __m512 acc =
+              _mm512_add_ps(_mm512_add_ps(_mm512_add_ps(t0, t1), t2), t3);
+          __m512 v = _mm512_mul_ps(acc, v65536);
+          v = _mm512_max_ps(v, vzero);
+          v = _mm512_min_ps(v, v65535);
+          const __m512i vi = _mm512_cvttps_epi32(v);
+          _mm256_storeu_si256(reinterpret_cast<__m256i*>(orow + xb),
+                              _mm512_cvtepi32_epi16(vi));
+        } else {
+          for (int64_t i = 0; i < lanes; ++i) {
+            const int64_t x = xb + i;
+            const int64_t x0s = static_cast<int64_t>(x0p[x]);
+            const int64_t y0s = static_cast<int64_t>(y0p[x]);
+            const int64_t ys[2] = {y0s, y0s + 1};
+            const int64_t xs[2] = {x0s, x0s + 1};
+            float s[4];
+            for (int ti = 0; ti < 4; ++ti) {
+              const int64_t yi = ys[ti >> 1];
+              const int64_t xi = xs[ti & 1];
+              s[ti] = (yi >= 0 && yi < h && xi >= 0 && xi < w_in)
+                          ? static_cast<float>(src[yi * w_in + xi]) / 65536.0f
+                          : cval;
+            }
+            const float sdy = dyp[x];
+            const float sody = odyp[x];
+            const float sdx = dxp[x];
+            const float sodx = odxp[x];
+            const float t0 = s[0] * sody * sodx;
+            const float t1 = s[1] * sody * sdx;
+            const float t2 = s[2] * sdy * sodx;
+            const float t3 = s[3] * sdy * sdx;
+            const float acc = ((t0 + t1) + t2) + t3;
+            float v = acc * 65536.0f;
+            if (v < 0.0f) v = 0.0f;
+            if (v > 65535.0f) v = 65535.0f;
+            orow[x] = static_cast<uint16_t>(v);
+          }
+        }
+      }
+    }
+  }
+  delete[] x0p;
+  delete[] y0p;
+  delete[] basep;
+  delete[] dyp;
+  delete[] odyp;
+  delete[] dxp;
+  delete[] odxp;
+  delete[] bmask;
+}
+#endif  // __AVX512F__
+
 static void warp_body_batch_u16(const uint16_t* const* __restrict srcs,
                                 int64_t k, int64_t h, int64_t w_in,
                                 const double* mat3, int64_t out_h,
                                 int64_t out_w, const float* cvals,
                                 uint16_t* const* __restrict outs) {
+#if defined(__AVX512F__)
+  // int32 tap-base arithmetic needs h*w_in (and the per-row +w_in step)
+  // inside int32; every real disk is orders of magnitude under the limit
+  if (h * w_in <= static_cast<int64_t>(INT32_MAX) - w_in && w_in >= 2 &&
+      h >= 2) {
+    warp_body_batch_u16_avx512(srcs, k, h, w_in, mat3, out_h, out_w, cvals,
+                               outs);
+    return;
+  }
+#endif
   const float m00 = static_cast<float>(mat3[0]);
   const float m01 = static_cast<float>(mat3[1]);
   const float m02 = static_cast<float>(mat3[2]);

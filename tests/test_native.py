@@ -279,3 +279,47 @@ def test_box_blur_host_dispatch_uses_native(monkeypatch):
         np.asarray(box_blur_u16(jnp.asarray(img), 5, 5)))
     out = box_blur_host(img, 25, 3)
     assert out.dtype == np.float32
+
+
+def test_native_warp_batch_fuzz_bit_identical_to_numpy_twin():
+    """Heavy fuzz for the vectorised batch warp (native/ser_io.cpp:
+    warp_body_batch_u16_avx512 on AVX-512 hosts, the scalar body
+    elsewhere): random sizes and projective matrices exercise the
+    interior gather blocks, the border scalar lanes, row tails
+    (out_w % 16 != 0), exact multiples of the lane width, and tiny
+    sources — every plane must be BIT-identical to the numpy twin."""
+    from solex_ser_recon_en_tpu.io.native import (
+        get_lib,
+        native_warp_u16_batch,
+    )
+    from solex_ser_recon_en_tpu.ops.warp import (
+        warp_projective_host,
+        warp_to_u16_host,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    # (h, w, out_h, out_w) shape cases: fully-interior zoom-in, pure
+    # upsize (all-border), lane-width multiples, tiny, and random
+    cases = [(64, 128, 32, 64), (40, 50, 80, 96), (33, 17, 21, 16),
+             (2, 2, 3, 3), (200, 213, 190, 207)]
+    for trial in range(8):
+        cases.append(tuple(int(rng.integers(2, 240)) for _ in range(4)))
+    for h, w, out_h, out_w in cases:
+        k = int(rng.integers(1, 4))
+        imgs = [rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+                for _ in range(k)]
+        mat3 = np.eye(3)
+        mat3[:2, :2] += rng.normal(0.0, 0.06, (2, 2))
+        mat3[:2, 2] = rng.normal(0.0, 8.0, 2)
+        mat3[2, :2] = rng.normal(0.0, 1e-4, 2)
+        cvals = [float(rng.random()) for _ in range(k)]
+        out = np.empty((k, out_h, out_w), np.uint16)
+        assert native_warp_u16_batch(imgs, mat3, out_h, out_w, cvals, out)
+        for i in range(k):
+            arr = imgs[i].astype(np.float32) / 65536.0
+            want = warp_to_u16_host(
+                warp_projective_host(arr, mat3, out_h, out_w, cvals[i])
+            )
+            np.testing.assert_array_equal(out[i], want)
