@@ -503,7 +503,78 @@ int ser_recon_f64(const uint8_t* src, int64_t frame_stride,
                   int do_prefetch) {
   if (!src || !flat_l || !w_l || !w_r || !out) return -1;
   const uint32_t prefetch_win = 256;
-  for (uint32_t fr = 0; fr < frame_count; ++fr) {
+  uint32_t fr0 = 0;
+#if defined(__AVX512F__)
+  // Frame-block fast path (u16 sources).  The scalar loop below writes one
+  // u16 per frame at a 2*out_stride-byte stride — every store touches a
+  // fresh cache line, ~32x more write-allocate traffic than the disk's
+  // actual bytes.  Re-tiling to 32-frame blocks with y inner writes each
+  // 64-byte output line exactly once, and 8 f64 lanes (one 32-bit i64
+  // gather per tap, low 16 bits kept) compute the identical
+  // multiply/multiply/add per lane — bit-exact to the scalar statements
+  // (no FMA contraction in intrinsics; fuzz-asserted in test_hostrecon).
+  // The FINAL frame stays scalar: a 32-bit gather of a frame's last u16
+  // reads 2 bytes into the next frame, which exists for every frame but
+  // the buffer's last.
+  if (is_u16 && frame_count > 32) {
+    const uint32_t kBlk = 32;
+    const uint32_t vlimit = frame_count - 1;  // last frame -> scalar tail
+    const __m512i vlane_off = _mm512_setr_epi64(
+        0, frame_stride, 2 * frame_stride, 3 * frame_stride,
+        4 * frame_stride, 5 * frame_stride, 6 * frame_stride,
+        7 * frame_stride);
+    const __m256i low16 = _mm256_set1_epi32(0xFFFF);
+    for (; fr0 + kBlk <= vlimit; fr0 += kBlk) {
+      if (do_prefetch && fr0 % prefetch_win == 0 &&
+          fr0 + prefetch_win < frame_count) {
+        const uint8_t* p =
+            src + static_cast<int64_t>(fr0 + prefetch_win) * frame_stride;
+        uintptr_t addr = reinterpret_cast<uintptr_t>(p);
+        uintptr_t page = addr & ~static_cast<uintptr_t>(4095);
+        madvise(reinterpret_cast<void*>(page),
+                static_cast<size_t>(frame_stride) * prefetch_win +
+                    (addr - page),
+                MADV_WILLNEED);
+      }
+      const uint8_t* bp = src + static_cast<int64_t>(fr0) * frame_stride;
+      for (uint32_t si = 0; si < S; ++si) {
+        const int64_t* fl = flat_l + static_cast<int64_t>(si) * ih;
+        uint16_t* obase =
+            out + static_cast<int64_t>(si) * ih * out_stride + fr0;
+        for (uint32_t y = 0; y < ih; ++y) {
+          const __m512d wl = _mm512_set1_pd(w_l[y]);
+          const __m512d wr = _mm512_set1_pd(w_r[y]);
+          const __m512i bl = _mm512_set1_epi64(fl[y] * 2);
+          const __m512i br = _mm512_set1_epi64((fl[y] + right_off) * 2);
+          uint16_t* orow = obase + static_cast<int64_t>(y) * out_stride;
+          for (int g = 0; g < 4; ++g) {
+            const uint8_t* gp =
+                bp + static_cast<int64_t>(g) * 8 * frame_stride;
+            const __m256i pl = _mm512_i64gather_epi32(
+                _mm512_add_epi64(vlane_off, bl), gp, 1);
+            const __m256i pr = _mm512_i64gather_epi32(
+                _mm512_add_epi64(vlane_off, br), gp, 1);
+            const __m512d dl =
+                _mm512_cvtepi32_pd(_mm256_and_si256(pl, low16));
+            const __m512d dr =
+                _mm512_cvtepi32_pd(_mm256_and_si256(pr, low16));
+            const __m512d v = _mm512_add_pd(_mm512_mul_pd(dl, wl),
+                                            _mm512_mul_pd(dr, wr));
+            const __m256i vi = _mm512_cvttpd_epi32(v);
+            // packusdw saturates at 65535; v <= 65535*(w_l+w_r) can only
+            // exceed 65535 by < 1 ulp, where the scalar cast truncates to
+            // 65535 too
+            const __m128i vu =
+                _mm_packus_epi32(_mm256_castsi256_si128(vi),
+                                 _mm256_extracti128_si256(vi, 1));
+            _mm_storeu_si128(reinterpret_cast<__m128i*>(orow + g * 8), vu);
+          }
+        }
+      }
+    }
+  }
+#endif  // __AVX512F__
+  for (uint32_t fr = fr0; fr < frame_count; ++fr) {
     if (do_prefetch && fr % prefetch_win == 0 &&
         fr + prefetch_win < frame_count) {
       const uint8_t* p = src + static_cast<int64_t>(fr + prefetch_win) *
