@@ -324,26 +324,36 @@ int ser_sample_stats(void* handle, uint32_t step, uint64_t* sum_out,
     sum_out[i] = 0;
     max_out[i] = 0;
   }
+  if (f->frame_count == 0) return 0;
+  // Every step-th frame IS a dense frame sequence of stride
+  // step*frame_bytes, so the cache-resident tile-major sweep applies
+  // verbatim (the old frame-major loop's uint64 accumulator pushed ~12 MB
+  // of L2/L3 traffic per 1.2 MB sampled frame — 27 -> ~9 ms on the bench
+  // scan).  uint32 tiles fold to the uint64 output before overflow.
+  uint32_t* acc32 = new (std::nothrow) uint32_t[px]();
+  if (!acc32) return -2;
   const uint8_t* base = f->map + kHeaderSize;
-  int n = 0;
-  for (uint32_t fr = 0; fr < f->frame_count; fr += step, ++n) {
-    const uint8_t* fp = base + static_cast<int64_t>(fr) * f->frame_bytes;
+  const int64_t sstride = static_cast<int64_t>(f->frame_bytes) * step;
+  const uint32_t n_total = (f->frame_count + step - 1) / step;
+  const uint32_t fold_every = (f->pixel_depth == 16) ? 65000u : 16000000u;
+  uint32_t done = 0;
+  while (done < n_total) {
+    const uint32_t g = (n_total - done < fold_every) ? n_total - done
+                                                     : fold_every;
+    const uint8_t* gbase = base + static_cast<int64_t>(done) * sstride;
     if (f->pixel_depth == 16) {
-      const uint16_t* p = reinterpret_cast<const uint16_t*>(fp);
-      for (int64_t i = 0; i < px; ++i) {
-        uint16_t v = p[i];
-        sum_out[i] += v;
-        if (v > max_out[i]) max_out[i] = v;
-      }
+      sweep_tile_major<uint16_t>(gbase, sstride, 0, g, px, acc32, max_out);
     } else {
-      for (int64_t i = 0; i < px; ++i) {
-        uint16_t v = fp[i];
-        sum_out[i] += v;
-        if (v > max_out[i]) max_out[i] = v;
-      }
+      sweep_tile_major<uint8_t>(gbase, sstride, 0, g, px, acc32, max_out);
     }
+    for (int64_t i = 0; i < px; ++i) {
+      sum_out[i] += acc32[i];
+      acc32[i] = 0;
+    }
+    done += g;
   }
-  return n;
+  delete[] acc32;
+  return static_cast<int>(n_total);
 }
 
 // Full-frame-count sum + max restricted to the raw-coordinate rectangle
