@@ -85,8 +85,40 @@ def cached_probe_rate():
     return None
 
 
-_D2H_CACHE = None  # (ok: bool, monotonic time)
+_D2H_CACHE = None  # (best_bps: float, monotonic time)
 _D2H_TTL_S = 120.0
+_D2H_REFRESHING = None  # in-flight background refresh thread flag (lock'd)
+_D2H_LOCK = None  # created lazily (threading import stays function-local)
+
+
+def _d2h_measure(timeout_s: float) -> float:
+    """One bounded D2H rate sample (best-of-2 1 MB readbacks after a tiny
+    liveness readback); 0.0 when the link stalls past ``timeout_s``.  The
+    sample runs in a daemon thread and is abandoned on timeout — a stalled
+    readback cannot be cancelled."""
+    import threading
+    import time
+
+    done = threading.Event()
+    best_bps = [0.0]
+
+    def sample():
+        try:
+            np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
+            buf = np.zeros(1 << 20, np.uint8)
+            for _ in range(2):
+                dev = jax.device_put(buf)
+                dev.block_until_ready()  # upload is not the measurement
+                t0 = time.perf_counter()
+                np.asarray(dev)
+                dt = max(time.perf_counter() - t0, 1e-9)
+                best_bps[0] = max(best_bps[0], buf.nbytes / dt)
+            done.set()
+        except Exception:
+            pass
+
+    threading.Thread(target=sample, daemon=True).start()
+    return best_bps[0] if done.wait(timeout_s) else 0.0
 
 
 def d2h_responsive(timeout_s: float = 5.0, min_bps: float = None) -> bool:
@@ -112,44 +144,47 @@ def d2h_responsive(timeout_s: float = 5.0, min_bps: float = None) -> bool:
     and are abandoned on timeout.  Memoised briefly (the weather shifts
     by the minute): a folder batch pays the probe once, not per file.
     Normally-attached hosts move GB/s and pass in milliseconds.
+
+    Only the FIRST verdict of the process blocks.  Once a measurement
+    exists, a TTL expiry serves the stale verdict immediately and kicks
+    ONE background re-probe whose result feeds the next query — so a
+    long dead-link batch never pays ``timeout_s`` inside a timed stage
+    per TTL (observed: a 0.28 s scan recorded as 5.4 s because it drew
+    the re-probe), while a healing link is still re-adopted within a
+    TTL plus one probe duration.
     """
     import os
     import threading
     import time
 
-    global _D2H_CACHE
+    global _D2H_CACHE, _D2H_LOCK, _D2H_REFRESHING
     if min_bps is None:
         try:
             floor_mbps = float(os.environ.get("SOLEX_D2H_FLOOR_MBPS", "50"))
         except ValueError:
             floor_mbps = 50.0  # malformed override must not fail the run
         min_bps = floor_mbps * 1e6
+    if _D2H_LOCK is None:
+        _D2H_LOCK = threading.Lock()
     now = time.monotonic()
     # Cache the measured rate, not the verdict: a later call with a
     # different min_bps re-judges the same sample instead of inheriting a
     # verdict computed under another threshold.
-    if _D2H_CACHE is not None and now - _D2H_CACHE[1] < _D2H_TTL_S:
+    if _D2H_CACHE is not None:
+        if now - _D2H_CACHE[1] < _D2H_TTL_S:
+            return _D2H_CACHE[0] >= min_bps
+        with _D2H_LOCK:
+            if _D2H_REFRESHING is None or not _D2H_REFRESHING.is_alive():
+                def refresh():
+                    global _D2H_CACHE
+                    measured = _d2h_measure(timeout_s)
+                    _D2H_CACHE = (measured, time.monotonic())
+
+                _D2H_REFRESHING = threading.Thread(target=refresh,
+                                                   daemon=True)
+                _D2H_REFRESHING.start()
         return _D2H_CACHE[0] >= min_bps
-    done = threading.Event()
-    best_bps = [0.0]
-
-    def sample():
-        try:
-            np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
-            buf = np.zeros(1 << 20, np.uint8)
-            for _ in range(2):
-                dev = jax.device_put(buf)
-                dev.block_until_ready()  # upload is not the measurement
-                t0 = time.perf_counter()
-                np.asarray(dev)
-                dt = max(time.perf_counter() - t0, 1e-9)
-                best_bps[0] = max(best_bps[0], buf.nbytes / dt)
-            done.set()
-        except Exception:
-            pass
-
-    threading.Thread(target=sample, daemon=True).start()
-    measured = best_bps[0] if done.wait(timeout_s) else 0.0
+    measured = _d2h_measure(timeout_s)
     _D2H_CACHE = (measured, time.monotonic())
     return measured >= min_bps
 

@@ -451,3 +451,40 @@ def test_canary_reheal_readopts_device_mid_batch(tmp_path, monkeypatch):
     b = np.asarray(results[2].disk_list[0] if isinstance(
         results[2].disk_list, list) else results[2].disk_list[0])
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_d2h_canary_stale_cache_serves_without_blocking(monkeypatch):
+    """After the first measurement, a TTL expiry must serve the stale
+    verdict immediately (kicking one background re-probe) instead of
+    blocking a timed pipeline stage for the probe timeout — a dead-link
+    batch was observed recording a 0.28 s scan as 5.4 s because it drew
+    the blocking re-probe."""
+    import time
+
+    import solex_ser_recon_en_tpu.io.feeder as feeder
+
+    saved = feeder._D2H_CACHE
+    try:
+        # a stale dead verdict from long ago
+        feeder._D2H_CACHE = (0.0, time.monotonic() - 10 * feeder._D2H_TTL_S)
+        calls = []
+
+        def slow_measure(timeout_s):
+            calls.append(timeout_s)
+            time.sleep(0.2)
+            return 1e9  # the link healed
+
+        monkeypatch.setattr(feeder, "_d2h_measure", slow_measure)
+        t0 = time.perf_counter()
+        assert feeder.d2h_responsive(timeout_s=5.0) is False  # stale serve
+        assert time.perf_counter() - t0 < 0.05, "stale serve must not block"
+        # the background refresh lands and the healed verdict is re-adopted
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            if feeder._D2H_CACHE[0] > 0:
+                break
+            time.sleep(0.01)
+        assert feeder.d2h_responsive(timeout_s=5.0) is True
+        assert len(calls) == 1, "exactly one background re-probe"
+    finally:
+        feeder._D2H_CACHE = saved
