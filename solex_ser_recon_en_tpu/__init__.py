@@ -34,6 +34,31 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_feature_tag() -> str:
+    """Short tag of this host's CPU feature set + architecture.
+
+    XLA:CPU persists AOT-compiled host code in the compilation cache; an
+    entry built on a machine with a different vector-extension set loads
+    with "Compile machine features" warnings and can SIGILL at run time.
+    Keying the cache directory by the feature set gives each host class
+    its own cache instead of sharing stale AOT entries across machines.
+    """
+    import hashlib as _hashlib
+    import platform as _platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_platform.machine()}:{feats}".encode()
+    return _hashlib.sha256(raw).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations across processes (first TPU compile of the
     product kernels is tens of seconds; cached reruns are milliseconds).
@@ -43,10 +68,12 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
-        cache_dir = _os.environ.get(
+        base_dir = _os.environ.get(
             "SOLEX_COMPILE_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "solex_xla_cache"),
         )
+        # per-host-class subdirectory: see _host_feature_tag
+        cache_dir = _os.path.join(base_dir, _host_feature_tag())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -174,6 +174,15 @@ def handle_files(
                 continue
             pending.append((file, pool.submit(process_scan, scan, opts, timer), timer))
         done += drain(pending)
+    # deferred diagnostic-figure lane: renders overlapped the batch; join
+    # here so every file exists when the command finishes (io/writers.py)
+    from ..io.writers import figure_barrier
+
+    try:
+        figure_barrier()
+    except Exception:
+        print("ERROR ENCOUNTERED")
+        traceback.print_exc()
     progress(len(tasks), "Done.")
     return done
 

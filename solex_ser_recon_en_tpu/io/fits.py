@@ -90,14 +90,23 @@ def write_fits(path: str, data: np.ndarray, header: Dict[str, object] | None = N
 
     if bzero:
         signed = {16: np.int16, 32: np.int32}[bitpix]
-        raw = (data.astype(np.int64) - bzero).astype(signed)
+        if data.dtype == np.uint16:
+            # exact single-pass offset: (x - 32768) mod 2^16 viewed as
+            # int16 equals x - 32768 for every uint16 x (two's complement)
+            raw = (data - np.uint16(32768)).view(np.int16)
+        elif data.dtype == np.uint32:
+            raw = (data - np.uint32(2147483648)).view(np.int32)
+        else:
+            raw = (data.astype(np.int64) - bzero).astype(signed)
     else:
         raw = data
-    payload = raw.astype(raw.dtype.newbyteorder(">")).tobytes()
-    payload += b"\0" * (-len(payload) % BLOCK)
+    raw = np.ascontiguousarray(raw)
+    if raw.dtype != raw.dtype.newbyteorder(">"):
+        raw = raw.byteswap()  # one pass; the write below takes the buffer
     with open(path, "wb") as f:
         f.write(hdr)
-        f.write(payload)
+        f.write(raw)  # buffer protocol: no tobytes copy
+        f.write(b"\0" * (-raw.nbytes % BLOCK))
 
 
 def _parse_value(raw: str):
@@ -147,8 +156,12 @@ def read_fits(path: str) -> Tuple[np.ndarray, Dict[str, object]]:
     bscale = header.get("BSCALE", 1)
     if bzero == 32768 and bitpix == 16:
         data = (data.astype(np.int32) + 32768).astype(np.uint16)
+    elif bzero == 2147483648 and bitpix == 32:
+        data = (data.astype(np.int64) + 2147483648).astype(np.uint32)
     elif bzero != 0 or bscale != 1:
-        data = data * bscale + bzero
+        # int64 accumulate: a python-int bzero beyond the payload dtype's
+        # range would otherwise overflow the scalar promotion (NEP 50)
+        data = data.astype(np.int64) * bscale + bzero
     else:
         data = data.astype(data.dtype.newbyteorder("="))
     return data, header

@@ -102,7 +102,7 @@ def write_png_streaming(path: str, img, bands: int = 8,
             raw = np.empty((n, 1 + line_bytes.shape[1]), dtype=np.uint8)
             raw[:, 0] = 0
             raw[:, 1:] = line_bytes
-            data = comp.compress(raw.tobytes())
+            data = comp.compress(raw)  # buffer protocol: no tobytes copy
             if data:
                 _png_chunk(f, b"IDAT", data)
         tail = comp.flush()

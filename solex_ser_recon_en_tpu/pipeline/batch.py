@@ -215,10 +215,10 @@ def _process_group(key, members, min_files, timers, out) -> None:
         plot_wanted = (not opts.clahe_only and not opts.protus_only
                        and not opts._nolog)
         if plot_wanted:
-            from ..io.writers import submit as submit_write
+            from ..io.writers import submit_figure
             from .plots import save_spectral_line_plot
 
-            submit_write(
+            submit_figure(
                 save_spectral_line_plot,
                 output_path(basefich0 + "_spectral_line_data.png", opts),
                 mean_img, lf,

@@ -418,9 +418,9 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     log("Spectral line polynomial fit: " + str(lf.poly))
 
     if not options.clahe_only and not options.protus_only and not options._nolog:
-        from ..io.writers import submit as submit_write
+        from ..io.writers import submit_figure
 
-        submit_write(
+        submit_figure(
             save_spectral_line_plot,
             output_path(basefich0 + "_spectral_line_data.png", options),
             mean_img, lf,
@@ -702,7 +702,9 @@ def single_image_process(
                 stubborn=options.stubborn_transversalium,
             )
         if show_plot:
-            submit_write(
+            from ..io.writers import submit_figure
+
+            submit_figure(
                 save_transversalium_plot,
                 output_path(basefich + "_transversalium_correction.png", options),
                 c,
@@ -851,9 +853,9 @@ def process_scan(scan: ScanResult, options: Options, timer: Optional[StageTimer]
                     and not options.protus_only
                     and not options._nolog
                 ):
-                    from ..io.writers import submit as submit_write
+                    from ..io.writers import submit_figure
 
-                    submit_write(
+                    submit_figure(
                         save_ellipse_fit_plot,
                         output_path(basefich + "_ellipse_fit.png", options),
                         scan.disk_list[i],
@@ -999,9 +1001,11 @@ def _finish_sweep(pending, scan, options: Options, circle: Circle, borders, log)
             and not options._nolog
         )
         host_detrans = np.asarray(detrans) if options.save_fit else None
+        from ..io.writers import submit_figure
+
         for k, (_, basefich, _) in enumerate(pending):
             if show_plots:
-                submit_write(
+                submit_figure(
                     save_transversalium_plot,
                     output_path(
                         basefich + "_transversalium_correction.png", options

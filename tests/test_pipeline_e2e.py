@@ -32,6 +32,11 @@ def test_full_pipeline_products(scan_file, tmp_path):
     opts = Options(shift=[0], save_fit=True, output_dir=str(tmp_path))
     results = process_file(path, opts)
     assert len(results) == 1
+    # diagnostic figures ride the deferred lane (io/writers.py); the CLI
+    # joins it after the batch — tests join it before asserting existence
+    from solex_ser_recon_en_tpu.io.writers import figure_barrier
+
+    figure_barrier()
     base = os.path.join(str(tmp_path), "scan")
     for suffix in (
         "_mean.fits",

@@ -42,10 +42,13 @@ def test_sync_env_var_runs_inline(tmp_path, monkeypatch):
 
 
 def test_pipeline_joins_writes_before_return(tmp_path):
-    """process_file must not return before every product file exists
-    (the writer pool is an implementation detail of the stage timing)."""
+    """process_file must not return before every DATA product file exists
+    (the writer pool is an implementation detail of the stage timing).
+    Diagnostic figures ride the deferred lane and are guaranteed by
+    figure_barrier(), which the CLI joins after the batch."""
     from solex_ser_recon_en_tpu.config import Options
     from solex_ser_recon_en_tpu.io.synthetic import SyntheticScan
+    from solex_ser_recon_en_tpu.io.writers import figure_barrier
     from solex_ser_recon_en_tpu.pipeline.run import process_file
 
     path = str(tmp_path / "w.ser")
@@ -62,7 +65,10 @@ def test_pipeline_joins_writes_before_return(tmp_path):
                  "w_shift=0_circular.fits",
                  "w_shift=0_detransversaliumed.fits", "w_shift=0_clahe.fits",
                  "w_shift=0_clahe.png", "w_shift=0_protus.png",
-                 "w_shift=0_uncontrasted.png", "w_shift=0_high_contrast.png",
-                 "w_shift=0_transversalium_correction.png",
+                 "w_shift=0_uncontrasted.png", "w_shift=0_high_contrast.png"):
+        assert want in names, want
+    figure_barrier()
+    names = {p.name for p in outdir.iterdir()}
+    for want in ("w_shift=0_transversalium_correction.png",
                  "w_spectral_line_data.png", "w_shift=10_ellipse_fit.png"):
         assert want in names, want
