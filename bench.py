@@ -784,13 +784,29 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--decomp":
         ensure_scan()
+        prewarm = None
         if not unreachable:
-            from solex_ser_recon_en_tpu.io.feeder import d2h_responsive
+            from solex_ser_recon_en_tpu.io import feeder
 
-            if not d2h_responsive(20.0):
-                print(json.dumps({"skipped": "d2h readback stalled"}))
-                return
+            if not feeder.d2h_responsive(20.0):
+                # absorb the relay's first-touch D2H stall outside the
+                # timed legs (same pre-warm as the full bench)
+                budget = float(
+                    os.environ.get("SOLEX_BENCH_D2H_PREWARM_S", "480"))
+                t0 = time.perf_counter()
+                measured = feeder._d2h_measure(budget)
+                prewarm = {
+                    "absorb_s": round(time.perf_counter() - t0, 1),
+                    "link_mbps_after": round(measured / 1e6, 3),
+                }
+                if measured <= 0.5e6:
+                    print(json.dumps({"skipped": "d2h readback stalled",
+                                      "d2h_prewarm": prewarm}))
+                    return
+                feeder._D2H_CACHE = (measured, time.monotonic())
         out = device_attached_decomposition()
+        if prewarm:
+            out["d2h_prewarm"] = prewarm
         if unreachable:
             out["tpu_unreachable"] = True
         print(json.dumps(out))
@@ -851,11 +867,32 @@ def main() -> None:
                 ref["reference_actual_s"] / tpu["e2e_s"], 2)
         except Exception as e:  # never mask the headline
             result["reference_actual_error"] = str(e)[:200]
-    # the headline goes out BEFORE the device-throughput measurement,
-    # the decomposition and the extra configs, so a congestion-stretched
-    # (or CPU-fallback) later leg can never cost the driver the result;
-    # the final line repeats it with everything folded in
+    # the headline goes out BEFORE the extra configs, the D2H pre-warm and
+    # the device-throughput legs, so a congestion-stretched (or
+    # CPU-fallback) later leg can never cost the driver the result;
+    # the final line repeats it compactly with everything folded in
     print(json.dumps(result), flush=True)
+    # extra configs run BEFORE the device legs: they are scoreboard
+    # figures (per-config vs_baseline / vs_reference_actual); the device
+    # legs are supplementary evidence whose pre-warm can cost minutes
+    extra = {}
+    if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
+        for n in (2, 3, 4, 5):
+            if time.monotonic() - t_start > 1500:
+                # congested-window guard: the compact summary line must be
+                # printed before any driver-side timeout
+                extra[f"config{n}"] = {"skipped": "bench time budget"}
+                continue
+            try:
+                # pipeline progress prints go to stderr: stdout must carry
+                # only JSON lines for the driver's tail parse
+                import contextlib
+
+                with contextlib.redirect_stdout(sys.stderr):
+                    extra[f"config{n}"] = run_config(n)
+            except Exception as e:  # a config failure must not mask config 1
+                extra[f"config{n}"] = {"error": str(e)[:200]}
+    result["extra_configs"] = extra
     # The device-only legs end in raw checksum readbacks with no canary in
     # front of them; on a relay whose DOWNLOAD direction has stalled
     # (uploads can still run at full rate) they hang unboundedly — observed
@@ -880,7 +917,7 @@ def main() -> None:
         if not d2h_ok:
             budget = min(
                 float(os.environ.get("SOLEX_BENCH_D2H_PREWARM_S", "480")),
-                max(0.0, 2100 - (time.monotonic() - t_start)),
+                max(0.0, 2700 - (time.monotonic() - t_start)),
             )
             if budget > 30:
                 t0 = time.perf_counter()
@@ -917,24 +954,6 @@ def main() -> None:
             result["device_attached"] = device_attached_decomposition()
         except Exception as e:  # never mask the headline
             result["device_attached"] = {"error": str(e)[:200]}
-    extra = {}
-    if os.environ.get("SOLEX_BENCH_SKIP_EXTRA") != "1":
-        for n in (2, 3, 4, 5):
-            if time.monotonic() - t_start > 1200:
-                # congested-window guard: the headline JSON line must be
-                # printed before any driver-side timeout
-                extra[f"config{n}"] = {"skipped": "bench time budget"}
-                continue
-            try:
-                # pipeline progress prints go to stderr: stdout must carry
-                # only JSON lines for the driver's tail parse
-                import contextlib
-
-                with contextlib.redirect_stdout(sys.stderr):
-                    extra[f"config{n}"] = run_config(n)
-            except Exception as e:  # a config failure must not mask config 1
-                extra[f"config{n}"] = {"error": str(e)[:200]}
-    result["extra_configs"] = extra
 
     # --- full detail to a FILE, compact summary as the FINAL stdout line.
     # The driver's artifact keeps the tail of stdout; round 4's single

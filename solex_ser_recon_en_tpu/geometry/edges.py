@@ -24,6 +24,11 @@ def _blur(img, kx: int, ky: int) -> np.ndarray:
     """box_blur dispatcher: integer HOST arrays take the bit-identical numpy
     twin (the XLA dispatch dominates the math on small scans); device arrays
     and float inputs keep the device program (float cumsum order differs)."""
+    if kx <= 1 and ky <= 1:
+        # identity kernel: box_blur reduces to one f32 cast (both window
+        # sums return x.astype, /1 exact) — skip the XLA round trip, which
+        # costs ~1 ms/file on small-scan folder batches
+        return np.asarray(img, dtype=np.float32)
     if isinstance(img, np.ndarray) and np.issubdtype(img.dtype, np.integer):
         return box_blur_host(img, kx, ky)
     with small_ops():

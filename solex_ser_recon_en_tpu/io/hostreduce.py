@@ -90,9 +90,28 @@ def host_reconstruct_frames(
     w_r = np.asarray(fit_frac, dtype=np.float64)
     ys = np.arange(ih)
     out = np.empty((len(shifts), ih, F), dtype=np.uint16)
+    # normalised frames index flat as y*iw + il, right neighbour +1; the
+    # fused native sweep (same kernel as the SER memmap path) replaces
+    # numpy's 2 gather + 3 arithmetic passes — bit-exact by construction
+    use_native = (
+        frames.dtype == np.uint16
+        and frames.strides[-1] == frames.itemsize
+        and _native_recon_enabled()
+    )
+    flat_l = ys[None, :].astype(np.int64) * iw + ind_l.astype(np.int64)
     for start in range(0, F, chunk_frames):
         end = min(start + chunk_frames, F)
         blk = frames[start:end]
+        if use_native:
+            from .native import native_recon_chunk
+
+            use_native = native_recon_chunk(
+                blk, flat_l, 1, w_l, w_r, False, out, start
+            )
+            if use_native:
+                if progress is not None:
+                    progress(out[:, :, start:end], start, blk[-1])
+                continue
         for si in range(len(shifts)):
             il = ind_l[si]
             left = blk[:, ys, il].astype(np.float64)

@@ -34,14 +34,22 @@ def _build() -> Optional[str]:
     import hashlib
 
     with open(src, "rb") as f:
-        key = hashlib.sha256(f.read()).hexdigest()[:16]
+        # key = source + flag recipe: a flag change (e.g. fp-contract)
+        # must produce a new artifact just like a source change
+        key = hashlib.sha256(f.read() + b"|v2:fp-contract=off").hexdigest()[:16]
     so = os.path.join(_CACHE, f"libser_io-{key}.so")
     if os.path.exists(so):
         return so
     os.makedirs(_CACHE, exist_ok=True)
     # -march=native lets the autovectoriser use the full SIMD width for the
-    # fused mean/max sweep; fall back for toolchains that reject it
-    for flags in (["-O3", "-march=native"], ["-O3"], ["-O2"]):
+    # fused mean/max sweep; fall back for toolchains that reject it.
+    # -ffp-contract=off globally: g++ contracts a*b+c to FMA by default,
+    # which rounds differently from numpy's separate multiply and add —
+    # observed as 1-LSB divergence in ser_recon_f64's scalar tail (the
+    # last <=32 frames of every scan) vs the bit-exactness contract; the
+    # AVX-512 intrinsic paths are explicit mul/add and unaffected.
+    for flags in (["-O3", "-march=native", "-ffp-contract=off"],
+                  ["-O3", "-ffp-contract=off"], ["-O2"]):
         cmd = ["g++", *flags, "-shared", "-fPIC", "-o", so, src]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -27,6 +27,25 @@ def _gaussian_kernel_1d(sigma):
     return k / k.sum()
 
 
+_NORM_CACHE: dict = {}  # (shape, sigma) -> support-mask convolution
+
+
+def _support_norm(shape, sigma, k):
+    """Gaussian convolution of an all-ones image — depends only on shape
+    and sigma, so folder batches of same-size scans compute it once."""
+    key = (shape, float(sigma))
+    norm = _NORM_CACHE.get(key)
+    if norm is None:
+        ones = np.ones(shape, dtype=np.float64)
+        norm = ndi.convolve1d(
+            ndi.convolve1d(ones, k, axis=0, mode="constant"),
+            k, axis=1, mode="constant")
+        if len(_NORM_CACHE) > 8:
+            _NORM_CACHE.clear()
+        _NORM_CACHE[key] = norm
+    return norm
+
+
 def canny(image, sigma=1.0, low_threshold=None, high_threshold=None):
     # float64 like skimage's own canny: on a CONSTANT image the support-mask
     # division must cancel to ~1e-10 noise so the magnitude floor below
@@ -37,9 +56,7 @@ def canny(image, sigma=1.0, low_threshold=None, high_threshold=None):
     k = _gaussian_kernel_1d(float(sigma))
     sm = ndi.convolve1d(ndi.convolve1d(img, k, axis=0, mode="constant"),
                         k, axis=1, mode="constant")
-    norm = ndi.convolve1d(
-        ndi.convolve1d(np.ones_like(img), k, axis=0, mode="constant"),
-        k, axis=1, mode="constant")
+    norm = _support_norm(img.shape, sigma, k)
     sm = sm / np.maximum(norm, 1e-12)
 
     gy = ndi.sobel(sm, axis=0, mode="reflect")
