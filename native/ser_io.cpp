@@ -1548,3 +1548,59 @@ int box_blur_u16_exact(const uint16_t* src, int64_t h, int64_t w, int kx,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// PNG grayscale scanline pack: each row of the (n_rows, w) source becomes
+// [filter byte 0][w big-endian samples] in `out` (n_rows * (1 + bpp*w)
+// bytes).  BIT-identical to the numpy pack in io/png.py (astype('>u2')
+// bytes behind a zero filter byte) — the shared Python framing around it
+// guarantees identical PNG files whichever side packs.  u16 sources are
+// byteswapped; u8 copied.  The shift pair autovectorises under
+// -march=native (gcc emits vpshufb byte swaps).
+int png_pack_rows(const void* src, int64_t n_rows, int64_t w, int is16,
+                  uint8_t* out) {
+  if (!src || !out || n_rows < 0 || w <= 0) return -1;
+  if (is16) {
+    const uint16_t* s0 = static_cast<const uint16_t*>(src);
+    const int64_t line = 1 + 2 * w;
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const uint16_t* sp = s0 + r * w;
+      uint8_t* op = out + r * line;
+      op[0] = 0;
+      uint8_t* od = op + 1;
+      for (int64_t x = 0; x < w; ++x) {
+        const uint16_t v = sp[x];
+        od[2 * x] = static_cast<uint8_t>(v >> 8);
+        od[2 * x + 1] = static_cast<uint8_t>(v & 0xFF);
+      }
+    }
+  } else {
+    const uint8_t* s0 = static_cast<const uint8_t*>(src);
+    const int64_t line = 1 + w;
+    for (int64_t r = 0; r < n_rows; ++r) {
+      out[r * line] = 0;
+      memcpy(out + r * line + 1, s0 + r * w, static_cast<size_t>(w));
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// FITS BITPIX=16/BZERO=32768 payload pack in one pass:
+// out[i] = bswap16(src[i] ^ 0x8000) — the xor equals the wraparound
+// -32768 offset (two's complement), the swap is the big-endian store.
+// Autovectorises under -march=native.
+int fits_pack_u16(const uint16_t* src, int64_t n, uint16_t* out) {
+  if (!src || !out || n < 0) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint16_t v = static_cast<uint16_t>(src[i] ^ 0x8000u);
+    out[i] = static_cast<uint16_t>((v >> 8) | (v << 8));
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -91,6 +91,16 @@ def write_fits(path: str, data: np.ndarray, header: Dict[str, object] | None = N
     if bzero:
         signed = {16: np.int16, 32: np.int32}[bitpix]
         if data.dtype == np.uint16:
+            from .native import native_fits_pack_u16
+
+            packed = native_fits_pack_u16(data)
+            if packed is not None:
+                # fused offset+byteswap payload (one pass): write directly
+                with open(path, "wb") as f:
+                    f.write(hdr)
+                    f.write(packed)
+                    f.write(b"\0" * (-packed.nbytes % BLOCK))
+                return
             # exact single-pass offset: (x - 32768) mod 2^16 viewed as
             # int16 equals x - 32768 for every uint16 x (two's complement)
             raw = (data - np.uint16(32768)).view(np.int16)

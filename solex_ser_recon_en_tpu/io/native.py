@@ -260,6 +260,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p,   # out f32 (H, W) or NULL
                 ctypes.c_void_p,   # out u16 (H, W) or NULL
             ]
+        if hasattr(lib, "fits_pack_u16"):
+            lib.fits_pack_u16.restype = ctypes.c_int
+            lib.fits_pack_u16.argtypes = [
+                ctypes.c_void_p,   # src u16
+                ctypes.c_int64,    # n elements
+                ctypes.c_void_p,   # out u16 (big-endian payload)
+            ]
+        if hasattr(lib, "png_pack_rows"):
+            lib.png_pack_rows.restype = ctypes.c_int
+            lib.png_pack_rows.argtypes = [
+                ctypes.c_void_p,   # src (n, w) u16/u8
+                ctypes.c_int64,    # n_rows
+                ctypes.c_int64,    # w
+                ctypes.c_int,      # is16
+                ctypes.c_void_p,   # out n*(1+bpp*w) u8
+            ]
         _lib = lib
         return _lib
 
@@ -721,3 +737,46 @@ class NativeSerReader:
             self.close()
         except Exception:
             pass
+
+
+def native_png_pack(rows: np.ndarray):
+    """PNG scanline pack ([filter 0][big-endian samples] per row) of a
+    2-D u16/u8 host image — bit-identical to io/png.py's numpy pack (the
+    shared framing around it guarantees identical files either way).
+    Returns the flat uint8 payload, or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "png_pack_rows"):
+        return None
+    if rows.ndim != 2 or rows.dtype not in (np.uint16, np.uint8):
+        return None
+    rows = np.ascontiguousarray(rows)
+    n, w = rows.shape
+    is16 = 1 if rows.dtype == np.uint16 else 0
+    out = np.empty(n * (1 + (2 if is16 else 1) * w), dtype=np.uint8)
+    rc = lib.png_pack_rows(
+        rows.ctypes.data_as(ctypes.c_void_p), n, w, is16,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def native_fits_pack_u16(data: np.ndarray):
+    """One-pass BITPIX=16/BZERO=32768 payload (xor-offset + byteswap,
+    ser_io.cpp:fits_pack_u16) — value-identical to the numpy two-pass
+    form in io/fits.py.  None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fits_pack_u16"):
+        return None
+    if data.dtype != np.uint16:
+        return None
+    data = np.ascontiguousarray(data)
+    out = np.empty(data.size, dtype=np.uint16)
+    rc = lib.fits_pack_u16(
+        data.ctypes.data_as(ctypes.c_void_p), data.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out

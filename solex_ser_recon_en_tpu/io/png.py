@@ -48,6 +48,73 @@ def _png_chunk(f, tag: bytes, data: bytes) -> None:
     f.write(struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
+def _png_chunk_parts(f, tag: bytes, parts) -> None:
+    """One PNG chunk assembled from buffer pieces without a joining copy
+    (the length prefix and running CRC are computed over the pieces)."""
+    import struct
+    import zlib
+
+    f.write(struct.pack(">I", sum(len(p) for p in parts)))
+    f.write(tag)
+    crc = zlib.crc32(tag)
+    for p in parts:
+        f.write(p)
+        crc = zlib.crc32(p, crc)
+    f.write(struct.pack(">I", crc & 0xFFFFFFFF))
+
+
+def _pack_scanlines(rows: np.ndarray, be: str) -> np.ndarray:
+    """Flat uint8 scanline payload: [filter 0][big-endian samples] per row.
+
+    Native fast path (ser_io.cpp:png_pack_rows) when available — BIT-
+    identical to the numpy form below by construction, so files match
+    whichever side packs."""
+    if rows.dtype in (np.uint16, np.uint8):
+        from .native import native_png_pack
+
+        out = native_png_pack(rows)
+        if out is not None:
+            return out
+    n, _ = rows.shape
+    line_bytes = (
+        rows.astype(be, copy=False, order="C").view(np.uint8).reshape(n, -1)
+    )
+    raw = np.empty((n, 1 + line_bytes.shape[1]), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = line_bytes
+    return raw.reshape(-1)
+
+
+def _stored_parts(payload, first: bool, final: bool, adler: int):
+    """zlib stored-block framing pieces for one band's scanline payload.
+
+    Deterministic by construction (blocks split at exactly 65535 bytes,
+    never carried across bands; BFINAL on the image's last block; the
+    stream header on the first band and the adler32 trailer after the
+    final block), so the SAME bytes come out of the python and native
+    pack paths and of host- and device-resident writes alike."""
+    import struct
+
+    mv = memoryview(payload)
+    n = len(mv)
+    parts = []
+    if first:
+        parts.append(b"\x78\x01")  # 32K window, fastest-compression hint
+    pos = 0
+    while True:
+        blk = min(65535, n - pos)
+        last_of_image = final and (pos + blk == n)
+        parts.append(struct.pack("<BHH", 1 if last_of_image else 0,
+                                 blk, blk ^ 0xFFFF))
+        parts.append(mv[pos:pos + blk])
+        pos += blk
+        if pos >= n:
+            break
+    if final:
+        parts.append(struct.pack(">I", adler & 0xFFFFFFFF))
+    return parts
+
+
 def write_png_streaming(path: str, img, bands: int = 8,
                         compression: int = 0) -> None:
     """Own grayscale PNG encoder that streams a DEVICE-resident image.
@@ -82,7 +149,9 @@ def write_png_streaming(path: str, img, bands: int = 8,
     else:
         depth, be = 16, ">u2"
 
-    comp = zlib.compressobj(level=int(compression))
+    level = int(compression)
+    comp = zlib.compressobj(level=level) if level > 0 else None
+    adler = 1
     with open(path, "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\n")
         _png_chunk(f, b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
@@ -90,24 +159,28 @@ def write_png_streaming(path: str, img, bands: int = 8,
             rows = np.asarray(first if k == 0 else s)
             if rows.dtype not in (np.uint8, np.uint16):
                 rows = np.clip(rows, 0, 65535).astype(np.uint16)
-            # one filter byte (0 = None) per scanline, big-endian samples;
-            # device pulls can come back F-contiguous — force C order for
-            # the byte view
-            n, _ = rows.shape
-            line_bytes = (
-                rows.astype(be, copy=False, order="C")
-                .view(np.uint8)
-                .reshape(n, -1)
+            # device pulls can come back F-contiguous — the pack forces C
+            # order for the byte view
+            rows = np.ascontiguousarray(rows)
+            payload = _pack_scanlines(rows, be)
+            if comp is not None:  # compressed path (non-product callers)
+                data = comp.compress(payload)
+                if data:
+                    _png_chunk(f, b"IDAT", data)
+                continue
+            # level 0 (the reference's product setting): own stored-block
+            # framing — one pass, no zlib buffer copies, deterministic
+            # bytes shared by the python and native pack paths
+            adler = zlib.adler32(payload, adler)
+            _png_chunk_parts(
+                f, b"IDAT",
+                _stored_parts(payload, first=(k == 0),
+                              final=(k == len(slices) - 1), adler=adler),
             )
-            raw = np.empty((n, 1 + line_bytes.shape[1]), dtype=np.uint8)
-            raw[:, 0] = 0
-            raw[:, 1:] = line_bytes
-            data = comp.compress(raw)  # buffer protocol: no tobytes copy
-            if data:
-                _png_chunk(f, b"IDAT", data)
-        tail = comp.flush()
-        if tail:
-            _png_chunk(f, b"IDAT", tail)
+        if comp is not None:
+            tail = comp.flush()
+            if tail:
+                _png_chunk(f, b"IDAT", tail)
         _png_chunk(f, b"IEND", b"")
 
 
