@@ -47,15 +47,26 @@ def _host_feature_tag() -> str:
     import platform as _platform
 
     feats = ""
+    # XLA tunes per MODEL, not just per flag set: e.g. prefer-no-scatter/
+    # prefer-no-gather is chosen for CPU models hit by the slow-gather
+    # mitigation, so two hosts with identical cpuinfo *flags* can still
+    # produce mutually-warning AOT entries.  Fold model identity in.
+    ident = {}
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":", 1)[0].strip()
+                if not feats and key in ("flags", "Features"):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif key in ("vendor_id", "cpu family", "model",
+                             "model name", "stepping") and key not in ident:
+                    ident[key] = line.split(":", 1)[1].strip()
+                if feats and len(ident) >= 5:
                     break
     except OSError:
         pass
-    raw = f"{_platform.machine()}:{feats}".encode()
+    model = ";".join(f"{k}={ident[k]}" for k in sorted(ident))
+    raw = f"{_platform.machine()}:{model}:{feats}".encode()
     return _hashlib.sha256(raw).hexdigest()[:12]
 
 

@@ -91,9 +91,16 @@ def write_fits(path: str, data: np.ndarray, header: Dict[str, object] | None = N
     if bzero:
         signed = {16: np.int16, 32: np.int32}[bitpix]
         if data.dtype == np.uint16:
-            from .native import native_fits_pack_u16
+            try:
+                from .native import native_fits_pack_u16
+            except ImportError:
+                # loaded standalone (benchmarks/refshims/_load.py backs the
+                # reference's astropy with this file, outside the package):
+                # take the pure single-pass path below
+                native_fits_pack_u16 = None
 
-            packed = native_fits_pack_u16(data)
+            packed = (native_fits_pack_u16(data)
+                      if native_fits_pack_u16 is not None else None)
             if packed is not None:
                 # fused offset+byteswap payload (one pass): write directly
                 with open(path, "wb") as f:
