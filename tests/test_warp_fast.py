@@ -109,14 +109,29 @@ def test_extreme_scale_refused(rng):
 def test_pipeline_dispatch_gate_off_on_cpu():
     """On the CPU test backend the pipeline keeps the general warp
     (geometry/correct.py gates the fast path to TPU, like the fused
-    recon auto-select)."""
+    recon auto-select).  Placement thread-locals are pinned explicitly:
+    earlier tests in the same process may have run host-feed files,
+    leaving host_pipeline() set on this thread (which the gate rightly
+    honours — asserted below as its own case)."""
     import jax
 
     from solex_ser_recon_en_tpu.geometry.correct import _use_fast_warp
+    from solex_ser_recon_en_tpu.utils.placement import (
+        host_pipeline,
+        set_host_pipeline,
+    )
 
     m3 = _pipeline_matrix(0.15, 0.93, -13.4, 7.3)
-    expected = jax.default_backend() == "tpu"
-    assert _use_fast_warp(m3) == expected
-    assert not _use_fast_warp(np.array(
-        [[1.0, 0.0, 0.0], [0.0, 1.1, 0.0], [0.0, 0.0, 1.0]]
-    ))
+    prev = host_pipeline()
+    try:
+        set_host_pipeline(False)
+        expected = jax.default_backend() == "tpu"
+        assert _use_fast_warp(m3) == expected
+        assert not _use_fast_warp(np.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.1, 0.0], [0.0, 0.0, 1.0]]
+        ))
+        # host-pinned files must keep the general warp on any backend
+        set_host_pipeline(True)
+        assert not _use_fast_warp(m3)
+    finally:
+        set_host_pipeline(prev)
