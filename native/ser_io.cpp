@@ -1604,3 +1604,242 @@ int fits_pack_u16(const uint16_t* src, int64_t n, uint16_t* out) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// cv2-exact CLAHE on a uint16 image (OpenCV modules/imgproc clahe.cpp
+// semantics; the reference calls cv2.createCLAHE(clipLimit=0.8,
+// tileGridSize=(2,2)).apply on the final disk, solex_util.py:532-533).
+// Pipeline:
+//   1. BORDER_REFLECT_101 pad (right/bottom) to a tile-grid multiple —
+//      histogram accumulation only, via reflected indices (no copy);
+//   2. per-tile 65536-bin histogram, clip at
+//      max(int(clip_limit*tile_area/65536), 1), uniform redistribution +
+//      residual at stride max(65536/residual, 1);
+//   3. LUT[i] = saturate_cast<u16>(cdf * (65535.0f/tile_area)) with
+//      round-to-nearest-even (cvRound);
+//   4. bilinear interpolation of the 4 neighbouring tile LUTs over the
+//      ORIGINAL grid, float32 ops in cv2's exact association
+//      (l11*xa1 + l12*xa)*ya1 + (l21*xa1 + l22*xa)*ya — the AVX-512 path
+//      uses explicit mul/add (no FMA contraction) so every lane rounds
+//      like cv2's scalar body.
+// `out_hist` (optional, 65536 u32) accumulates the OUTPUT value histogram
+// in the same pass — the product stage's percentile stretch needs it and
+// the row is still in L1.  Bit-identity vs cv2 is fuzz-asserted in
+// tests/test_clahe.py.
+int clahe_u16(const uint16_t* src, int64_t h, int64_t w, int tiles_x,
+              int tiles_y, double clip_limit, uint16_t* out,
+              uint32_t* out_hist) {
+  if (!src || !out || h <= 0 || w <= 0 || tiles_x <= 0 || tiles_y <= 0)
+    return -1;
+  constexpr int kHist = 65536;
+  // cv2 pads BOTH axes whenever EITHER is non-divisible, each by
+  // tiles - (dim % tiles) — a FULL extra tile on an already-divisible
+  // axis (CLAHE_Impl::apply's copyMakeBorder takes the else branch for
+  // both dimensions at once)
+  int64_t pw = w, ph = h;
+  if (w % tiles_x != 0 || h % tiles_y != 0) {
+    pw = w + (tiles_x - (w % tiles_x));
+    ph = h + (tiles_y - (h % tiles_y));
+    // single-bounce reflect101 only: pad > dim-1 would need multi-bounce
+    if (pw - w > w - 1 || ph - h > h - 1) return -1;
+  }
+  const int64_t tw = pw / tiles_x, th = ph / tiles_y;
+  const int64_t tile_area = tw * th;
+  if (tile_area > (int64_t)std::numeric_limits<int>::max()) return -1;
+  int clip = 0;
+  if (clip_limit > 0.0) {
+    clip = static_cast<int>(clip_limit * static_cast<double>(tile_area) /
+                            kHist);
+    if (clip < 1) clip = 1;
+  }
+  const float lut_scale =
+      static_cast<float>(kHist - 1) / static_cast<float>(tile_area);
+  const int T = tiles_x * tiles_y;
+  // +2 slots: the 32-bit gathers read 4 bytes at the last element
+  uint16_t* lut = new (std::nothrow) uint16_t[(size_t)T * kHist + 2];
+  // 4 interleaved sub-histograms: hist[v]++ on a smooth solar disk hits
+  // long runs of equal values whose store-to-load dependency chains
+  // dominate a single-array build; four banks break the chains and the
+  // 3*65536 merge adds autovectorise
+  uint32_t* hist4 = new (std::nothrow) uint32_t[4 * kHist];
+  int* thist = new (std::nothrow) int[kHist];
+  if (!lut || !hist4 || !thist) {
+    delete[] lut; delete[] hist4; delete[] thist;
+    return -1;
+  }
+
+  for (int tyi = 0; tyi < tiles_y; ++tyi) {
+    for (int txi = 0; txi < tiles_x; ++txi) {
+      memset(hist4, 0, sizeof(uint32_t) * 4 * kHist);
+      const int64_t x0 = (int64_t)txi * tw, x1 = x0 + tw;
+      const int64_t xin = x1 < w ? x1 : w;
+      for (int64_t yy = tyi * th; yy < (tyi + 1) * th; ++yy) {
+        const int64_t sy = yy < h ? yy : 2 * h - 2 - yy;
+        const uint16_t* row = src + sy * w;
+        int64_t xx = x0;
+        for (; xx + 4 <= xin; xx += 4) {
+          ++hist4[row[xx]];
+          ++hist4[(size_t)kHist + row[xx + 1]];
+          ++hist4[(size_t)2 * kHist + row[xx + 2]];
+          ++hist4[(size_t)3 * kHist + row[xx + 3]];
+        }
+        for (; xx < xin; ++xx) ++hist4[row[xx]];
+        for (; xx < x1; ++xx) ++hist4[row[2 * w - 2 - xx]];  // reflect101
+      }
+      for (int i = 0; i < kHist; ++i)
+        thist[i] = (int)(hist4[i] + hist4[kHist + i] + hist4[2 * kHist + i] +
+                         hist4[3 * kHist + i]);
+      if (clip > 0) {
+        int clipped = 0;
+        for (int i = 0; i < kHist; ++i) {
+          if (thist[i] > clip) {
+            clipped += thist[i] - clip;
+            thist[i] = clip;
+          }
+        }
+        const int redist = clipped / kHist;
+        int residual = clipped - redist * kHist;
+        if (redist)
+          for (int i = 0; i < kHist; ++i) thist[i] += redist;
+        if (residual != 0) {
+          const int step = kHist / residual > 1 ? kHist / residual : 1;
+          for (int i = 0; i < kHist && residual > 0; i += step, --residual)
+            ++thist[i];
+        }
+      }
+      uint16_t* tl = lut + (size_t)(tyi * tiles_x + txi) * kHist;
+      int sum = 0;
+      for (int i = 0; i < kHist; ++i) {
+        sum += thist[i];
+        // cv2: saturate_cast<ushort>(sum * lutScale) — float multiply,
+        // round-to-nearest-even (cvRound), clamp
+        const float v = (float)sum * lut_scale;
+#if defined(__AVX512F__)
+        int r = _mm_cvtss_si32(_mm_set_ss(v));
+#else
+        int r = (int)std::nearbyintf(v);
+#endif
+        if (r < 0) r = 0;
+        if (r > 65535) r = 65535;
+        tl[i] = (uint16_t)r;
+      }
+    }
+  }
+  delete[] thist;
+
+  // per-column interpolation precompute (cv2 body's ind1_p/xa_p tables)
+  int32_t* ind1p = new (std::nothrow) int32_t[w];
+  int32_t* ind2p = new (std::nothrow) int32_t[w];
+  float* xap = new (std::nothrow) float[w];
+  float* xa1p = new (std::nothrow) float[w];
+  if (!ind1p || !ind2p || !xap || !xa1p) {
+    delete[] lut; delete[] hist4;
+    delete[] ind1p; delete[] ind2p; delete[] xap; delete[] xa1p;
+    return -1;
+  }
+  const float inv_tw = 1.0f / (float)tw;
+  for (int64_t x = 0; x < w; ++x) {
+    const float txf = (float)x * inv_tw - 0.5f;
+    int tx1 = (int)std::floor(txf);
+    int tx2 = tx1 + 1;
+    xap[x] = txf - (float)tx1;
+    xa1p[x] = 1.0f - xap[x];
+    tx1 = tx1 > 0 ? tx1 : 0;
+    tx2 = tx2 < tiles_x - 1 ? tx2 : tiles_x - 1;
+    ind1p[x] = tx1 * kHist;
+    ind2p[x] = tx2 * kHist;
+  }
+  uint32_t* oh4 = nullptr;
+  if (out_hist) {
+    oh4 = hist4;  // reuse: four interleaved output-histogram banks
+    memset(oh4, 0, sizeof(uint32_t) * 4 * kHist);
+  }
+  const float inv_th = 1.0f / (float)th;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint16_t* srow = src + y * w;
+    uint16_t* drow = out + y * w;
+    const float tyf = (float)y * inv_th - 0.5f;
+    int ty1 = (int)std::floor(tyf);
+    int ty2 = ty1 + 1;
+    const float ya = tyf - (float)ty1, ya1 = 1.0f - ya;
+    ty1 = ty1 > 0 ? ty1 : 0;
+    ty2 = ty2 < tiles_y - 1 ? ty2 : tiles_y - 1;
+    const uint16_t* p1 = lut + (size_t)(ty1 * tiles_x) * kHist;
+    const uint16_t* p2 = lut + (size_t)(ty2 * tiles_x) * kHist;
+    int64_t x = 0;
+#if defined(__AVX512F__)
+    const __m512 vya = _mm512_set1_ps(ya);
+    const __m512 vya1 = _mm512_set1_ps(ya1);
+    const __m512i vlow16 = _mm512_set1_epi32(0xFFFF);
+    const __m512i vmax = _mm512_set1_epi32(65535);
+    const __m512i vzero = _mm512_setzero_si512();
+    for (; x + 16 <= w; x += 16) {
+      const __m512i sv = _mm512_cvtepu16_epi32(
+          _mm256_loadu_si256((const __m256i*)(srow + x)));
+      const __m512i i1 =
+          _mm512_add_epi32(sv, _mm512_loadu_si512(ind1p + x));
+      const __m512i i2 =
+          _mm512_add_epi32(sv, _mm512_loadu_si512(ind2p + x));
+      const __m512 g11 = _mm512_cvtepi32_ps(_mm512_and_si512(
+          _mm512_i32gather_epi32(i1, p1, 2), vlow16));
+      const __m512 g12 = _mm512_cvtepi32_ps(_mm512_and_si512(
+          _mm512_i32gather_epi32(i2, p1, 2), vlow16));
+      const __m512 g21 = _mm512_cvtepi32_ps(_mm512_and_si512(
+          _mm512_i32gather_epi32(i1, p2, 2), vlow16));
+      const __m512 g22 = _mm512_cvtepi32_ps(_mm512_and_si512(
+          _mm512_i32gather_epi32(i2, p2, 2), vlow16));
+      const __m512 vxa = _mm512_loadu_ps(xap + x);
+      const __m512 vxa1 = _mm512_loadu_ps(xa1p + x);
+      // cv2's exact association, explicit mul/add (no contraction)
+      const __m512 r1 = _mm512_add_ps(_mm512_mul_ps(g11, vxa1),
+                                      _mm512_mul_ps(g12, vxa));
+      const __m512 r2 = _mm512_add_ps(_mm512_mul_ps(g21, vxa1),
+                                      _mm512_mul_ps(g22, vxa));
+      const __m512 res = _mm512_add_ps(_mm512_mul_ps(r1, vya1),
+                                       _mm512_mul_ps(r2, vya));
+      // cvRound: cvtps_epi32 under the default MXCSR mode (nearest-even)
+      __m512i ri = _mm512_cvtps_epi32(res);
+      ri = _mm512_max_epi32(ri, vzero);
+      ri = _mm512_min_epi32(ri, vmax);
+      _mm256_storeu_si256((__m256i*)(drow + x), _mm512_cvtepi32_epi16(ri));
+    }
+#endif
+    for (; x < w; ++x) {
+      const int sv = srow[x];
+      const int i1 = ind1p[x] + sv;
+      const int i2 = ind2p[x] + sv;
+      const float res = ((float)p1[i1] * xa1p[x] + (float)p1[i2] * xap[x]) *
+                            ya1 +
+                        ((float)p2[i1] * xa1p[x] + (float)p2[i2] * xap[x]) *
+                            ya;
+#if defined(__AVX512F__)
+      int r = _mm_cvtss_si32(_mm_set_ss(res));
+#else
+      int r = (int)std::nearbyintf(res);
+#endif
+      if (r < 0) r = 0;
+      if (r > 65535) r = 65535;
+      drow[x] = (uint16_t)r;
+    }
+    if (oh4) {
+      int64_t i = 0;
+      for (; i + 4 <= w; i += 4) {
+        ++oh4[drow[i]];
+        ++oh4[(size_t)kHist + drow[i + 1]];
+        ++oh4[(size_t)2 * kHist + drow[i + 2]];
+        ++oh4[(size_t)3 * kHist + drow[i + 3]];
+      }
+      for (; i < w; ++i) ++oh4[drow[i]];
+    }
+  }
+  if (out_hist)
+    for (int i = 0; i < kHist; ++i)
+      out_hist[i] =
+          oh4[i] + oh4[kHist + i] + oh4[2 * kHist + i] + oh4[3 * kHist + i];
+  delete[] ind1p; delete[] ind2p; delete[] xap; delete[] xa1p;
+  delete[] lut; delete[] hist4;
+  return 0;
+}
+
+}  // extern "C"

@@ -276,6 +276,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,      # is16
                 ctypes.c_void_p,   # out n*(1+bpp*w) u8
             ]
+        if hasattr(lib, "clahe_u16"):
+            lib.clahe_u16.restype = ctypes.c_int
+            lib.clahe_u16.argtypes = [
+                ctypes.c_void_p,   # src (H, W) u16
+                ctypes.c_int64,    # h
+                ctypes.c_int64,    # w
+                ctypes.c_int,      # tiles_x
+                ctypes.c_int,      # tiles_y
+                ctypes.c_double,   # clip_limit
+                ctypes.c_void_p,   # out (H, W) u16
+                ctypes.c_void_p,   # out_hist u32[65536] or NULL
+            ]
         _lib = lib
         return _lib
 
@@ -306,6 +318,40 @@ def native_gain_hist_u16(src: np.ndarray, gain: np.ndarray,
     if rc != 0:
         return None
     return out, hist
+
+
+def native_clahe_u16(img: np.ndarray, clip_limit: float = 0.8,
+                     tiles=(2, 2), want_hist: bool = False):
+    """cv2-exact CLAHE on a u16 image (native/ser_io.cpp:clahe_u16).
+
+    Bit-identical to ``cv2.createCLAHE(clipLimit=clip_limit,
+    tileGridSize=tiles).apply(img)`` (reference solex_util.py:532-533) —
+    fuzz-asserted in tests/test_clahe.py.  With ``want_hist`` the OUTPUT
+    value histogram accumulates in the same pass (the product stage's
+    percentile stretch consumes it).  Returns ``out`` or ``(out, hist)``,
+    or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "clahe_u16"):
+        return None
+    if img.dtype != np.uint16 or img.ndim != 2:
+        return None
+    h, w = img.shape
+    tx, ty = int(tiles[0]), int(tiles[1])
+    if h < 2 or w < 2 or tx < 1 or ty < 1:
+        return None
+    img = np.ascontiguousarray(img)
+    out = np.empty_like(img)
+    hist = np.empty(65536, dtype=np.uint32) if want_hist else None
+    rc = lib.clahe_u16(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, tx, ty,
+        float(clip_limit),
+        out.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p) if want_hist else None,
+    )
+    if rc != 0:
+        return None
+    return (out, hist) if want_hist else out
 
 
 def native_hist_u16(img: np.ndarray):

@@ -229,11 +229,20 @@ def _products_body_host(f: np.ndarray, want=(True, True), hist_f=None):
     program (`_products_body`) keeps computing all four — on TPU they
     fuse into the one pass and only downloads cost anything.
     """
-    import cv2
+    from ..io.native import native_clahe_u16
 
     f = np.ascontiguousarray(f, dtype=np.uint16)
-    cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
-    hist_c = _hist_u16(cl1)
+    native = native_clahe_u16(f, 0.8, (2, 2), want_hist=True)
+    if native is not None:
+        # cv2-exact native CLAHE with the output value histogram folded
+        # into the same pass (the percentile stretch consumes it)
+        cl1, hist_u32 = native
+        hist_c = hist_u32.astype(np.int64)
+    else:
+        import cv2
+
+        cl1 = cv2.createCLAHE(clipLimit=0.8, tileGridSize=(2, 2)).apply(f)
+        hist_c = _hist_u16(cl1)
     dark_clahe = _np_percentile_from_counts(hist_c, cl1.size, 10.0)
     cl1_max = float(65535 - int(np.argmax(hist_c[::-1] > 0)))
     bright_clahe = max(cl1_max, dark_clahe + 1.0)

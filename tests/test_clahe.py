@@ -97,3 +97,43 @@ def test_percentile_from_hist(rng):
             got = float(percentile_from_hist(hist, n, q))
             ulp = float(np.spacing(np.float32(max(abs(ref), 1.0))))
             assert abs(ref - got) <= 8 * ulp, (n, q, ref, got, ulp)
+
+
+def test_native_clahe_matches_cv2(rng):
+    """native clahe_u16 (AVX-512 host kernel) is bit-identical to cv2 —
+    including the joint-axis padding rule (cv2 pads BOTH axes by a full
+    tile step when EITHER is non-divisible) and the fused output-value
+    histogram the product stage consumes."""
+    from solex_ser_recon_en_tpu.io.native import native_clahe_u16
+
+    img0 = rng.integers(0, 65536, (128, 96), dtype=np.int64).astype(np.uint16)
+    if native_clahe_u16(img0, 0.8, (2, 2)) is None:
+        pytest.skip("native library unavailable")
+
+    cases = [
+        ((64, 64), (2, 2)), ((65, 63), (3, 3)), ((127, 129), (2, 3)),
+        ((300, 451), (4, 4)), ((33, 9), (2, 2)), ((256, 256), (1, 1)),
+    ]
+    for (h, w), tiles in cases:
+        for dist in ("uniform", "smooth", "zeros"):
+            if dist == "uniform":
+                img = rng.integers(0, 65536, (h, w), dtype=np.int64)
+                img = img.astype(np.uint16)
+            elif dist == "smooth":
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((np.sin(yy / 7) + np.cos(xx / 11) + 2) * 16000)
+                img = img.astype(np.uint16)
+            else:
+                img = np.zeros((h, w), np.uint16)
+            ref = cv2.createCLAHE(clipLimit=0.8, tileGridSize=tiles).apply(img)
+            out, hist = native_clahe_u16(img, 0.8, tiles, want_hist=True)
+            np.testing.assert_array_equal(out, ref, err_msg=f"{h}x{w} {tiles} {dist}")
+            np.testing.assert_array_equal(
+                hist, np.bincount(out.ravel(), minlength=65536).astype(np.uint32)
+            )
+    # non-default clip limits (standalone tool range)
+    for clip in (0.5, 1.0, 4.0, 40.0):
+        img = rng.integers(0, 65536, (301, 517), dtype=np.int64).astype(np.uint16)
+        ref = cv2.createCLAHE(clipLimit=clip, tileGridSize=(3, 2)).apply(img)
+        out = native_clahe_u16(img, clip, (3, 2))
+        np.testing.assert_array_equal(out, ref, err_msg=f"clip={clip}")
