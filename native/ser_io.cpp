@@ -1843,3 +1843,194 @@ int clahe_u16(const uint16_t* src, int64_t h, int64_t w, int tiles_x,
 }
 
 }  // extern "C"
+
+namespace {
+
+// zlib-polynomial CRC-32 (reflected 0xEDB88320), slicing-by-8: the PNG
+// chunk CRC.  SSE4.2's crc32 instruction is CRC-32C (Castagnoli) — a
+// DIFFERENT polynomial — so a table implementation it is.
+uint32_t g_crc_tab[8][256];
+bool g_crc_init = false;
+
+void crc32_init() {
+  if (g_crc_init) return;
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    g_crc_tab[0][i] = c;
+  }
+  for (uint32_t i = 0; i < 256; ++i)
+    for (int t = 1; t < 8; ++t)
+      g_crc_tab[t][i] =
+          g_crc_tab[0][g_crc_tab[t - 1][i] & 0xFF] ^ (g_crc_tab[t - 1][i] >> 8);
+  g_crc_init = true;
+}
+
+uint32_t crc32_update(uint32_t crc, const uint8_t* p, size_t n) {
+  crc = ~crc;
+  while (n && ((uintptr_t)p & 7)) {
+    crc = g_crc_tab[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+    --n;
+  }
+  while (n >= 8) {
+    uint32_t lo;
+    uint32_t hi;
+    memcpy(&lo, p, 4);
+    memcpy(&hi, p + 4, 4);
+    crc ^= lo;
+    crc = g_crc_tab[7][crc & 0xFF] ^ g_crc_tab[6][(crc >> 8) & 0xFF] ^
+          g_crc_tab[5][(crc >> 16) & 0xFF] ^ g_crc_tab[4][crc >> 24] ^
+          g_crc_tab[3][hi & 0xFF] ^ g_crc_tab[2][(hi >> 8) & 0xFF] ^
+          g_crc_tab[1][(hi >> 16) & 0xFF] ^ g_crc_tab[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) crc = g_crc_tab[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
+// adler32 (zlib stream checksum) with the standard 5552-byte deferral of
+// the mod; scalar is plenty next to the CRC.
+uint32_t adler32_update(uint32_t adler, const uint8_t* p, size_t n) {
+  uint32_t a = adler & 0xFFFF, b = adler >> 16;
+  while (n) {
+    size_t blk = n < 5552 ? n : 5552;
+    n -= blk;
+    size_t i = 0;
+    for (; i + 8 <= blk; i += 8) {
+      a += p[0]; b += a; a += p[1]; b += a; a += p[2]; b += a;
+      a += p[3]; b += a; a += p[4]; b += a; a += p[5]; b += a;
+      a += p[6]; b += a; a += p[7]; b += a;
+      p += 8;
+    }
+    for (; i < blk; ++i) { a += *p++; b += a; }
+    a %= 65521; b %= 65521;
+  }
+  return (b << 16) | a;
+}
+
+}  // namespace
+
+extern "C" {
+
+// One PNG IDAT band in a single pass: pack the (n_rows, w) source into
+// zlib stored-block framing ([filter 0][big-endian samples] per row,
+// blocks split at exactly 65535 bytes within the band), update the
+// zlib adler32 over the scanline payload, and compute the chunk crc32
+// over the emitted bytes — all while each block is still cache-hot.
+// Byte-identical to io/png.py's _pack_scanlines + _stored_parts +
+// zlib.adler32/crc32 composition (asserted in tests/test_io.py).
+//   first: prepend the 2-byte zlib header; final: append the adler
+//   trailer after the last block (which gets BFINAL=1).
+//   crc_in: running crc (python seeds with crc32(b"IDAT")).
+// out must hold 2*first + payload + 5*ceil(payload/65535) + 4*final
+// bytes where payload = n_rows*(1 + bpp*w).  Returns emitted length,
+// or -1 on bad args.
+int64_t png_encode_stored_band(const void* src, int64_t n_rows, int64_t w,
+                               int is16, int first, int final,
+                               uint32_t adler_in, uint32_t crc_in,
+                               uint8_t* out, uint32_t* adler_out,
+                               uint32_t* crc_out) {
+  if (!src || !out || n_rows < 0 || w <= 0 || !adler_out || !crc_out)
+    return -1;
+  crc32_init();
+  const int64_t bpr = 1 + (is16 ? 2 * w : w);  // bytes per packed row
+  const int64_t payload = n_rows * bpr;
+  uint8_t* op = out;
+  if (first) {
+    op[0] = 0x78; op[1] = 0x01;  // 32K window, fastest-compression hint
+    op += 2;
+  }
+  // walk rows, emitting stored-block headers at 65535-byte boundaries
+  int64_t emitted = 0;       // payload bytes emitted so far
+  int64_t block_left = 0;    // room left in the current stored block
+  const uint8_t* s8 = static_cast<const uint8_t*>(src);
+  const uint16_t* s16 = static_cast<const uint16_t*>(src);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    // stage one packed row into a small stack buffer? no — pack straight
+    // into out, splitting headers mid-row when a block boundary lands
+    // inside the row
+    uint8_t rowbuf_filter = 0;
+    int64_t row_pos = 0;  // position within this packed row
+    while (row_pos < bpr) {
+      if (block_left == 0) {
+        const int64_t rest = payload - emitted;
+        const int64_t blk = rest < 65535 ? rest : 65535;
+        const int last_of_image = final && (blk == rest);
+        op[0] = last_of_image ? 1 : 0;
+        op[1] = (uint8_t)(blk & 0xFF);
+        op[2] = (uint8_t)(blk >> 8);
+        op[3] = (uint8_t)(~blk & 0xFF);
+        op[4] = (uint8_t)((~blk >> 8) & 0xFF);
+        op += 5;
+        block_left = blk;
+      }
+      int64_t take = bpr - row_pos;
+      if (take > block_left) take = block_left;
+      // pack `take` payload bytes of this row at row_pos
+      int64_t t = take;
+      if (row_pos == 0 && t > 0) {
+        *op++ = rowbuf_filter;  // filter byte
+        ++row_pos; --t;
+      }
+      if (is16) {
+        // sample bytes: big-endian u16; row_pos-1 is the byte offset
+        // into the sample stream of this row
+        const uint16_t* sp = s16 + r * w;
+        int64_t byte_off = row_pos - 1;
+        // head: odd byte (low half of a sample already half-emitted)
+        if (byte_off & 1) {
+          *op++ = (uint8_t)(sp[byte_off >> 1] & 0xFF);
+          ++byte_off; ++row_pos; --t;
+        }
+        int64_t x = byte_off >> 1;
+        for (; t >= 2; t -= 2, ++x) {
+          const uint16_t v = sp[x];
+          op[0] = (uint8_t)(v >> 8);
+          op[1] = (uint8_t)(v & 0xFF);
+          op += 2;
+        }
+        row_pos = 1 + 2 * x;
+        if (t == 1) {  // block splits a sample: emit the high byte only
+          *op++ = (uint8_t)(sp[x] >> 8);
+          ++row_pos;
+        }
+      } else {
+        memcpy(op, s8 + r * w + (row_pos - 1), (size_t)t);
+        op += t;
+        row_pos += t;
+      }
+      emitted += take;
+      block_left -= take;
+    }
+  }
+  // adler over the payload only = over everything between the framing
+  // bytes; computing it on the packed output in one linear sweep needs
+  // the block headers skipped — walk the emitted stream again block by
+  // block (still cache-resident for typical band sizes)
+  {
+    uint32_t adler = adler_in;
+    const uint8_t* p = out + (first ? 2 : 0);
+    int64_t left = payload;
+    while (left > 0) {
+      const int64_t blk = left < 65535 ? left : 65535;
+      adler = adler32_update(adler, p + 5, (size_t)blk);
+      p += 5 + blk;
+      left -= blk;
+    }
+    *adler_out = adler;
+  }
+  if (final) {
+    const uint32_t adler = *adler_out;
+    op[0] = (uint8_t)(adler >> 24);
+    op[1] = (uint8_t)((adler >> 16) & 0xFF);
+    op[2] = (uint8_t)((adler >> 8) & 0xFF);
+    op[3] = (uint8_t)(adler & 0xFF);
+    op += 4;
+  }
+  const int64_t total = op - out;
+  *crc_out = crc32_update(crc_in, out, (size_t)total);
+  return total;
+}
+
+}  // extern "C"

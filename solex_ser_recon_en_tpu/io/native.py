@@ -276,6 +276,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,      # is16
                 ctypes.c_void_p,   # out n*(1+bpp*w) u8
             ]
+        if hasattr(lib, "png_encode_stored_band"):
+            lib.png_encode_stored_band.restype = ctypes.c_int64
+            lib.png_encode_stored_band.argtypes = [
+                ctypes.c_void_p,   # src (n, w) u16/u8
+                ctypes.c_int64,    # n_rows
+                ctypes.c_int64,    # w
+                ctypes.c_int,      # is16
+                ctypes.c_int,      # first (zlib header)
+                ctypes.c_int,      # final (BFINAL + adler trailer)
+                ctypes.c_uint32,   # adler_in
+                ctypes.c_uint32,   # crc_in
+                ctypes.c_void_p,   # out buffer
+                ctypes.POINTER(ctypes.c_uint32),  # adler_out
+                ctypes.POINTER(ctypes.c_uint32),  # crc_out
+            ]
         if hasattr(lib, "clahe_u16"):
             lib.clahe_u16.restype = ctypes.c_int
             lib.clahe_u16.argtypes = [
@@ -806,6 +821,39 @@ def native_png_pack(rows: np.ndarray):
     if rc != 0:
         return None
     return out
+
+
+def native_png_encode_band(rows: np.ndarray, first: bool, final: bool,
+                           adler: int, crc: int):
+    """One PNG IDAT band fully framed in a single native pass: scanline
+    pack + zlib stored-block headers + running adler32 + chunk crc32
+    (ser_io.cpp:png_encode_stored_band), byte-identical to io/png.py's
+    python composition.  Returns (chunk_body bytes-view, adler', crc'),
+    or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "png_encode_stored_band"):
+        return None
+    if rows.ndim != 2 or rows.dtype not in (np.uint16, np.uint8):
+        return None
+    rows = np.ascontiguousarray(rows)
+    n, w = rows.shape
+    is16 = 1 if rows.dtype == np.uint16 else 0
+    payload = n * (1 + (2 if is16 else 1) * w)
+    cap = (2 if first else 0) + payload + 5 * ((payload + 65534) // 65535) \
+        + (4 if final else 0)
+    out = np.empty(max(cap, 1), dtype=np.uint8)
+    a_out = ctypes.c_uint32(0)
+    c_out = ctypes.c_uint32(0)
+    total = lib.png_encode_stored_band(
+        rows.ctypes.data_as(ctypes.c_void_p), n, w, is16,
+        1 if first else 0, 1 if final else 0,
+        ctypes.c_uint32(adler & 0xFFFFFFFF), ctypes.c_uint32(crc & 0xFFFFFFFF),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(a_out), ctypes.byref(c_out),
+    )
+    if total < 0:
+        return None
+    return out[:total], a_out.value, c_out.value
 
 
 def native_fits_pack_u16(data: np.ndarray):

@@ -162,6 +162,23 @@ def write_png_streaming(path: str, img, bands: int = 8,
             # device pulls can come back F-contiguous — the pack forces C
             # order for the byte view
             rows = np.ascontiguousarray(rows)
+            if comp is None:
+                # fused native band encode: pack + stored framing + adler
+                # + chunk crc in ONE cache-hot pass (byte-identical to the
+                # python composition below, tests/test_io.py)
+                from .native import native_png_encode_band
+
+                enc = native_png_encode_band(
+                    rows, first=(k == 0), final=(k == len(slices) - 1),
+                    adler=adler, crc=zlib.crc32(b"IDAT"),
+                )
+                if enc is not None:
+                    body, adler, crc = enc
+                    f.write(struct.pack(">I", len(body)))
+                    f.write(b"IDAT")
+                    f.write(body)
+                    f.write(struct.pack(">I", crc & 0xFFFFFFFF))
+                    continue
             payload = _pack_scanlines(rows, be)
             if comp is not None:  # compressed path (non-product callers)
                 data = comp.compress(payload)

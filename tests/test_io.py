@@ -169,3 +169,41 @@ def test_streaming_png_matches_cv2(tmp_path):
     p = str(tmp_path / "tiny.png")
     write_png_streaming(p, tiny, bands=8)
     np.testing.assert_array_equal(read_image(p), tiny)
+
+
+def test_native_png_band_encode_byte_identity(tmp_path, rng):
+    """The fused native IDAT band encoder (pack + stored framing + adler32
+    + chunk crc32 in one pass) produces byte-identical FILES to the python
+    composition, across band-boundary and block-split edge shapes."""
+    import solex_ser_recon_en_tpu.io.native as N
+    from solex_ser_recon_en_tpu.io.png import write_png_streaming
+
+    if N.native_png_encode_band(
+        np.zeros((2, 2), np.uint16), True, True, 1, 0
+    ) is None:
+        pytest.skip("native library unavailable")
+
+    shapes = [
+        ((257, 129), np.uint16),   # odd dims: block splits mid-sample
+        ((64, 32767), np.uint16),  # row bytes just under a block
+        ((300, 400), np.uint8),
+        ((1, 5), np.uint16),       # single row, single band
+        ((9, 8), np.uint8),        # bands > rows
+    ]
+    for shape, dt in shapes:
+        hi = 65536 if dt == np.uint16 else 256
+        img = rng.integers(0, hi, shape, dtype=np.int64).astype(dt)
+        pa = str(tmp_path / "a.png")
+        pb = str(tmp_path / "b.png")
+        write_png_streaming(pa, img, bands=8)
+        orig = N.native_png_encode_band
+        N.native_png_encode_band = lambda *a, **k: None
+        try:
+            write_png_streaming(pb, img, bands=8)
+        finally:
+            N.native_png_encode_band = orig
+        with open(pa, "rb") as f:
+            a = f.read()
+        with open(pb, "rb") as f:
+            b = f.read()
+        assert a == b, f"native vs python PNG bytes differ for {shape} {dt}"
