@@ -136,7 +136,15 @@ def run_paired(n_runs: int = N_RUNS, n_cpu: int = 3) -> dict:
             best, best_stages = dt, stages
 
     def cpu_run():
-        cpu_runs.append(round(cpu_pipeline(SCAN, [0]), 2))
+        # reference-default work for a `-cw0` run: transversalium is ON by
+        # default (SHG_MAIN.py:53, -t only DISABLES it) and clahe-only mode
+        # still writes its _clahe.png (solex_util.py:558-560) — the repo's
+        # timed leg above pays both, so the replica must too
+        cpu_out = os.path.join(BENCH_DIR, "out_cpu")
+        os.makedirs(cpu_out, exist_ok=True)
+        cpu_runs.append(round(cpu_pipeline(
+            SCAN, [0], clahe_only=True, transversalium=True,
+            save_dir=cpu_out), 2))
 
     for i in range(n_runs):
         if len(runs) >= 2 and time.monotonic() - t_session > 480:
@@ -626,7 +634,9 @@ def run_config(n: int, paired: bool = True) -> dict:
             "config3_doppler_sweep_5_shifts",
             lambda: Options(shift=list(sweep), clahe_only=True,
                             output_dir=outdir),
-            dict(shifts=sweep, clahe_only=True),
+            # transversalium=True: the reference's -c run corrects every
+            # sweep disk (transversalium defaults ON, SHG_MAIN.py:53)
+            dict(shifts=sweep, clahe_only=True, transversalium=True),
         )
         out.update(reference_actual("-cw-10:10:5"))
         if "reference_actual_s" in out:
@@ -680,8 +690,10 @@ def run_config(n: int, paired: bool = True) -> dict:
             cpu_done = 0
             for f in files:
                 try:
+                    # transversalium=True: reference default for a -c
+                    # batch run (SHG_MAIN.py:53; the repo leg pays it too)
                     _cp(os.path.join(folder, f), [0], clahe_only=True,
-                        save_dir=cpudir)
+                        transversalium=True, save_dir=cpudir)
                     cpu_done += 1
                 except Exception:
                     pass

@@ -165,12 +165,16 @@ def cpu_products(disk: np.ndarray, protus: bool = False):
     bright_c = np.max(cl1)
     cc = (65535.0 * (cl1 - dark_c) / max(bright_c - dark_c, 1)).clip(0, 65535)
     hc = (65535.0 * (disk - bright * 0.25) / max(bright * 0.75, 1)).clip(0, 65535)
+    # the protus stretch is UNCONDITIONAL in the reference (solex_util.py
+    # :541 runs before any mode gate) — the replica must pay the float
+    # pass in every mode for the pairing to be honest; only the disc fill
+    # (:543-547, gated by disk_display) and the extra return depend on the
+    # protus flag
+    fp = (65535.0 * disk / max(bright * 0.18, 1)).clip(0, 65535)
+    fp = fp.astype(np.uint16)
     if protus:
-        # protus stretch (solex_util.py:541) + disc fill (:542-547); the
-        # disc is painted at the frame centre here (the replica has no
-        # ellipse fit), same rasterisation cost
-        fp = (65535.0 * disk / max(bright * 0.18, 1)).clip(0, 65535)
-        fp = fp.astype(np.uint16)
+        # disc fill (solex_util.py:542-547); painted at the frame centre
+        # here (the replica has no ellipse fit), same rasterisation cost
         h, w = fp.shape
         cv2.circle(fp, (w // 2, h // 2), int(0.4 * min(h, w)), 80, -1)
         return cc.astype(np.uint16), hc.astype(np.uint16), fp
@@ -390,7 +394,11 @@ def cpu_pipeline(
         if base:
             import cv2
 
-            cv2.imwrite(base + name, np.asarray(arr))
+            # compression 0, exactly the reference's product writes
+            # (solex_util.py:558-567 pass IMWRITE_PNG_COMPRESSION 0) —
+            # cv2's own default deflate level would overcharge the replica
+            cv2.imwrite(base + name, np.asarray(arr),
+                        [cv2.IMWRITE_PNG_COMPRESSION, 0])
 
     fits("_mean.fits", mean_img)
     if figures is None:
