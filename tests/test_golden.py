@@ -154,3 +154,18 @@ def test_cpu_replica_hidden_shifts_and_figures(golden_scan, tmp_path):
     names = {p.name for p in out.iterdir()}
     assert "g_shift=0_clahe.png" in names
     assert "g_spectral_line_data.png" in names
+
+
+def test_cpu_replica_clahe_only_reference_save_set(golden_scan, tmp_path):
+    """The -c replica leg writes EXACTLY what the reference's clahe_only
+    mode writes — one _clahe.png per shift, nothing else (solex_util.py:
+    556-566 gates; transversalium still runs, SHG_MAIN.py:53 default) —
+    so the paired vs_baseline denominator neither over- nor under-counts
+    product IO."""
+    out = tmp_path / "conly"
+    out.mkdir()
+    dt = ref.cpu_pipeline(golden_scan, [-1, 0], clahe_only=True,
+                          transversalium=True, save_dir=str(out))
+    assert dt > 0
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["g_shift=-1_clahe.png", "g_shift=0_clahe.png"], names
