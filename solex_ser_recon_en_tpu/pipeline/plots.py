@@ -59,6 +59,22 @@ def save_spectral_line_plot(path, mean_img, linefit) -> None:
     fig.savefig(path, dpi=120, pil_kwargs=_FAST_PNG)
 
 
+def deferred_spectral_line_plot(path, ser_file, linefit) -> None:
+    """save_spectral_line_plot with the full-frame mean sweep deferred to
+    render time (the figure lane, io/writers.py).
+
+    Used when the banded fast pass A served the pipeline (pipeline/run.py):
+    the full mean image's only consumer is this figure, so the second
+    full-file sweep runs off the critical path.  The sweep is the same
+    host_mean_max call the inline path makes over the same bytes —
+    byte-identical figures (tests/test_hostrecon.py)."""
+    from ..io.hostreduce import host_mean_max
+    from ..io.video import open_video
+
+    mean_img, _ = host_mean_max(open_video(ser_file)._r)
+    save_spectral_line_plot(path, mean_img, linefit)
+
+
 def save_ellipse_fit_plot(path, image_u16, geo) -> None:
     image = np.asarray(image_u16)
     fig = matplotlib.figure.Figure()

@@ -260,9 +260,14 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     # spectral band and the sun's extent, then the full-frame-count native
     # sweep reads ONLY the band bytes (~1/5 of the scan) and the banded fit
     # verifies bit-identity gates against the subsample's full-width view
-    # (io/hostreduce.py:fast_passa).  Disabled whenever a full-frame
-    # artifact is requested (_mean.fits via save_fit, or the
-    # _spectral_line_data.png plot) — those need the true full mean image.
+    # (io/hostreduce.py:fast_passa).  Disabled when save_fit requests the
+    # _mean.fits data product — that needs the true full mean inline.  A
+    # figure mode does NOT disable it: the _spectral_line_data.png plot is
+    # the full mean's only other consumer and it already renders on the
+    # deferred figure lane (io/writers.py), so the full-frame mean sweep
+    # rides that lane too (pipeline/plots.py:deferred_spectral_line_plot,
+    # byte-identical figure asserted in tests/test_hostrecon.py) instead
+    # of costing the critical path a second full-file pass.
     fast_lf = None  # verified LineFit from the banded fast pass A
     plot_wanted = (
         not options.clahe_only and not options.protus_only
@@ -272,7 +277,6 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
         feed == "host"
         and isinstance(vid, _SerVideo)
         and not options.save_fit
-        and not plot_wanted
         and os.environ.get("SOLEX_NO_FASTPASSA") != "1"
     )
     mem_frames = None
@@ -417,14 +421,26 @@ def read_scan(file: str, options: Options, timer: Optional[StageTimer] = None) -
     log(f"Vertical limits y1, y2 : {lf.y1} {lf.y2}")
     log("Spectral line polynomial fit: " + str(lf.poly))
 
-    if not options.clahe_only and not options.protus_only and not options._nolog:
+    if plot_wanted:
         from ..io.writers import submit_figure
 
-        submit_figure(
-            save_spectral_line_plot,
-            output_path(basefich0 + "_spectral_line_data.png", options),
-            mean_img, lf,
-        )
+        if mean_img is None:
+            # banded fast pass: the full mean exists nowhere yet — sweep
+            # it inside the deferred render (same host_mean_max call the
+            # inline path makes, so the figure bytes are identical)
+            from .plots import deferred_spectral_line_plot
+
+            submit_figure(
+                deferred_spectral_line_plot,
+                output_path(basefich0 + "_spectral_line_data.png", options),
+                file, lf,
+            )
+        else:
+            submit_figure(
+                save_spectral_line_plot,
+                output_path(basefich0 + "_spectral_line_data.png", options),
+                mean_img, lf,
+            )
 
     with timer.stage("recon"):
         if mem_frames is not None:

@@ -369,3 +369,50 @@ def test_fast_passa_gates(tmp_path, monkeypatch, basic_scan):
     # below the size floor the classic sweep wins
     monkeypatch.setenv("SOLEX_FASTPASSA_MIN_MB", "100000")
     assert fast_passa(r, [10, 0]) is None
+
+
+def test_deferred_spectral_figure_byte_identical(tmp_path, monkeypatch):
+    """Figure modes keep the banded fast pass A: the full-frame mean sweep
+    moves into the deferred figure lane (pipeline/plots.py:
+    deferred_spectral_line_plot) and the rendered _spectral_line_data.png
+    is BYTE-identical to the inline full-sweep path's figure."""
+    from solex_ser_recon_en_tpu.io.writers import figure_barrier
+    from solex_ser_recon_en_tpu.pipeline.run import read_scan
+
+    path = _wide_line_scan(tmp_path)
+
+    import solex_ser_recon_en_tpu.io.hostreduce as hr
+
+    calls = []
+    real = hr.fast_passa
+
+    def spy(r, shifts, **kw):
+        out = real(r, shifts, **kw)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(hr, "fast_passa", spy)
+
+    def run(name, env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        outdir = tmp_path / name
+        outdir.mkdir()
+        # figure mode: not clahe/protus-only, logging on
+        opts = Options(shift=[0], ratio_fixe=1.0, slant_fix=0.0,
+                       output_dir=str(outdir), feed_mode="host")
+        read_scan(path, opts)
+        figure_barrier()
+        for k in env:
+            monkeypatch.delenv(k)
+        import os as _os
+
+        fig = outdir / (_os.path.basename(path).rsplit(".", 1)[0]
+                        + "_spectral_line_data.png")
+        assert fig.exists(), list(outdir.iterdir())
+        return fig.read_bytes()
+
+    deferred = run("deferred", {"SOLEX_FASTPASSA_MIN_MB": "0"})
+    assert calls == [True], "figure mode must take the banded fast pass"
+    inline = run("inline", {"SOLEX_NO_FASTPASSA": "1"})
+    assert deferred == inline
